@@ -1,38 +1,696 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 (plus the training-data-pipeline
+extensions) gets a ``queries()`` entry running through the riko_spark
+operator layer, and — where ANSI-SQL-expressible — an ``oracle_sql()``
+twin for the DuckDB side-by-side check.  Column names/aliases match
+exactly between both sides (the driver hashes values under sorted
+column names).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _flow(df, order_by=None):
+    from riko_spark.plans.flow import Flow
+
+    return Flow(df, order_by=order_by)
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the README word-count pipe graph (SURVEY.md §7.2) over
+    ``documents`` — tokenizer → grouped count → top-100."""
+    docs = _t(spark, SF001, "documents")
+    flow = _flow(docs).tokenizer(
+        {"delimiter": " ", "token_key": "token"}, field="text", emit=True
+    )
+    counted = flow.df.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+
+
+# ------------------------------------------------------------- queries
+
+def q_filter(spark, sf):
+    conf = {
+        "rule": [
+            {"field": "o_orderpriority", "op": "contains", "value": "URGENT"},
+            {"field": "o_totalprice", "op": "atleast", "value": 100000},
+        ],
+        "combine": "and",
+    }
+    return _flow(_t(spark, sf, "orders")).filter(conf).df
+
+
+def q_filter_or_block(spark, sf):
+    conf = {
+        "rule": [
+            {"field": "o_orderstatus", "op": "is", "value": "F"},
+            {"field": "o_totalprice", "op": "less", "value": 50000},
+        ],
+        "combine": "or",
+        "permit": False,
+    }
+    return _flow(_t(spark, sf, "orders")).filter(conf).df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_sort_truncate(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    # sort (primary rule desc, spine tiebreak) + truncate = top-k;
+    # Catalyst plans TakeOrderedAndProject — no global sort shuffle
+    f = _flow(li, order_by=["l_orderkey", "l_linenumber"])
+    srt = f.sort({"rule": [{"field": "l_extendedprice", "dir": "desc"}]})
+    return srt.df.limit(50)
+
+
+def q_truncate(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "ts", "event_type")
+    return _flow(ev, order_by=["ts", "event_id"]).truncate({"start": 100, "count": 50}).df
+
+
+def q_tail(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "ts", "event_type")
+    return _flow(ev, order_by=["ts", "event_id"]).tail({"count": 20}).df
+
+
+def q_reverse_head(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "ts")
+    # reverse then head-25 == tail-25 in reverse emit order
+    return _flow(ev, order_by=["ts", "event_id"]).reverse(None).df.limit(25)
+
+
+def q_count(spark, sf):
+    return _flow(_t(spark, sf, "lineitem")).count().df
+
+
+def q_count_group(spark, sf):
+    ev = _t(spark, sf, "events")
+    return _flow(ev, order_by=["event_id"]).count({"count_key": "event_type"}).df
+
+
+def q_sum_group(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = _flow(li).sum({"sum_key": "l_quantity", "group_key": "l_returnflag"}).df
+    # decimal sum (riko parity), rendered as double for stable cross-
+    # engine value hashing
+    return out.select(F.col("l_returnflag"), F.col("sum").cast("double").alias("sum_qty"))
+
+
+def q_union(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    a = o.filter(F.col("o_orderstatus") == "F")
+    b = o.filter(F.col("o_totalprice") > 150000)
+    return _flow(a).union(None, others=[b]).df
+
+
+def q_uniq(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
+    return _flow(ev, order_by=["ts", "event_id"]).uniq({"uniq_key": "user_id"}).df
+
+
+def q_join(spark, sf):
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region")
+    f = _flow(cust).join(
+        {"join_key": "c_nationkey", "other_join_key": "n_nationkey"},
+        other=nat, broadcast_other=True,
+    ).join(
+        {"join_key": "n_regionkey", "other_join_key": "r_regionkey"},
+        other=reg, broadcast_other=True,
+    )
+    return f.df.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+def q_join_lower(spark, sf):
+    nat = _t(spark, sf, "nation")
+    dim = nat.select(F.lower(F.col("n_name")).alias("name_lc"), F.col("n_regionkey").alias("rk"))
+    f = _flow(nat).join(
+        {"join_key": "n_name", "other_join_key": "name_lc", "lower": True}, other=dim
+    )
+    return f.df.select("n_nationkey", "n_name", "name_lc", "rk")
+
+
+def q_tokenizer_wordcount(spark, sf):
+    docs = _t(spark, sf, "documents")
+    f = _flow(docs).tokenizer({"delimiter": " ", "token_key": "token"}, field="text", emit=True)
+    counted = f.df.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+
+
+def q_regex(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    conf = {"rule": [{"field": "text", "match": r"(sc)an", "replace": "$1anned"}]}
+    return _flow(docs).regex(conf).df
+
+
+def q_strreplace(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    conf = {"rule": [{"find": "Brand#", "replace": "B-", "param": "every"}]}
+    return _flow(p).strreplace(conf, field="p_brand", assign="brand2").df
+
+
+def q_strtransform(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_name")
+    conf = {"rule": [{"transform": "upper"}]}
+    return _flow(p).strtransform(conf, field="p_name", assign="name_upper").df
+
+
+def q_strconcat(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_name")
+    conf = {"part": [{"value": "part:"}, {"subkey": "p_name"}]}
+    return _flow(p).strconcat(conf, assign="label").df
+
+
+def q_strfind(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    conf = {"rule": [{"find": " ", "location": "before", "param": "first"}]}
+    return _flow(p).strfind(conf, field="p_type", assign="head").df
+
+
+def q_refind(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    conf = {"rule": [{"find": r"\s", "location": "after", "param": "first"}]}
+    return _flow(p).refind(conf, field="p_type", assign="tail").df
+
+
+def q_substr(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    return _flow(p).substr({"start": 0, "length": 5}, field="p_type", assign="prefix").df
+
+
+def q_slugify(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_name")
+    return _flow(p).slugify(None, field="p_name", assign="slug").df
+
+
+def q_hash_md5(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return _flow(d).hash({"algo": "md5"}, field="text", assign="hash").df
+
+
+def q_typecast(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "event_type")
+    return _flow(ev).typecast({"type": "int"}, field="event_type", assign="typecast").df
+
+
+def q_simplemath(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice", "l_tax")
+    f = _flow(li).simplemath(
+        {"op": "add", "other": {"subkey": "l_tax"}}, field="l_extendedprice", assign="total"
+    )
+    return f.df.select("l_orderkey", "l_linenumber", F.col("total").cast("double").alias("total"))
+
+
+def q_dateformat(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    return _flow(o).dateformat({"format": "%Y-%m-%d"}, field="o_orderdate", assign="day").df.select("o_orderkey", "day")
+
+
+def q_datebuilder(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("dstr"))
+    return _flow(o).datebuilder(None, field="dstr", assign="parsed").df.select("o_orderkey", "parsed")
+
+
+def q_rename(spark, sf):
+    r = _t(spark, sf, "region")
+    return _flow(r).rename({"rule": [{"field": "r_name", "newval": "region_name"}]}).df
+
+
+def q_subelement(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "props")
+    parsed = ev.withColumn("props_parsed", F.from_json("props", "k bigint"))
+    out = _flow(parsed).subelement({"path": "props_parsed.k", "token_key": "k"}, emit=False)
+    return out.df.select("event_id", "k")
+
+
+def q_urlbuilder(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey")
+    conf = {"base": "https://example.com", "path": ["part"], "param": [{"key": "id", "subkey": "p_partkey"}]}
+    return _flow(p).urlbuilder(conf, assign="url").df
+
+
+def q_urlparse(spark, sf):
+    r = _t(spark, sf, "region").select(
+        F.concat(F.lit("https://example.com/r/"), F.col("r_name"), F.lit("?rk="), F.col("r_regionkey"), F.lit("#top")).alias("content"),
+    )
+    return _flow(r).urlparse(None).df
+
+
+def q_itembuilder(spark, sf):
+    r = _t(spark, sf, "region")
+    conf = {"attrs": [{"key": "title", "value": "region"}, {"key": "name", "value": {"subkey": "r_name"}}]}
+    return _flow(r).itembuilder(conf).df
+
+
+# ---------------------------------------------- windows / sessions
+
+def q_windowed_count(spark, sf):
+    ev = _t(spark, sf, "events")
+    from riko_spark.streaming.windows import tumbling_agg
+
+    out = tumbling_agg(ev, ts_col="ts", window="1 hour", watermark=None,
+                       keys=["event_type"], aggs={"n": "count"})
+    return out.select("window_start", "event_type", "n")
+
+
+def q_session_windows(spark, sf):
+    ev = _t(spark, sf, "events")
+    from riko_spark.streaming.windows import session_agg
+
+    out = session_agg(ev, ts_col="ts", gap="30 minutes", watermark=None,
+                      keys=["user_id"], aggs={"n": "count"})
+    return out.select("user_id", "session_start", "session_end", "n")
+
+
+# ------------------------------------------- dedupe / similarity / text
+
+def q_exact_dedupe(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    from riko_spark.operators.dedupe import exact_dedupe_op
+
+    return exact_dedupe_op(d).select("doc_id", "lang")
+
+
+def q_minhash_lsh(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    from riko_spark.operators.dedupe import minhash_lsh_op
+
+    return minhash_lsh_op(d, {"num_hashes": 16, "bands": 4, "jaccard_threshold": 0.8})
+
+
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text").limit(2000)
+    from riko_spark.operators.dedupe import simhash_op
+
+    return simhash_op(d).select("doc_id", "simhash")
+
+
+def q_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    from riko_spark.operators.dedupe import minhash_lsh_op
+
+    return minhash_lsh_op(d, {"num_hashes": 16, "bands": 4, "jaccard_threshold": 0.5})
+
+
+def q_embedding_neardup(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    from riko_spark.operators.dedupe import embedding_neardup_op
+
+    return embedding_neardup_op(e, {"planes": 10, "cosine_threshold": 0.95})
+
+
+def q_ann_bruteforce(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    from riko_spark.operators.similarity import ann_bruteforce_op
+
+    return ann_bruteforce_op(e, {"k": 10}, queries=queries).select("query_id", "rank", "vec_id")
+
+
+def q_ann_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    from riko_spark.operators.similarity import ann_lsh_op
+
+    return ann_lsh_op(e, {"k": 10, "planes": 8, "probes": 1}, queries=queries)
+
+
+def q_token_count(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    from riko_spark.operators.textstats import token_count_op
+
+    return token_count_op(d).select("doc_id", "n_tokens")
+
+
+def q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    from riko_spark.operators.textstats import lang_id_op
+
+    return lang_id_op(d).select("doc_id", "lang_pred")
+
+
+def q_quality(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    from riko_spark.operators.textstats import quality_score_op
+
+    return quality_score_op(d).select("doc_id", "alpha_ratio", "punct_ratio")
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    from riko_spark.operators.textstats import fingerprint_op
+
+    return fingerprint_op(d).select("doc_id", "fingerprint")
+
+
+def q_media_metadata(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("blob")
+    )
+    from riko_spark.operators.multimodal import media_metadata_op
+
+    return media_metadata_op(d).select("id", "n_bytes", "media_type")
+
+
+def q_image_features(spark, sf):
+    d = _t(spark, sf, "documents").limit(500).select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("blob")
+    )
+    from riko_spark.operators.multimodal import image_features_op
+
+    return image_features_op(d).select("id", "width", "height")
+
+
+def q_pipe_graph(spark, sf):
+    """End-to-end riko pipe graph via the JSON-DAG compiler:
+    documents → filter(lang=en) → tokenizer → count(token)."""
+    from riko_spark.plans.dag import build_pipeline
+
+    docs = _t(spark, sf, "documents")
+    pipe_def = {
+        "modules": [
+            {"id": "src", "type": "fetch", "conf": {"url": os.path.join(sf, "documents.parquet")}},
+            {"id": "flt", "type": "filter",
+             "conf": {"rule": [{"field": "lang", "op": "is", "value": "en"}]}},
+            {"id": "tok", "type": "tokenizer",
+             "conf": {"delimiter": " ", "token_key": "token", "field": "text"}},
+            {"id": "cnt", "type": "count", "conf": {"count_key": "token"}},
+            {"id": "out", "type": "output"},
+        ],
+    }
+    out = build_pipeline(spark, pipe_def, sources={"src": docs})
+    return out.orderBy(F.col("count").desc(), F.col("token").asc()).limit(50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "filter": q_filter,
+        "filter_or_block": q_filter_or_block,
+        "sort_truncate": q_sort_truncate,
+        "truncate": q_truncate,
+        "tail": q_tail,
+        "reverse_head": q_reverse_head,
+        "count": q_count,
+        "count_group": q_count_group,
+        "sum_group": q_sum_group,
+        "union": q_union,
+        "uniq": q_uniq,
+        "join": q_join,
+        "join_lower": q_join_lower,
+        "tokenizer_wordcount": q_tokenizer_wordcount,
+        "regex": q_regex,
+        "strreplace": q_strreplace,
+        "strtransform": q_strtransform,
+        "strconcat": q_strconcat,
+        "strfind": q_strfind,
+        "refind": q_refind,
+        "substr": q_substr,
+        "slugify": q_slugify,
+        "hash_md5": q_hash_md5,
+        "typecast": q_typecast,
+        "simplemath": q_simplemath,
+        "dateformat": q_dateformat,
+        "datebuilder": q_datebuilder,
+        "rename": q_rename,
+        "subelement": q_subelement,
+        "urlbuilder": q_urlbuilder,
+        "urlparse": q_urlparse,
+        "itembuilder": q_itembuilder,
+        "windowed_count": q_windowed_count,
+        "session_windows": q_session_windows,
+        "exact_dedupe": q_exact_dedupe,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "media_metadata": q_media_metadata,
+        "image_features": q_image_features,
+        "pipe_graph": q_pipe_graph,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------- oracles
+
+_TRIM = r"^\s+|\s+$"
+_TOKENIZE_SQL = (
+    "list_transform(list_filter(string_split(text, ' '), t -> t <> ''), "
+    "t -> regexp_replace(t, '^\\s+|\\s+$', '', 'g'))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter": """
+            SELECT * FROM orders
+            WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+              AND contains(lower(o_orderpriority), 'urgent')
+              AND TRY_CAST(o_totalprice AS DECIMAL(38,18)) >= 100000
+        """,
+        "filter_or_block": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 50000)
+        """,
+        "sort_truncate": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50
+        """,
+        "truncate": """
+            SELECT event_id, ts, event_type FROM events
+            ORDER BY ts, event_id LIMIT 50 OFFSET 100
+        """,
+        "tail": """
+            SELECT event_id, ts, event_type FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 20
+        """,
+        "reverse_head": """
+            SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 25
+        """,
+        "count": "SELECT COUNT(*) AS count FROM lineitem",
+        "count_group": """
+            SELECT COALESCE(CAST(event_type AS VARCHAR), 'None') AS event_type,
+                   COUNT(*) AS count, MIN(event_id) AS first_seen
+            FROM events GROUP BY 1
+        """,
+        "sum_group": """
+            SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'None') AS l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "union": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 150000
+        """,
+        "uniq": """
+            SELECT event_id, ts, user_id, event_type FROM (
+                SELECT event_id, ts, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "join": """
+            SELECT c_custkey, c_name, n_name, r_name
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "join_lower": """
+            SELECT n_nationkey, n_name, name_lc, rk
+            FROM nation
+            JOIN (SELECT lower(n_name) AS name_lc, n_regionkey AS rk FROM nation) d
+              ON lower(n_name) = lower(name_lc)
+        """,
+        "tokenizer_wordcount": f"""
+            WITH toks AS (
+                SELECT unnest({_TOKENIZE_SQL}) AS token FROM documents
+            )
+            SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 100
+        """,
+        "regex": r"""
+            SELECT doc_id, regexp_replace(text, '(?ims)(sc)an', '\1anned', 'g') AS text
+            FROM documents
+        """,
+        "strreplace": """
+            SELECT p_partkey, p_brand, replace(p_brand, 'Brand#', 'B-') AS brand2 FROM part
+        """,
+        "strtransform": """
+            SELECT p_partkey, p_name, upper(p_name) AS name_upper FROM part
+        """,
+        "strconcat": """
+            SELECT p_partkey, p_name, 'part:' || p_name AS label FROM part
+        """,
+        "strfind": r"""
+            SELECT p_partkey, p_type,
+                   regexp_replace(CASE WHEN contains(p_type, ' ')
+                        THEN substr(p_type, 1, strpos(p_type, ' ') - 1) ELSE '' END,
+                        '^\s+|\s+$', '', 'g') AS head
+            FROM part
+        """,
+        "refind": r"""
+            SELECT p_partkey, p_type,
+                   regexp_replace(
+                     CASE WHEN regexp_matches(p_type, '\s')
+                          THEN regexp_replace(p_type, '^.*?\s', '', 's')
+                          ELSE p_type END,
+                     '^\s+|\s+$', '', 'g') AS tail
+            FROM part
+        """,
+        "substr": """
+            SELECT p_partkey, p_type, substr(p_type, 1, 5) AS prefix FROM part
+        """,
+        "slugify": r"""
+            SELECT p_partkey, p_name,
+                   regexp_replace(
+                     regexp_replace(lower(regexp_replace(p_name, '^\s+|\s+$', '', 'g')),
+                                    '[^a-z0-9]+', '-', 'g'),
+                     '^-+|-+$', '', 'g') AS slug
+            FROM part
+        """,
+        "hash_md5": "SELECT doc_id, text, md5(text) AS hash FROM documents",
+        "typecast": """
+            SELECT event_id, event_type, COALESCE(TRY_CAST(event_type AS BIGINT), 0) AS typecast
+            FROM events
+        """,
+        "simplemath": """
+            SELECT l_orderkey, l_linenumber,
+                   -- varchar route = Spark's shortest-repr double->decimal
+                   -- cast; DECIMAL(18,6) keeps DuckDB's addition in exact
+                   -- decimal (38,18 + 38,18 would overflow to double there)
+                   CAST(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,6))
+                        + CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS total
+            FROM lineitem
+        """,
+        "dateformat": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+        """,
+        "datebuilder": """
+            SELECT o_orderkey,
+                   TRY_CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS parsed
+            FROM orders
+        """,
+        "rename": "SELECT r_regionkey, r_name AS region_name FROM region",
+        "subelement": """
+            SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+        """,
+        "urlbuilder": """
+            SELECT p_partkey,
+                   'https://example.com/part?id=' || CAST(p_partkey AS VARCHAR) AS url
+            FROM part
+        """,
+        "urlparse": """
+            WITH u AS (
+                SELECT 'https://example.com/r/' || r_name || '?rk=' || CAST(r_regionkey AS VARCHAR) || '#top' AS url
+                FROM region
+            )
+            SELECT 'scheme' AS component, 'https' AS content FROM u
+            UNION ALL SELECT 'netloc', 'example.com' FROM u
+            UNION ALL SELECT 'path', regexp_extract(url, '^https://example\\.com(/[^?#]*)', 1) FROM u
+            UNION ALL SELECT 'params', '' FROM u
+            UNION ALL SELECT 'query', regexp_extract(url, '\\?([^#]*)', 1) FROM u
+            UNION ALL SELECT 'fragment', regexp_extract(url, '#(.*)$', 1) FROM u
+        """,
+        "itembuilder": "SELECT 'region' AS title, r_name AS name FROM region",
+        "windowed_count": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), grp AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM marked
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n
+            FROM grp GROUP BY user_id, sess_id
+        """,
+        "exact_dedupe": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM documents
+                GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+            )
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n_tokens
+            FROM documents
+        """,
+        "lang_id": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+                FROM documents
+            ), hits AS (
+                SELECT doc_id,
+                       len(list_filter(w, t -> t IN ('the','and','of','to','is'))) AS h_en,
+                       len(list_filter(w, t -> t IN ('der','die','und','ist','nicht'))) AS h_de,
+                       len(list_filter(w, t -> t IN ('le','la','et','est','les'))) AS h_fr,
+                       len(list_filter(w, t -> t IN ('el','la','que','es','los'))) AS h_es
+                FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                        WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                        WHEN h_en >= h_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM hits
+        """,
+        "quality": r"""
+            SELECT doc_id,
+                   ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) ELSE 1.0 END, 6) AS alpha_ratio,
+                   ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                         / CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) ELSE 1.0 END, 6) AS punct_ratio
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "media_metadata": """
+            SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+                   'application/octet-stream' AS media_type
+            FROM documents
+        """,
+        "pipe_graph": f"""
+            WITH toks AS (
+                SELECT unnest({_TOKENIZE_SQL}) AS token FROM documents WHERE lang = 'en'
+            )
+            SELECT token, COUNT(*) AS count FROM toks GROUP BY token
+            ORDER BY count DESC, token ASC LIMIT 50
+        """,
+    }

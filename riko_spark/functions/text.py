@@ -1,0 +1,50 @@
+"""Vectorized (Arrow-batched) text UDFs for the webtext operators.
+
+HTML slicing/detagging is genuinely procedural (stateful HTMLParser),
+so these are pandas UDFs — the sanctioned Python path (Arrow batch
+transfer, no per-row pickling).  Everything else text-related in the
+engine (tokenizing, lang-id, quality, fingerprints) is native Column
+expressions — see operators/strings.py and operators/textstats.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from riko_spark import textref
+
+
+def _extract_series(html: pd.Series, start: str, end: str, detag: bool) -> pd.Series:
+    return html.map(
+        lambda h: None
+        if h is None
+        else textref.extract_text(h, start=start, end=end, detag=detag)[0]
+    )
+
+
+def extract_text_udf(start: str = "<body>", end: str = "</body>", detag: bool = True):
+    """pandas UDF: html binary -> reference-extracted text.
+
+    Byte-identical per url to the reference chain
+    (riko/modules/fetchpage.py:45-53,103-139 + riko/parsers.py:113-174),
+    vendored in riko_spark.textref.
+    """
+
+    @F.pandas_udf(StringType())
+    def _extract(html: pd.Series) -> pd.Series:
+        return _extract_series(html, start, end, detag)
+
+    return _extract
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def find_feed_links_udf(html: pd.Series) -> pd.Series:
+    """pandas UDF: html binary -> list of RSS-ish link hrefs
+    (feedautodiscovery analog, riko/parsers.py:114-165)."""
+    return html.map(
+        lambda h: None
+        if h is None
+        else textref.find_links(h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else h)
+    )

@@ -1,0 +1,77 @@
+"""Operator registry.
+
+Mirrors the reference's module taxonomy (riko/modules/_decorators.py:
+``@processor`` / ``@operator`` / ``@splitter``): every pipe is a named,
+composable function ``(df: DataFrame, conf: dict, **kwargs) -> DataFrame``
+registered under its riko name.  The DAG compiler (riko_spark.plans) and
+the fluent ``Flow`` wrapper resolve operators through this registry, the
+way riko resolves ``riko.modules.<name>.pipe`` (riko/compile.py:467-506).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+OpFn = Callable[..., DataFrame]
+
+_REGISTRY: dict[str, dict[str, Any]] = {}
+
+
+class UnsupportedModuleError(KeyError):
+    """Unknown operator name (riko/compile.py:503)."""
+
+
+def register(name: str, kind: str = "processor", sub_kind: str = "transformer"):
+    """Register an operator under its riko pipe name.
+
+    kind: 'processor' (row-local, parallelizable) | 'operator'
+    (needs stream context: aggregations, sorts, joins) | 'splitter'.
+    sub_kind: 'source' | 'transformer' | 'composer' | 'aggregator'.
+    """
+
+    def deco(fn: OpFn) -> OpFn:
+        _REGISTRY[name] = {"fn": fn, "kind": kind, "sub_kind": sub_kind}
+        return fn
+
+    return deco
+
+
+def get_operator(name: str) -> OpFn:
+    try:
+        return _REGISTRY[name]["fn"]
+    except KeyError:
+        raise UnsupportedModuleError(f"unknown operator: {name!r}") from None
+
+
+def operator_meta(name: str) -> dict[str, Any]:
+    if name not in _REGISTRY:
+        raise UnsupportedModuleError(f"unknown operator: {name!r}")
+    return {k: v for k, v in _REGISTRY[name].items() if k != "fn"}
+
+
+def list_operators() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def _load_all() -> None:
+    # populate the registry; import order is irrelevant
+    from riko_spark.operators import (  # noqa: F401
+        aggregates,
+        dedupe,
+        filters,
+        limits,
+        multimodal,
+        setops,
+        similarity,
+        sorts,
+        strings,
+        structure,
+        textstats,
+        webtext,
+    )
+
+
+_load_all()

@@ -1,0 +1,95 @@
+"""Aggregator pipes: ``count``, ``sum``, ``aggregate``.
+
+Reference:
+  * count — riko/modules/count.py:34-84; grouped path uses
+    riko/utils.py:720-731 ``group_by`` (keys stringified, missing ->
+    the string 'None', groups in first-seen order).
+  * sum — riko/modules/sum.py:36-93; Decimal arithmetic.
+  * aggregate — riko/modules/aggregate.py:33-85; arbitrary
+    ``func(stream) -> item(s)`` — the UDAF escape hatch.
+
+Scale notes: grouped count/sum are hash aggregations with map-side
+partial aggregation (Spark plans partial_count/partial_sum before the
+exchange); first-seen order is recovered relationally by also
+aggregating ``min(order col)`` instead of sorting the whole input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from riko_spark.operators import register
+
+_DEC = "decimal(38,18)"
+
+
+def _str_key(col_name: str):
+    # riko stringifies group keys; missing values become 'None'
+    # (riko/utils.py:720-731)
+    return F.coalesce(F.col(col_name).cast("string"), F.lit("None"))
+
+
+@register("count", kind="operator", sub_kind="aggregator")
+def count_op(
+    df: DataFrame, conf: dict | None = None, order_by: list[str] | None = None
+) -> DataFrame:
+    """No key: one row ``{count: N}``.  With ``count_key``: one row per
+    stringified group value, carrying ``first_seen`` (min event order)
+    so the consumer can reproduce riko's first-seen group ordering
+    without a global sort."""
+    conf = conf or {}
+    key = conf.get("count_key")
+    if not key:
+        return df.agg(F.count(F.lit(1)).alias("count"))
+    grouped = df.groupBy(_str_key(key).alias(key))
+    if order_by:
+        out = grouped.agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min(F.col(order_by[0])).alias("first_seen"),
+        )
+        return out.orderBy("first_seen")
+    return grouped.agg(F.count(F.lit(1)).alias("count"))
+
+
+@register("sum", kind="operator", sub_kind="aggregator")
+def sum_op(df: DataFrame, conf: dict | None = None) -> DataFrame:
+    """Decimal sum of ``sum_key`` (default ``content``), optionally per
+    ``group_key`` (riko/modules/sum.py:36-93)."""
+    conf = conf or {}
+    sum_key = conf.get("sum_key", "content")
+    group_key = conf.get("group_key")
+    total = F.sum(F.col(sum_key).try_cast(_DEC)).alias("sum")
+    if group_key:
+        return df.groupBy(_str_key(group_key).alias(group_key)).agg(total)
+    return df.agg(total)
+
+
+@register("aggregate", kind="operator", sub_kind="aggregator")
+def aggregate_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    func: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    schema=None,
+    group_key: str | None = None,
+) -> DataFrame:
+    """Arbitrary stream-level aggregation (riko/modules/aggregate.py).
+
+    ``func`` is pandas DataFrame -> pandas DataFrame.  With
+    ``group_key`` it runs per group (distributed, shuffle on the key);
+    without, it runs once over the whole stream — inherently
+    single-group, use only for small/final results (riko's version has
+    the same totality).
+    """
+    if func is None or schema is None:
+        raise ValueError("aggregate requires func= and schema=")
+    if group_key:
+        return df.groupBy(group_key).applyInPandas(lambda pdf: func(pdf), schema)
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: func(pdf.drop(columns="__g")), schema)
+    )

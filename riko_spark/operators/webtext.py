@@ -1,0 +1,133 @@
+"""Webtext source/extract pipes over the canonical pages table.
+
+The reference's source pipes fetch URLs one at a time
+(riko/utils.py:517-560 ``Fetch``); at 10^12-document scale the
+equivalent is a table scan: pages already live in an Iceberg/parquet
+table with schema (url, warc_ts, html, text, lang) and the "fetch"
+pipes become projections/extractions over it.
+
+  fetch / fetchdata / fetchtext / fetchtable / csv →
+      ``spark.read`` wrappers (format by conf)
+  fetchpage → ``extract`` — the reference-parity HTML slice/detag over
+      the ``html`` column (riko/modules/fetchpage.py:103-139); the
+      byte-identical-per-url invariant lives here
+  feedautodiscovery → ``discover_feeds`` — explode RSS link hrefs
+      (riko/modules/feedautodiscovery.py:99-137, riko/autorss.py)
+  xpathfetchpage → gated on lxml availability (not in this container)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from riko_spark.functions.text import extract_text_udf, find_feed_links_udf
+from riko_spark.operators import register
+from riko_spark.operators.options import apply_scalar
+
+
+@register("fetch", sub_kind="source")
+def fetch_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
+    """Read a table/dataset; conf: {url, format?}.  file:// and bare
+    paths supported; http fetch is out of scope in-sandbox."""
+    spark = spark or SparkSession.getActiveSession()
+    url = conf["url"].removeprefix("file://")
+    fmt = conf.get("format", "parquet")
+    reader = spark.read
+    if fmt == "csv":
+        return reader.csv(url, header=bool(conf.get("has_header", True)),
+                          sep=conf.get("delimiter", ","))
+    if fmt == "json":
+        return reader.json(url)
+    if fmt == "text":
+        return reader.text(url)
+    return reader.parquet(url)
+
+
+@register("fetchdata", sub_kind="source")
+def fetchdata_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
+    """JSON fetch + descend ``path`` (riko/modules/fetchdata.py:92-130):
+    read json, explode the array at the dotted path."""
+    spark = spark or SparkSession.getActiveSession()
+    out = spark.read.option("multiLine", "true").json(conf["url"].removeprefix("file://"))
+    path = conf.get("path")
+    if path:
+        col = F.col(path)
+        dtype = out.select(col.alias("__x")).schema[0].dataType.simpleString()
+        if dtype.startswith("array"):
+            out = out.select(F.explode(col).alias("__row")).select("__row.*")
+        else:
+            out = out.select(F.col(f"{path}.*"))
+    return out
+
+
+@register("fetchtext", sub_kind="source")
+def fetchtext_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
+    """One item per stripped line (riko/modules/fetchtext.py:85-118)."""
+    spark = spark or SparkSession.getActiveSession()
+    out = spark.read.text(conf["url"].removeprefix("file://"))
+    return out.select(F.regexp_replace("value", r"^\s+|\s+$", "").alias("content"))
+
+
+@register("csv", sub_kind="source")
+def csv_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
+    spark = spark or SparkSession.getActiveSession()
+    reader = spark.read.option("header", str(bool(conf.get("has_header", True))).lower())
+    if conf.get("delimiter"):
+        reader = reader.option("sep", conf["delimiter"])
+    if conf.get("skip_rows"):
+        reader = reader.option("skipLines", int(conf["skip_rows"]))
+    return reader.csv(conf["url"].removeprefix("file://"))
+
+
+@register("fetchpage")
+@register("extract")
+def extract_op(
+    df: DataFrame, conf: dict | None = None, field: str = "html",
+    assign: str = "content", emit: bool = False, skip_if=None,
+) -> DataFrame:
+    """The fetchpage analog: slice html between ``start``/``end``
+    markers, optionally detag, strip — byte-identical per url to the
+    reference chain (riko/modules/fetchpage.py:45-53,103-139;
+    riko/parsers.py:113-174).  Arrow-batched pandas UDF."""
+    conf = conf or {}
+    udf = extract_text_udf(
+        start=conf.get("start", "<body>"),
+        end=conf.get("end", "</body>"),
+        detag=bool(conf.get("detag", True)),
+    )
+    return apply_scalar(df, udf(F.col(field)), assign=assign, emit=emit, skip_if=skip_if)
+
+
+@register("feedautodiscovery")
+def discover_feeds_op(
+    df: DataFrame, conf: dict | None = None, field: str = "html",
+    assign: str = "link", emit: bool = True,
+) -> DataFrame:
+    """Explode every RSS-ish link href found in the page
+    (riko/modules/feedautodiscovery.py:99-137)."""
+    exploded = df.withColumn(assign, F.explode(find_feed_links_udf(F.col(field))))
+    return exploded.select(assign) if emit else exploded
+
+
+@register("xpathfetchpage")
+def xpath_op(
+    df: DataFrame, conf: dict, field: str = "html",
+    assign: str = "content", emit: bool = True,
+) -> DataFrame:
+    """XPath extraction (riko/modules/xpathfetchpage.py:161-200).
+
+    Spark 4's native ``xpath`` expressions handle well-formed XML; for
+    messy HTML the reference uses lxml/html5lib which are not in this
+    container — that path raises with a clear message."""
+    xpath = conf["xpath"]
+    if conf.get("html5"):
+        try:
+            import lxml  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "html5/lxml xpath extraction requires lxml, not available in this container"
+            ) from None
+    col = F.col(field).cast("string")
+    exploded = df.withColumn(assign, F.explode(F.xpath(col, F.lit(xpath))))
+    return exploded.select(assign) if emit else exploded

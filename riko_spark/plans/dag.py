@@ -1,0 +1,159 @@
+"""JSON pipe-definition DAG → DataFrame plan compiler.
+
+Reproduces the reference's pipe-def execution model
+(riko/compile.py:612-644 ``parse_pipe_def``, :657 topological sort via
+riko/topsort.py:111, :647-681 ``build_pipeline``/``_gen_steps``):
+
+  * ``{"modules": [...], "wires": [...]}``; conf keys lower-cased and
+    ``{"type","value"}`` wrappers unwrapped at parse time
+  * wires targeting ``_INPUT`` define a module's main input; wires
+    targeting ``_OTHERn`` accumulate into ``others`` (union); any other
+    named target becomes a kwarg (``other`` for join)
+  * when ``wires`` are omitted, modules chain linearly in listed order
+    (riko/compile.py:579-609 ``convert_dag``)
+  * ``embed`` submodules (the ``loop`` pipe) apply a processor per row —
+    in Spark every processor is already per-row, so ``loop(embed=X)``
+    compiles to X applied with the loop-level fold options
+  * a terminal ``output`` module is a passthrough (riko/compile.py:523-526)
+
+The resulting "IR" stack: JSON DAG → operator list → unresolved logical
+plan → Catalyst analyzed/optimized → physical (Spark owns stage 3+).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from riko_spark.operators import get_operator  # noqa: F401  (registry warm-up)
+from riko_spark.plans.confs import normalize_conf
+from riko_spark.plans.flow import call_operator
+
+OPTION_KEYS = ("field", "assign", "emit", "skip_if", "count")
+
+
+class CyclicPipeError(ValueError):
+    """The wire graph has a cycle (riko/topsort.py SCC check)."""
+
+
+def topological_sort(graph: dict[str, list[str]]) -> list[str]:
+    """Kahn's algorithm; raises on cycles (riko/topsort.py:111)."""
+    indeg: dict[str, int] = {n: 0 for n in graph}
+    for outs in graph.values():
+        for t in outs:
+            indeg[t] = indeg.get(t, 0) + 1
+    queue = sorted(n for n, d in indeg.items() if d == 0)
+    order: list[str] = []
+    while queue:
+        n = queue.pop(0)
+        order.append(n)
+        for t in graph.get(n, []):
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                queue.append(t)
+    if len(order) != len(indeg):
+        raise CyclicPipeError("pipe graph contains a cycle")
+    return order
+
+
+def parse_pipe_def(pipe_def: dict, name: str = "pipeline") -> dict:
+    """Normalize a pipe def into {name, modules, graph, wires}."""
+    modules = {str(m["id"]): normalize_conf(m) for m in pipe_def["modules"]}
+    wires = list(pipe_def.get("wires") or [])
+    if not wires:  # linear chaining (convert_dag behavior)
+        ids = [str(m["id"]) for m in pipe_def["modules"]]
+        wires = [
+            {"src": {"moduleid": a}, "tgt": {"moduleid": b, "id": "_INPUT"}}
+            for a, b in zip(ids, ids[1:])
+        ]
+    graph: dict[str, list[str]] = {mid: [] for mid in modules}
+    for w in wires:
+        graph[str(w["src"]["moduleid"])].append(str(w["tgt"]["moduleid"]))
+    return {"name": name, "modules": modules, "graph": graph, "wires": wires}
+
+
+def build_pipeline(
+    spark: SparkSession,
+    pipe_def: dict,
+    sources: dict[str, DataFrame] | None = None,
+    inputs: dict | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Interpret a pipe def into a single DataFrame plan.
+
+    ``sources`` maps module ids (or a ``source`` conf name) to input
+    DataFrames — the sandbox stand-in for URL fetching.
+    ``inputs`` binds runtime parameters for ``input`` modules
+    (riko/modules/input.py:72-107).
+    """
+    parsed = parse_pipe_def(pipe_def)
+    modules, wires = parsed["modules"], parsed["wires"]
+    sources = sources or {}
+
+    main_input: dict[str, str] = {}
+    extra_inputs: dict[str, list[tuple[str, str]]] = {}
+    for w in wires:
+        src = str(w["src"]["moduleid"])
+        tgt = str(w["tgt"]["moduleid"])
+        tgt_id = str(w["tgt"].get("id", "_INPUT"))
+        if tgt_id == "_INPUT":
+            main_input[tgt] = src
+        else:
+            extra_inputs.setdefault(tgt, []).append((tgt_id, src))
+
+    results: dict[str, Any] = {}
+    for mid in topological_sort(parsed["graph"]):
+        mod = modules[mid]
+        mtype = mod.get("type") or mod.get("module")
+        conf = dict(mod.get("conf") or {})
+        if mtype == "output":  # terminal passthrough
+            results[mid] = results[main_input[mid]]
+            continue
+        if mtype == "input":
+            from riko_spark.operators.structure import bind_input
+
+            results[mid] = bind_input(conf, inputs)
+            continue
+
+        df = results.get(main_input.get(mid)) if mid in main_input else None
+        if df is None:
+            df = sources.get(mid) or sources.get(str(conf.get("source", "")))
+
+        kwargs: dict[str, Any] = {"spark": spark, "order_by": order_by}
+        others: list[DataFrame] = []
+        for tgt_id, src in sorted(extra_inputs.get(mid, [])):
+            if tgt_id.startswith("_OTHER"):
+                others.append(results[src])
+            else:
+                kwargs[tgt_id] = results[src]
+        if others:
+            kwargs["others"] = others
+
+        # option-layer keys may ride in the conf (riko module kwargs)
+        for opt in OPTION_KEYS:
+            if opt in conf:
+                kwargs[opt] = conf.pop(opt)
+
+        if mtype == "loop":
+            # loop(embed=X): apply the embedded processor per row with
+            # the loop-level fold options (riko/modules/loop.py)
+            embed = mod["conf"]["embed"] if "embed" in (mod.get("conf") or {}) else mod["embed"]
+            embed = normalize_conf(embed)
+            etype = embed.get("type") or embed.get("module")
+            econf = dict(embed.get("conf") or {})
+            results[mid] = call_operator(etype, df, econf, **kwargs)
+            continue
+        if mtype == "split":
+            conf.setdefault("splits", len([w for w in wires if str(w["src"]["moduleid"]) == mid]) or 2)
+
+        results[mid] = call_operator(mtype, df, conf, **kwargs)
+
+    # result = last module in topo order that produced a DataFrame
+    last = None
+    for mid in topological_sort(parsed["graph"]):
+        if isinstance(results.get(mid), DataFrame):
+            last = results[mid]
+    if last is None:
+        raise ValueError("pipeline produced no DataFrame")
+    return last

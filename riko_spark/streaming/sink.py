@@ -1,0 +1,105 @@
+"""Exactly-once sink: idempotent keyed MERGE via ``foreachBatch``.
+
+Design (SURVEY.md §7.4): state lives in Spark's checkpointed state
+store; the sink is made idempotent by MERGE-on-key so a replayed
+micro-batch (after failure/restart) upserts the same rows — replay
+⇒ same final table, i.e. exactly-once *effect* on top of Spark's
+at-least-once ``foreachBatch``.
+
+Production target is Iceberg ``MERGE INTO`` on a table partitioned by
+``days(warc_ts), bucket(64, url)``; this container has no Iceberg
+catalog jars, so the same contract is implemented over parquet with an
+atomic directory swap (write-new → rename), behind one interface.
+The MERGE key and the swap protocol are identical — swapping in the
+Iceberg implementation changes only ``_merge_batch``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class UpsertSink:
+    """foreachBatch handler: MERGE micro-batch rows into a keyed table.
+
+    Latest-wins per key (ties broken by batch id), so replaying a batch
+    is a no-op — the exactly-once contract the north rule requires.
+    """
+
+    def __init__(self, path: str, keys: list[str], order_col: str | None = None):
+        self.path = path
+        self.keys = keys
+        self.order_col = order_col  # optional recency column for latest-wins
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self._data_dir):
+            return None
+        return spark.read.parquet(self._data_dir)
+
+    def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new = batch.withColumn("__batch_id", F.lit(batch_id))
+        current = self.read(spark)
+        if current is not None:
+            merged = current.unionByName(new, allowMissingColumns=True)
+        else:
+            merged = new
+        # latest-wins per key: highest (order_col, batch_id) survives —
+        # idempotent under replay of the same batch
+        order = ([F.col(self.order_col).desc_nulls_last()] if self.order_col else []) + [
+            F.col("__batch_id").desc()
+        ]
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.keys).orderBy(*order)
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        deduped.write.mode("overwrite").parquet(tmp)
+        old = self._data_dir
+        back = os.path.join(self.path, f"_old_{uuid.uuid4().hex}")
+        if os.path.exists(old):
+            os.rename(old, back)
+        os.rename(tmp, old)
+        if os.path.exists(back):
+            shutil.rmtree(back, ignore_errors=True)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        self._merge_batch(batch, batch_id)
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        df = self.read(spark)
+        if df is None:
+            raise FileNotFoundError(f"sink {self.path} has no data yet")
+        return df.drop("__batch_id")
+
+
+def write_stream_upsert(
+    df: DataFrame,
+    sink: UpsertSink,
+    checkpoint: str,
+    output_mode: str = "update",
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query writing through the idempotent sink."""
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

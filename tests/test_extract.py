@@ -1,0 +1,82 @@
+"""Byte-identity invariant: the distributed pandas-UDF extraction must
+equal the reference extraction per url, byte for byte (BASELINE.json
+``input_hint``)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from riko_spark.plans.flow import Flow
+from riko_spark.sources.pages import generate_pages, pages_fixture
+from riko_spark.textref import extract_text, find_links, get_string, get_text
+
+
+def test_get_string_reference_semantics():
+    # mirrors riko/modules/fetchpage.py:45-53 quirks
+    assert get_string("a<t>X</t>b", "<t>", "</t>") == "X"
+    assert get_string("abcdef", "", "") == "abcdef"
+    assert get_string("a<t>tail", "<t>", "</t>") == "tail"  # missing end
+
+
+def test_get_text_detag_and_entity_drop():
+    html = "<p>one &amp; two</p><a href='x'>three</a>"
+    # each text node followed by \n; entity refs dropped (convert_charrefs=False)
+    assert get_text(html) == "one \n two\nthree\n"
+
+
+def test_extract_strip_and_token():
+    html = b"<html><body> a<br/>b </body></html>"
+    assert extract_text(html) == ["a\nb"]
+    # reference split keeps the trailing empty piece (strip of ' \n' tail)
+    assert extract_text(html, token="\n") == ["a", "b", ""]
+
+
+def test_find_links_rss_only():
+    html = (
+        '<link rel="alternate" type="application/rss+xml" href="https://x/f.xml"/>'
+        '<a href="https://y/page">z</a>'
+    )
+    assert find_links(html) == ["https://x/f.xml"]
+    assert find_links(html, rss_only=False) == ["https://x/f.xml", "https://y/page"]
+
+
+def test_pages_generator_deterministic():
+    a = generate_pages(50, seed=7)
+    b = generate_pages(50, seed=7)
+    assert a.equals(b)
+    assert a.column_names == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_extract_byte_identity(spark):
+    """Distributed extraction == single-node reference, per url."""
+    path = pages_fixture(n=500)
+    df = spark.read.parquet(path)
+    extracted = Flow(df).extract(None, field="html", assign="extracted").df
+    got = {
+        r["url"]: (r["extracted"], r["text"])
+        for r in extracted.select("url", "extracted", "text").collect()
+    }
+    assert len(got) == 500
+    for url, (ext, truth) in got.items():
+        assert ext == truth, f"extraction diverged for {url}"
+    # hash-level check (bytes, not just str equality)
+    h = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    assert all(h(e) == h(t) for e, t in got.values())
+
+
+def test_extract_plan_is_single_stage(spark):
+    """The extract op must not introduce a shuffle."""
+    path = pages_fixture(n=500)
+    df = spark.read.parquet(path)
+    plan = Flow(df).extract(None).df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_feed_discovery(spark):
+    path = pages_fixture(n=100)
+    df = spark.read.parquet(path)
+    links = Flow(df).feedautodiscovery(None).df
+    got = [r["link"] for r in links.collect()]
+    assert len(got) == 100  # one RSS link per generated page
+    assert all(l.endswith(".xml") for l in got)

@@ -1,0 +1,167 @@
+"""Structured-Streaming layer tests: stream≡batch parity, watermark
+dedupe, stream-stream join, exactly-once restart-from-checkpoint."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from riko_spark.sources.pages import pages_fixture
+from riko_spark.streaming.dedupe import dedupe_within_watermark
+from riko_spark.streaming.joins import stream_stream_join
+from riko_spark.streaming.metrics import LineageListener
+from riko_spark.streaming.sink import UpsertSink, write_stream_upsert
+from riko_spark.streaming.windows import session_agg, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def pages_path():
+    return pages_fixture(n=1_000)
+
+
+def _read_stream(spark, path, max_files=4):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def _bag(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_batch_parity_tumbling(spark, tmp_path, pages_path):
+    """The same windowed pipe graph gives identical results on a batch
+    frame and on a stream drained with availableNow (watermark fixed)."""
+    batch = spark.read.parquet(pages_path)
+    expected = tumbling_agg(batch, window="10 minutes", keys=["lang"])
+
+    stream = _read_stream(spark, pages_path)
+    agg = tumbling_agg(stream, window="10 minutes", watermark="30 seconds", keys=["lang"])
+    sink = UpsertSink(str(tmp_path / "sink"), keys=["window_start", "lang"])
+    q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sink.result(spark)
+    assert _bag(got) == _bag(expected)
+
+
+def test_exactly_once_restart_from_checkpoint(spark, tmp_path, pages_path):
+    """Kill the query mid-input, restart from checkpoint: final sink
+    rows identical to a one-shot run (idempotent MERGE)."""
+    batch = spark.read.parquet(pages_path)
+    expected = tumbling_agg(batch, window="10 minutes", keys=["lang"])
+
+    sink = UpsertSink(str(tmp_path / "sink"), keys=["window_start", "lang"])
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: process one file per trigger, stop after the first batch
+    stream = _read_stream(spark, pages_path, max_files=1)
+    agg = tumbling_agg(stream, window="10 minutes", watermark="30 seconds", keys=["lang"])
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    while not q.recentProgress:
+        q.awaitTermination(1)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: restart from the same checkpoint, drain everything
+    stream2 = _read_stream(spark, pages_path, max_files=1)
+    agg2 = tumbling_agg(stream2, window="10 minutes", watermark="30 seconds", keys=["lang"])
+    q2 = write_stream_upsert(agg2, sink, ckpt)
+    q2.awaitTermination(180)
+
+    got = sink.result(spark)
+    assert _bag(got) == _bag(expected)
+
+
+def test_sink_replay_idempotent(spark, tmp_path):
+    """Replaying the same micro-batch is a no-op (exactly-once effect)."""
+    sink = UpsertSink(str(tmp_path / "sink"), keys=["k"])
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    sink(batch, 0)
+    sink(batch, 0)  # replay
+    got = {r["k"]: r["v"] for r in sink.result(spark).collect()}
+    assert got == {"a": 1, "b": 2}
+    # a later batch updates the key (latest wins)
+    sink(spark.createDataFrame([("a", 9)], "k string, v long"), 1)
+    got = {r["k"]: r["v"] for r in sink.result(spark).collect()}
+    assert got == {"a": 9, "b": 2}
+
+
+def test_dedupe_within_watermark(spark, tmp_path, pages_path):
+    """Streaming uniq: duplicated input deduped back to one row per url
+    within the watermark (riko uniq analog, principled version)."""
+    base = spark.read.parquet(pages_path).select("url", "warc_ts").limit(200)
+    dup_path = str(tmp_path / "dup")
+    base.unionAll(base).repartition(4).write.parquet(dup_path)
+
+    stream = _read_stream(spark, dup_path)
+    deduped = dedupe_within_watermark(stream, ["url"], delay="1 hour")
+    sink = UpsertSink(str(tmp_path / "sink"), keys=["url"])
+    q = write_stream_upsert(deduped, sink, str(tmp_path / "ckpt"), output_mode="append")
+    q.awaitTermination(120)
+    assert sink.result(spark).count() == 200
+
+
+def test_stream_stream_join(spark, tmp_path, pages_path):
+    """Stream-stream inner join on url within an event-time band
+    reproduces the batch join row count."""
+    pages = spark.read.parquet(pages_path).limit(300).cache()
+    left_b = pages.select("url", "warc_ts", "lang")
+    right_b = pages.select(F.col("url"), F.col("warc_ts"), F.length("text").alias("n"))
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left_b.write.parquet(lp)
+    right_b.write.parquet(rp)
+
+    expected = left_b.join(right_b.withColumnRenamed("warc_ts", "rts"), "url").count()
+
+    ls, rs = _read_stream(spark, lp), _read_stream(spark, rp)
+    joined = stream_stream_join(ls, rs, "url", watermark="1 hour", within="1 hour")
+    sink_rows = []
+
+    def collect_batch(b, _id):
+        sink_rows.extend(b.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sink_rows) == expected
+
+
+def test_session_window_batch(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    sess = session_agg(df, gap="2 minutes", keys=["lang"])
+    assert sess.count() > 0
+    cols = set(sess.columns)
+    assert {"session_start", "session_end", "lang", "n_docs"} <= cols
+
+
+def test_lineage_listener(spark, tmp_path, pages_path):
+    listener = LineageListener(out_dir=str(tmp_path / "lineage"))
+    spark.streams.addListener(listener)
+    try:
+        stream = _read_stream(spark, pages_path)
+        agg = tumbling_agg(stream, keys=["lang"])
+        sink = UpsertSink(str(tmp_path / "sink"), keys=["window_start", "lang"])
+        q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        spark.streams.resetTerminated()
+    finally:
+        spark.streams.removeListener(listener)
+    progress = [r for r in listener.records if r["event"] == "progress"]
+    assert progress, "no progress events captured"
+    assert all("sources" in p and p["sources"] for p in progress)
+    assert any(p["num_input_rows"] > 0 for p in progress)
+    assert os.listdir(str(tmp_path / "lineage"))
