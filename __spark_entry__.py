@@ -497,7 +497,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sum_group": """
             SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'None') AS l_returnflag,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sum_qty
+                   -- varchar route + DECIMAL(18,6): DuckDB keeps the sum
+                   -- in exact decimal (38,18 would overflow to double)
+                   CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY 1
         """,
         "union": """

@@ -1,0 +1,218 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "stream": {...}, "scaling": {...}}
+
+``--scaling`` additionally runs the flagship pipe graph at two
+parallelism levels (local[8] vs local[32]) on the same input — the
+sandbox realization of the N-vs-4N-executor criterion — and reports
+throughput at both plus efficiency = (T_4N/T_N)/4.
+
+``--rows N`` sets the synthetic pages row count (default 100k).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _pages_pipe_graph(spark, path):
+    """The headline riko pipe graph over the web-pages table:
+    extract(html) -> filter(lang) -> regex -> tokenizer -> windowed count."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.plans.flow import Flow
+    from riko_spark.streaming.windows import tumbling_agg
+
+    df = spark.read.parquet(path)
+    f = (
+        Flow(df)
+        .extract(None, field="html", assign="content")
+        .filter({"rule": [{"field": "lang", "op": "isnot", "value": "fr"}]})
+        .regex({"rule": [{"field": "content", "match": r"\r\n|\n", "replace": " "}]})
+    )
+    toks = f.tokenizer({"delimiter": " ", "token_key": "token"}, field="content", emit=False)
+    domain = F.parse_url(F.col("url"), F.lit("HOST"))
+    counted = tumbling_agg(
+        toks.df.withColumn("domain", domain),
+        ts_col="warc_ts", window="10 minutes", watermark=None,
+        keys=["domain"], aggs={"n_tokens": "count"},
+    )
+    return counted
+
+
+def _timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def headline_queries(spark, sf_dir):
+    """Representative operator benchmarks over the sf tables."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as em
+
+    def run(name):
+        q = em.queries()[name]
+        return lambda: q(spark, sf_dir).count()
+
+    def wordcount():
+        return em.q_tokenizer_wordcount(spark, sf_dir).count()
+
+    def join_agg():
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"), F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    return {
+        "wordcount": wordcount,
+        "sort_truncate": run("sort_truncate"),
+        "join_agg": join_agg,
+        "uniq_first_seen": run("uniq"),
+        "windowed_count": run("windowed_count"),
+        "session_windows": run("session_windows"),
+        "minhash_lsh": run("minhash_lsh"),
+        "ann_bruteforce": run("ann_bruteforce"),
+        "exact_dedupe": run("exact_dedupe"),
+        "quality_stats": run("quality"),
+    }
+
+
+def bench_stream(spark, path, tmp):
+    """Streaming pipe graph: availableNow drain through the exactly-once
+    sink; returns docs/sec and mean per-batch latency."""
+    from riko_spark.streaming.metrics import LineageListener
+    from riko_spark.streaming.sink import UpsertSink, write_stream_upsert
+    from riko_spark.streaming.windows import tumbling_agg
+
+    import pyspark.sql.functions as F
+    from riko_spark.plans.flow import Flow
+
+    schema = spark.read.parquet(path).schema
+    n_docs = spark.read.parquet(path).count()
+    listener = LineageListener()
+    spark.streams.addListener(listener)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+    f = Flow(stream).extract(None, field="html", assign="content")
+    agg = tumbling_agg(
+        f.df.withColumn("domain", F.parse_url(F.col("url"), F.lit("HOST"))),
+        ts_col="warc_ts", window="10 minutes", watermark="30 seconds",
+        keys=["domain"], aggs={"n": "count"},
+    )
+    sink = UpsertSink(os.path.join(tmp, "sink"), keys=["window_start", "domain"])
+    t0 = time.time()
+    q = write_stream_upsert(agg, sink, os.path.join(tmp, "ckpt"))
+    q.awaitTermination(600)
+    wall = time.time() - t0
+    spark.streams.removeListener(listener)
+    prog = [r for r in listener.records if r["event"] == "progress" and r["num_input_rows"]]
+    lat = [r["batch_duration_ms"] for r in prog]
+    return {
+        "docs_per_sec": round(n_docs / wall, 1),
+        "wall_sec": round(wall, 2),
+        "batches": len(prog),
+        "mean_batch_latency_ms": round(sum(lat) / len(lat), 1) if lat else None,
+        "max_batch_latency_ms": max(lat) if lat else None,
+    }
+
+
+def bench_scaling(path, rows):
+    """Same batch pipe graph at local[8] vs local[32]; shuffle width
+    scaled with cores.  Efficiency = (T8_wall / T32_wall) / 4."""
+    from riko_spark.session import get_spark
+
+    results = {}
+    for cores in (8, 32):
+        spark = get_spark(
+            app_name=f"bench-scale-{cores}", master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        # warm-up (JIT, parquet footer cache)
+        _pages_pipe_graph(spark, path).count()
+        wall, _ = _timed(lambda: _pages_pipe_graph(spark, path).count())
+        results[f"local[{cores}]"] = {
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(rows / wall, 1),
+        }
+        spark.stop()
+    t8 = results["local[8]"]["docs_per_sec"]
+    t32 = results["local[32]"]["docs_per_sec"]
+    results["scaling_efficiency_8_to_32"] = round((t32 / t8) / 4, 3)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skip-stream", action="store_true")
+    args = ap.parse_args()
+
+    from riko_spark.session import get_spark
+    from riko_spark.sources.pages import pages_fixture
+
+    pages_path = pages_fixture(n=args.rows)
+
+    spark = get_spark(app_name="riko_spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    out = {
+        "metric": "end-to-end pipe-graph throughput (docs/sec) and "
+                  "windowed-aggregate latency on synthetic webtext stream",
+        "unit": "sec",
+        "sf": SF_DIR,
+        "pages_rows": args.rows,
+        "cpus": CPUS,
+        "queries": {},
+    }
+
+    # batch pipe-graph throughput
+    spark.read.parquet(pages_path).count()  # warm
+    wall, _ = _timed(lambda: _pages_pipe_graph(spark, pages_path).count())
+    out["queries"]["pipe_graph_batch"] = round(wall, 3)
+    out["docs_per_sec"] = round(args.rows / wall, 1)
+
+    for name, fn in headline_queries(spark, SF_DIR).items():
+        try:
+            t, _ = _timed(fn)
+            out["queries"][name] = round(t, 3)
+        except Exception as e:  # noqa: BLE001
+            out["queries"][name] = f"ERROR: {type(e).__name__}"
+
+    if not args.skip_stream:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            out["stream"] = bench_stream(spark, pages_path, tmp)
+    spark.stop()
+
+    if args.scaling:
+        out["scaling"] = bench_scaling(pages_path, args.rows)
+
+    out["value"] = round(sum(v for v in out["queries"].values() if isinstance(v, float)), 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
