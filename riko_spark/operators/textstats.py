@@ -108,7 +108,7 @@ def fingerprint_op(df: DataFrame, conf: dict | None = None, field: str = "text",
     minimum xxhash64 over word 5-gram shingles, a 1-permutation MinHash
     usable as a cheap near-dup prefilter (rolling-hash style)."""
     text = F.col(field)
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     toks = words_col(text)
     n = F.size(toks)
     shingles = F.when(

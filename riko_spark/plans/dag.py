@@ -22,11 +22,12 @@ plan → Catalyst analyzed/optimized → physical (Spark owns stage 3+).
 
 from __future__ import annotations
 
+import inspect
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from riko_spark.operators import get_operator  # noqa: F401  (registry warm-up)
+from riko_spark.operators import UnsupportedModuleError, get_operator
 from riko_spark.plans.confs import normalize_conf
 from riko_spark.plans.flow import call_operator
 
@@ -117,7 +118,9 @@ def build_pipeline(
             continue
 
         df = results.get(main_input.get(mid)) if mid in main_input else None
-        if df is None:
+        if not isinstance(df, DataFrame):
+            # upstream produced a plan-time literal (input module) or
+            # nothing — fall back to an explicitly provided source
             df = sources.get(mid) or sources.get(str(conf.get("source", "")))
 
         kwargs: dict[str, Any] = {"spark": spark, "order_by": order_by}
@@ -130,9 +133,15 @@ def build_pipeline(
         if others:
             kwargs["others"] = others
 
-        # option-layer keys may ride in the conf (riko module kwargs)
+        # option-layer keys may ride in the conf (riko module kwargs);
+        # only lift the ones this operator's signature accepts — e.g.
+        # truncate's conf 'count' is NOT the option-layer 'count'
+        try:
+            params = inspect.signature(get_operator(mtype)).parameters
+        except UnsupportedModuleError:
+            params = {}
         for opt in OPTION_KEYS:
-            if opt in conf:
+            if opt in conf and opt in params:
                 kwargs[opt] = conf.pop(opt)
 
         if mtype == "loop":

@@ -1,0 +1,121 @@
+"""JSON pipe-definition DAG compiler tests (riko/compile.py behavior)."""
+
+import pytest
+
+from riko_spark.operators import UnsupportedModuleError
+from riko_spark.plans.dag import CyclicPipeError, build_pipeline, parse_pipe_def, topological_sort
+from riko_spark.plans.confs import cast_literal, normalize_conf
+
+
+def test_topological_sort_cycle():
+    with pytest.raises(CyclicPipeError):
+        topological_sort({"a": ["b"], "b": ["a"]})
+
+
+def test_parse_linear_chaining_when_wires_omitted():
+    pd = parse_pipe_def({"modules": [{"id": 1, "type": "a"}, {"id": 2, "type": "b"}]})
+    assert pd["wires"][0]["src"]["moduleid"] == "1"
+    assert pd["wires"][0]["tgt"]["moduleid"] == "2"
+
+
+def test_normalize_conf_type_value_unwrap():
+    # riko/dotdict.py:375-376 doctest
+    conf = {"start": 0, "count": {"type": "int", "value": "5"}}
+    assert normalize_conf(conf) == {"start": 0, "count": 5}
+
+
+def test_cast_literal_defaults():
+    assert cast_literal("bad", "int") == 0
+    assert cast_literal("7", "int") == 7
+    assert cast_literal(None, "text") == ""
+
+
+def test_build_linear_pipeline(spark):
+    df = spark.createDataFrame(
+        [{"title": f"t{i}", "x": i, "event_seq": i} for i in range(10)]
+    )
+    pipe_def = {
+        "modules": [
+            {"id": "src", "type": "filter",
+             "conf": {"rule": [{"field": "x", "op": "atleast", "value": 5}]}},
+            {"id": "trunc", "type": "truncate", "conf": {"count": 3}},
+            {"id": "out", "type": "output"},
+        ],
+    }
+    out = build_pipeline(spark, pipe_def, sources={"src": df}, order_by=["event_seq"])
+    assert [r["x"] for r in out.collect()] == [5, 6, 7]
+
+
+def test_build_union_wire_others(spark):
+    a = spark.createDataFrame([{"x": 1}])
+    b = spark.createDataFrame([{"x": 2}])
+    pipe_def = {
+        "modules": [
+            {"id": "a", "type": "filter", "conf": {}},
+            {"id": "b", "type": "filter", "conf": {}},
+            {"id": "u", "type": "union", "conf": {}},
+        ],
+        "wires": [
+            {"src": {"moduleid": "a"}, "tgt": {"moduleid": "u", "id": "_INPUT"}},
+            {"src": {"moduleid": "b"}, "tgt": {"moduleid": "u", "id": "_OTHER1"}},
+        ],
+    }
+    out = build_pipeline(spark, pipe_def, sources={"a": a, "b": b})
+    assert sorted(r["x"] for r in out.collect()) == [1, 2]
+
+
+def test_build_join_wire_named_other(spark):
+    left = spark.createDataFrame([{"k": "a", "v": 1}])
+    right = spark.createDataFrame([{"k2": "a", "w": 9}])
+    pipe_def = {
+        "modules": [
+            {"id": "l", "type": "filter", "conf": {}},
+            {"id": "r", "type": "filter", "conf": {}},
+            {"id": "j", "type": "join", "conf": {"join_key": "k", "other_join_key": "k2"}},
+        ],
+        "wires": [
+            {"src": {"moduleid": "l"}, "tgt": {"moduleid": "j", "id": "_INPUT"}},
+            {"src": {"moduleid": "r"}, "tgt": {"moduleid": "j", "id": "other"}},
+        ],
+    }
+    out = build_pipeline(spark, pipe_def, sources={"l": left, "r": right})
+    got = out.collect()
+    assert len(got) == 1 and got[0]["w"] == 9
+
+
+def test_build_loop_embed(spark):
+    # loop(embed=strtransform) applies the embedded processor per row
+    df = spark.createDataFrame([{"content": "hello"}])
+    pipe_def = {
+        "modules": [
+            {"id": "s", "type": "filter", "conf": {}},
+            {"id": "lp", "type": "loop",
+             "embed": {"type": "strtransform",
+                       "conf": {"rule": [{"transform": "upper"}]}}},
+        ],
+    }
+    out = build_pipeline(spark, pipe_def, sources={"s": df})
+    assert out.collect()[0]["strtransform"] == "HELLO"
+
+
+def test_unknown_module_raises(spark):
+    df = spark.createDataFrame([{"x": 1}])
+    pipe_def = {"modules": [{"id": "s", "type": "nosuchpipe", "conf": {}}]}
+    with pytest.raises(UnsupportedModuleError):
+        build_pipeline(spark, pipe_def, sources={"s": df})
+
+
+def test_input_module_binding(spark):
+    df = spark.createDataFrame([{"x": i, "event_seq": i} for i in range(10)])
+    pipe_def = {
+        "modules": [
+            {"id": "n", "type": "input",
+             "conf": {"input_key": "threshold", "type": "int", "default": "3"}},
+            {"id": "s", "type": "filter",
+             "conf": {"rule": [{"field": "x", "op": "atleast",
+                                "value": {"type": "int", "value": "5"}}]}},
+        ],
+        "wires": [],
+    }
+    out = build_pipeline(spark, pipe_def, sources={"s": df})
+    assert sorted(r["x"] for r in out.collect()) == [5, 6, 7, 8, 9]

@@ -1,0 +1,121 @@
+"""Dedupe / similarity / textstats / multimodal operator tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from riko_spark.operators.dedupe import (
+    embedding_neardup_op,
+    exact_dedupe_op,
+    minhash_lsh_op,
+    ngram_jaccard_pairs,
+    simhash_neardup_op,
+    simhash_op,
+)
+from riko_spark.operators.multimodal import frame_sample_op, image_features_op, media_metadata_op
+from riko_spark.operators.similarity import ann_bruteforce_op, ann_lsh_op
+from riko_spark.operators.textstats import lang_id_op, quality_score_op, token_count_op
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup
+        (3, "completely different text about spark shuffle partitions and joins ok"),
+        (4, "der hund und die katze ist nicht da und der vogel ist weg"),
+        (5, "  THE   QUICK brown fox jumps over the lazy dog near the river bank today "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedupe(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedupe_op(docs).collect())
+    # 0==1 exactly; 5 differs only by case/whitespace (normalized dup)
+    assert kept == [0, 2, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = minhash_lsh_op(docs, {"num_hashes": 32, "bands": 16, "jaccard_threshold": 0.5})
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    assert (0, 1) in got  # identical docs always collide
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "left_id long, right_id long")
+    got = {(r["left_id"], r["right_id"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, pairs).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 3)] == 0.0
+
+
+def test_simhash_near_dups_low_hamming(docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash_op(docs).collect()}
+    assert h[0] == h[1]
+    pairs = simhash_neardup_op(docs, {"prefix_bits": 8})
+    got = {(r["left_id"], r["right_id"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+
+
+def test_embedding_neardup_and_ann(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype("float32")
+    vecs = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.standard_normal(16).astype("float32")).tolist()),
+        (2, rng.standard_normal(16).astype("float32").tolist()),
+        (3, (-base).tolist()),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    near = embedding_neardup_op(df, {"planes": 8, "cosine_threshold": 0.95})
+    got = {(r["left_id"], r["right_id"]) for r in near.collect()}
+    assert (0, 1) in got and len(got) == 1
+
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = ann_bruteforce_op(df, {"k": 3}, queries=queries).collect()
+    ranked = [r["vec_id"] for r in sorted(topk, key=lambda r: r["rank"])]
+    assert ranked[0] == 0 and ranked[1] == 1  # self then near-dup
+
+    lsh = ann_lsh_op(df, {"k": 3, "planes": 6, "probes": 1}, queries=queries).collect()
+    lsh_ranked = [r["vec_id"] for r in sorted(lsh, key=lambda r: r["rank"])]
+    assert lsh_ranked[0] == 0  # self always in home bucket
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id_op(docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+
+
+def test_token_count_and_quality(docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count_op(docs).collect()}
+    assert tc[0] == 14
+    q = {r["doc_id"]: r["quality"] for r in quality_score_op(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_media_metadata_and_features(spark):
+    rows = [
+        (0, b"\x89PNG\r\n123456789"),
+        (1, b"\xff\xd8\xff\xe0JFIFxxxx"),
+        (2, b"plain bytes here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    meta = {r["id"]: r["media_type"] for r in media_metadata_op(df).collect()}
+    assert meta[0] == "image/png" and meta[1] == "image/jpeg"
+    assert meta[2] == "application/octet-stream"
+
+    feats = image_features_op(df).collect()
+    assert len(feats) == 3
+    assert all(len(r["feature"]) == 16 for r in feats)
+
+    frames = frame_sample_op(df, {"every": 2, "max_frames": 3}).collect()
+    assert {r["id"] for r in frames} == {0, 1, 2}
+    assert all(isinstance(r["frame"], (bytes, bytearray)) for r in frames)
