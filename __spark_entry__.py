@@ -310,7 +310,9 @@ def q_embedding_neardup(spark, sf):
     e = _t(spark, sf, "embeddings")
     from riko_spark.operators.dedupe import embedding_neardup_op
 
-    return embedding_neardup_op(e, {"planes": 10, "cosine_threshold": 0.95})
+    # the synthetic embeddings have no true near-dups (max pair cosine
+    # ≈0.51), so use a demonstrative threshold that yields candidates
+    return embedding_neardup_op(e, {"planes": 6, "cosine_threshold": 0.35})
 
 
 def q_ann_bruteforce(spark, sf):
@@ -617,6 +619,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'fragment', regexp_extract(url, '#(.*)$', 1) FROM u
         """,
         "itembuilder": "SELECT 'region' AS title, r_name AS name FROM region",
+        "ann_bruteforce": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos
+                FROM e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+        """,
         "windowed_count": """
             SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
             FROM events GROUP BY 1, 2

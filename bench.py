@@ -138,28 +138,75 @@ def bench_stream(spark, path, tmp):
     }
 
 
-def bench_scaling(path, rows):
-    """Same batch pipe graph at local[8] vs local[32]; shuffle width
-    scaled with cores.  Efficiency = (T8_wall / T32_wall) / 4."""
+def _scale_leg(path, cores: int, multiplier: int) -> float:
+    """One scaling leg: run the pipe graph on local[cores]; print the
+    best-of-3 steady-state wall seconds (warm-up absorbs Python-worker
+    spawn + JIT; min defends against the sandbox VM's sporadic
+    multi-second CPU stalls)."""
     from riko_spark.session import get_spark
 
-    results = {}
-    for cores in (8, 32):
-        spark = get_spark(
-            app_name=f"bench-scale-{cores}", master=f"local[{cores}]",
-            shuffle_partitions=cores,
+    def graph(spark):
+        import pyspark.sql.functions as F
+
+        from riko_spark.plans.flow import Flow
+        from riko_spark.streaming.windows import tumbling_agg
+
+        df = spark.read.parquet(*([path] * multiplier))
+        f = (
+            Flow(df)
+            .extract(None, field="html", assign="content")
+            .filter({"rule": [{"field": "lang", "op": "isnot", "value": "fr"}]})
+            .regex({"rule": [{"field": "content", "match": r"\r\n|\n", "replace": " "}]})
         )
-        # warm-up (JIT, parquet footer cache)
-        _pages_pipe_graph(spark, path).count()
-        wall, _ = _timed(lambda: _pages_pipe_graph(spark, path).count())
-        results[f"local[{cores}]"] = {
+        toks = f.tokenizer({"delimiter": " ", "token_key": "token"}, field="content", emit=False)
+        return tumbling_agg(
+            toks.df.withColumn("domain", F.parse_url(F.col("url"), F.lit("HOST"))),
+            ts_col="warc_ts", window="10 minutes", watermark=None,
+            keys=["domain"], aggs={"n_tokens": "count"},
+        )
+
+    spark = get_spark(
+        app_name=f"bench-scale-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    graph(spark).count()
+    wall = min(_timed(lambda: graph(spark).count())[0] for _ in range(5))
+    spark.stop()
+    return wall
+
+
+def bench_scaling(path, rows, multiplier: int = 8):
+    """N vs 4N scaling (BASELINE.md criterion), sandbox realization:
+    the same pipe graph on local[8] **pinned to 8 physical CPUs via
+    taskset** vs local[32] on all 32.  Without pinning, the local[8]
+    leg's 8 task threads + 8 Python UDF workers luxuriate across all
+    32 physical cores (JVM+Python demand ≈ 2x task width) and the
+    comparison understates true cluster scaling.
+    Efficiency = (throughput_32 / throughput_8) / 4.
+    """
+    import subprocess
+
+    total = rows * multiplier
+    results = {}
+    for cores, pin in ((8, "0-7"), (32, None)):
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--_scale-leg", str(cores), "--rows", str(rows),
+            "--pages-path", path, "--multiplier", str(multiplier),
+        ]
+        if pin:
+            cmd = ["taskset", "-c", pin] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+        wall = float(out.stdout.strip().splitlines()[-1])
+        results[f"local[{cores}]" + (f" (cpus {pin})" if pin else "")] = {
             "wall_sec": round(wall, 2),
-            "docs_per_sec": round(rows / wall, 1),
+            "docs_per_sec": round(total / wall, 1),
         }
-        spark.stop()
-    t8 = results["local[8]"]["docs_per_sec"]
-    t32 = results["local[32]"]["docs_per_sec"]
-    results["scaling_efficiency_8_to_32"] = round((t32 / t8) / 4, 3)
+        results[f"_wall_{cores}"] = wall
+    eff = (results["_wall_8"] / results["_wall_32"]) / 4
+    del results["_wall_8"], results["_wall_32"]
+    results["rows_total"] = total
+    results["scaling_efficiency_8_to_32"] = round(eff, 3)
     return results
 
 
@@ -168,10 +215,17 @@ def main():
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skip-stream", action="store_true")
+    ap.add_argument("--_scale-leg", dest="scale_leg", type=int, default=None)
+    ap.add_argument("--pages-path", default=None)
+    ap.add_argument("--multiplier", type=int, default=8)
     args = ap.parse_args()
 
     from riko_spark.session import get_spark
     from riko_spark.sources.pages import pages_fixture
+
+    if args.scale_leg:  # internal: one pinned scaling leg, prints wall sec
+        print(_scale_leg(args.pages_path, args.scale_leg, args.multiplier))
+        return
 
     pages_path = pages_fixture(n=args.rows)
 
@@ -195,6 +249,7 @@ def main():
 
     for name, fn in headline_queries(spark, SF_DIR).items():
         try:
+            fn()  # warm (JIT/codegen); record the steady-state run
             t, _ = _timed(fn)
             out["queries"][name] = round(t, 3)
         except Exception as e:  # noqa: BLE001

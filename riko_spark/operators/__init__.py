@@ -63,6 +63,7 @@ def _load_all() -> None:
         dedupe,
         filters,
         limits,
+        misc,
         multimodal,
         setops,
         similarity,

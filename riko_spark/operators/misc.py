@@ -1,0 +1,164 @@
+"""Remaining reference pipes: rssitembuilder, fetchsitefeed,
+currencyformat, geolocate, forever, timeout, send/receive.
+
+These complete the SURVEY.md §2 inventory.  Citations per operator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from riko_spark.functions.text import extract_text_udf, find_feed_links_udf
+from riko_spark.operators import register
+from riko_spark.operators.options import apply_scalar
+
+# riko's RSS key-renaming map (riko/modules/rssitembuilder.py:40-55);
+# dotted targets become nested struct fields
+_RSS_MAP = {
+    "author": "author",
+    "description": "description",
+    "guid": "y:id",
+    "link": "link",
+    "pubdate": "pubDate",
+    "title": "y:title",
+}
+
+
+@register("rssitembuilder", sub_kind="source")
+def rssitembuilder_op(df: DataFrame, conf: dict, emit: bool = True) -> DataFrame:
+    """Build an RSS-shaped item: conf keys renamed through the RSS map
+    (riko/modules/rssitembuilder.py:59-92).  Values may be literals or
+    ``{subkey}`` column refs; media:* nested keys are grouped into a
+    ``media_content`` / ``media_thumbnail`` struct."""
+    cols = []
+    media_thumb, media_content = {}, {}
+    for key, value in (conf or {}).items():
+        k = key.lower()
+        col = (
+            F.col(value["subkey"]) if isinstance(value, dict) and "subkey" in value
+            else F.lit(value)
+        )
+        if k.startswith("mediathumb"):
+            media_thumb[k.removeprefix("mediathumb").lower()] = col
+        elif k.startswith("mediacontent"):
+            media_content[k.removeprefix("mediacontent").lower()] = col
+        elif k in _RSS_MAP:
+            cols.append(col.alias(_RSS_MAP[k].replace("y:", "y_")))
+    if media_thumb:
+        cols.append(F.struct(*[c.alias(n) for n, c in media_thumb.items()]).alias("media_thumbnail"))
+    if media_content:
+        cols.append(F.struct(*[c.alias(n) for n, c in media_content.items()]).alias("media_content"))
+    return df.select(*cols) if emit else df.select("*", *cols)
+
+
+@register("fetchsitefeed")
+def fetchsitefeed_op(
+    df: DataFrame, conf: dict | None = None, field: str = "html",
+    assign: str = "feed_url",
+) -> DataFrame:
+    """Autodiscover the FIRST RSS link on each page
+    (riko/modules/fetchsitefeed.py:98-131 — fetches it too; here the
+    feed fetch is the downstream join/scan, so this yields the url)."""
+    links = find_feed_links_udf(F.col(field))
+    return df.withColumn(assign, F.element_at(links, 1))
+
+
+@register("currencyformat")
+def currencyformat_op(
+    df: DataFrame, conf: dict | None = None, field: str = "content",
+    assign: str = "currencyformat", emit: bool = False, skip_if=None,
+) -> DataFrame:
+    """en_US currency formatting (riko/modules/currencyformat.py:37-69
+    formats via Babel; the common symbols are reproduced natively with
+    ``format_number`` — grouping + 2 decimals)."""
+    currency = (conf or {}).get("currency", "USD")
+    symbols = {"USD": "$", "EUR": "€", "GBP": "£", "JPY": "¥"}
+    amount = F.col(field).try_cast("decimal(38,6)")
+    formatted = F.concat(F.lit(symbols.get(currency, currency + " ")),
+                         F.format_number(amount, 2))
+    result = F.when(amount.isNotNull(), formatted).otherwise(F.lit(None))
+    return apply_scalar(df, result, assign=assign, emit=emit, skip_if=skip_if)
+
+
+@register("geolocate")
+def geolocate_op(
+    df: DataFrame, conf: dict | None = None, field: str = "content",
+    assign: str = "geolocate", emit: bool = False, skip_if=None,
+) -> DataFrame:
+    """Stubbed geolocation matching the reference's hard-coded lookups
+    (riko/cast.py:130-195): coordinates parse "lat,lon"; street/ip
+    return the fixed United-States placeholder record.  A real backend
+    is a broadcast join against a geo dimension table."""
+    loc_type = (conf or {}).get("type", "street_address")
+    col = F.col(field).cast("string")
+    if loc_type == "coordinates":
+        lat = F.coalesce(F.trim(F.split(col, ",").getItem(0)).try_cast("double"), F.lit(0.0))
+        lon = F.coalesce(F.trim(F.split(col, ",").getItem(1)).try_cast("double"), F.lit(0.0))
+    else:
+        lat, lon = F.lit(0.0), F.lit(0.0)
+    result = F.struct(
+        lat.alias("lat"), lon.alias("lon"),
+        F.lit("United States").alias("country"),
+        F.lit("state").alias("admin1"), F.lit("county").alias("admin2"),
+        F.lit("city").alias("city"), F.lit("61605").alias("postal"),
+    )
+    return apply_scalar(df, result, assign=assign, emit=emit, skip_if=skip_if)
+
+
+@register("forever", sub_kind="source")
+def forever_op(df: DataFrame | None, conf: dict | None = None,
+               spark: SparkSession | None = None) -> DataFrame:
+    """Unbounded driver stream (riko/modules/forever.py:37-64 yields
+    ``{'forever': True}`` endlessly) → the rate source, the canonical
+    Structured-Streaming unbounded driver."""
+    spark = spark or SparkSession.getActiveSession()
+    rate = (conf or {}).get("rows_per_second", 1)
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", rate).load()
+        .withColumn("forever", F.lit(True))
+    )
+
+
+def timeout(query, seconds: float) -> bool:
+    """riko's ``timeout`` pipe bounds a stream by wall clock
+    (riko/modules/timeout.py:103-150).  In Structured Streaming that is
+    query-lifecycle control: await up to the deadline, then stop."""
+    finished = query.awaitTermination(seconds)
+    if not finished:
+        query.stop()
+    return finished
+
+
+class Channels:
+    """Pub/sub fan-out — riko's ``send``/``receive``
+    (riko/modules/send.py:40-98, riko/modules/receive.py:122-218,
+    registry riko/utils.py:1110-1164).
+
+    Spark shape: ONE source feeding N sinks.  ``send`` registers a
+    named branch; ``run`` executes every branch from the same
+    micro-batch inside one ``foreachBatch`` (the batch is persisted so
+    branches share the scan — riko's generator-copy equivalent).
+    """
+
+    def __init__(self):
+        self._branches: dict[str, tuple] = {}
+
+    def send(self, name: str, transform, sink) -> "Channels":
+        """transform: DataFrame -> DataFrame; sink: (df, batch_id) -> None"""
+        self._branches[name] = (transform, sink)
+        return self
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for transform, sink in self._branches.values():
+                sink(transform(batch), batch_id)
+        finally:
+            batch.unpersist()
+
+    def run(self, df: DataFrame, checkpoint: str, available_now: bool = True):
+        writer = df.writeStream.foreachBatch(self).option("checkpointLocation", checkpoint)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -80,6 +80,26 @@ def csv_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) 
     return reader.csv(conf["url"].removeprefix("file://"))
 
 
+@register("fetchtable", sub_kind="source")
+def fetchtable_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
+    """Tabular fetch (riko/modules/fetchtable.py:102-138 reads
+    csv/xls/json via meza): csv/json/parquet by extension; xls needs a
+    reader library absent from this container."""
+    spark = spark or SparkSession.getActiveSession()
+    url = conf["url"].removeprefix("file://")
+    ext = url.rsplit(".", 1)[-1].lower()
+    if ext in ("xls", "xlsx"):
+        raise NotImplementedError("xls reading requires an excel reader library")
+    if ext == "json":
+        return spark.read.option("multiLine", "true").json(url)
+    if ext == "parquet":
+        return spark.read.parquet(url)
+    reader = spark.read.option("header", "true")
+    if conf.get("skip_rows"):
+        reader = reader.option("skipLines", int(conf["skip_rows"]))
+    return reader.csv(url)
+
+
 @register("fetchpage")
 @register("extract")
 def extract_op(

@@ -57,8 +57,14 @@ def _zipf_weights(k: int, s: float = 1.2) -> np.ndarray:
     return w / w.sum()
 
 
-def generate_pages(n: int, seed: int = 42, late_frac: float = 0.05) -> pa.Table:
-    """Generate ``n`` deterministic page rows as a pyarrow Table."""
+def generate_pages(
+    n: int, seed: int = 42, late_frac: float = 0.05, offset: int = 0
+) -> pa.Table:
+    """Generate ``n`` deterministic page rows as a pyarrow Table.
+
+    ``offset`` shifts the row index used in urls/bodies so multi-file
+    datasets keep urls globally unique (F1 requirement).
+    """
     rng = np.random.default_rng(seed)
     n_domains = 50
     domains = np.array([f"site{i:02d}.example.com" for i in range(n_domains)])
@@ -76,16 +82,17 @@ def generate_pages(n: int, seed: int = 42, late_frac: float = 0.05) -> pa.Table:
     word_idx = rng.integers(0, len(_WORDS), size=(n, 12))
 
     urls, tss, htmls, texts, lang_out = [], [], [], [], []
-    for i in range(n):
-        w = [_WORDS[j] for j in word_idx[i]]
+    for k in range(n):
+        i = offset + k
+        w = [_WORDS[j] for j in word_idx[k]]
         slug = f"{w[0]}-{w[1]}-{i}"
-        url = f"https://{domains[dom_idx[i]]}/{w[2]}/{slug}"
+        url = f"https://{domains[dom_idx[k]]}/{w[2]}/{slug}"
         title = f"{w[3].title()} {w[4]} {w[5]}"
-        feed = f"https://{domains[dom_idx[i]]}/feed-{i % 7}.xml"
+        feed = f"https://{domains[dom_idx[k]]}/feed-{i % 7}.xml"
         body = (
             f"<p>{' '.join(w[0:4])} &amp; {' '.join(w[4:7])}</p>\r\n"
             f"<p>{' '.join(w[7:10])}</p>\n"
-            f'<a href="https://{domains[(dom_idx[i] + 1) % n_domains]}/x">{w[10]}</a>\n'
+            f'<a href="https://{domains[(dom_idx[k] + 1) % n_domains]}/x">{w[10]}</a>\n'
             f"<p>{w[11]} end-{i}</p>"
         )
         html = (
@@ -95,10 +102,10 @@ def generate_pages(n: int, seed: int = 42, late_frac: float = 0.05) -> pa.Table:
             f"</head><body>{body}</body></html>"
         ).encode("utf-8")
         urls.append(url)
-        tss.append(BASE_TS + timedelta(seconds=int(offsets[i])))
+        tss.append(BASE_TS + timedelta(seconds=int(offsets[k])))
         htmls.append(html)
         texts.append(extract_text(html)[0])
-        lang_out.append(_LANGS[langs[i]])
+        lang_out.append(_LANGS[langs[k]])
 
     return pa.Table.from_arrays(
         [
@@ -115,15 +122,18 @@ def generate_pages(n: int, seed: int = 42, late_frac: float = 0.05) -> pa.Table:
 def write_pages(path: str, n: int, seed: int = 42, files: int | None = None) -> str:
     """Write n generated page rows as a multi-file parquet dataset."""
     os.makedirs(path, exist_ok=True)
-    files = files or max(4, min(32, n // 25_000 or 4))
+    # enough files that a 32-core scan parallelizes and a file-stream
+    # source yields multiple micro-batches
+    files = files or max(8, min(64, n // 3_125 or 8))
     per = (n + files - 1) // files
     done = 0
     for f in range(files):
         take = min(per, n - done)
         if take <= 0:
             break
-        # per-file seed derived deterministically from (seed, f)
-        tbl = generate_pages(take, seed=seed * 1_000 + f)
+        # per-file seed derived deterministically from (seed, f);
+        # offset keeps urls globally unique across files
+        tbl = generate_pages(take, seed=seed * 1_000 + f, offset=done)
         pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
         done += take
     return path

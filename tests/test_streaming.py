@@ -40,7 +40,7 @@ def test_stream_batch_parity_tumbling(spark, tmp_path, pages_path):
     expected = tumbling_agg(batch, window="10 minutes", keys=["lang"])
 
     stream = _read_stream(spark, pages_path)
-    agg = tumbling_agg(stream, window="10 minutes", watermark="30 seconds", keys=["lang"])
+    agg = tumbling_agg(stream, window="10 minutes", watermark="2 hours", keys=["lang"])
     sink = UpsertSink(str(tmp_path / "sink"), keys=["window_start", "lang"])
     q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
@@ -59,7 +59,7 @@ def test_exactly_once_restart_from_checkpoint(spark, tmp_path, pages_path):
 
     # phase 1: process one file per trigger, stop after the first batch
     stream = _read_stream(spark, pages_path, max_files=1)
-    agg = tumbling_agg(stream, window="10 minutes", watermark="30 seconds", keys=["lang"])
+    agg = tumbling_agg(stream, window="10 minutes", watermark="2 hours", keys=["lang"])
     q = (
         agg.writeStream.foreachBatch(sink)
         .outputMode("update")
@@ -74,12 +74,32 @@ def test_exactly_once_restart_from_checkpoint(spark, tmp_path, pages_path):
 
     # phase 2: restart from the same checkpoint, drain everything
     stream2 = _read_stream(spark, pages_path, max_files=1)
-    agg2 = tumbling_agg(stream2, window="10 minutes", watermark="30 seconds", keys=["lang"])
+    agg2 = tumbling_agg(stream2, window="10 minutes", watermark="2 hours", keys=["lang"])
     q2 = write_stream_upsert(agg2, sink, ckpt)
     q2.awaitTermination(180)
 
     got = sink.result(spark)
     assert _bag(got) == _bag(expected)
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path, pages_path):
+    """Late-data policy: the fixture pushes ~5% of rows >1h out of
+    order; with a small watermark and multi-batch ingestion those rows
+    must be dropped from the streaming aggregate (strictly fewer docs
+    counted than batch), while a >1h watermark admits everything
+    (asserted by the parity tests above)."""
+    batch = spark.read.parquet(pages_path)
+    batch_total = batch.count()
+
+    stream = _read_stream(spark, pages_path, max_files=1)  # many batches
+    agg = tumbling_agg(stream, window="10 minutes", watermark="30 seconds", keys=["lang"])
+    sink = UpsertSink(str(tmp_path / "sink"), keys=["window_start", "lang"])
+    q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    stream_total = (
+        sink.result(spark).agg(F.sum("n_docs").alias("s")).collect()[0]["s"]
+    )
+    assert stream_total < batch_total
 
 
 def test_sink_replay_idempotent(spark, tmp_path):
