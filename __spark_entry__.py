@@ -474,7 +474,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "filter_or_block": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-            WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 50000)
+            WHERE NOT COALESCE(o_orderstatus = 'F' OR o_totalprice < 50000, FALSE)
         """,
         "sort_truncate": """
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

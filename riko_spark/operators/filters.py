@@ -73,10 +73,9 @@ def rule_to_column(df: DataFrame, rule: dict) -> Column:
         xs = F.lower(x.cast("string"))
         hit = xs.contains(str(value).lower())
         ok = truthy(x, _dtype(df, field))
-        res = ok & hit if op == "contains" else ok & ~hit
-        return F.coalesce(res, F.lit(False))
+        return ok & hit if op == "contains" else ok & ~hit
     if op == "matches":
-        return F.coalesce(x.cast("string").rlike(str(value)), F.lit(False))
+        return x.cast("string").rlike(str(value))
 
     numeric = op in ("atleast", "atmost") or _is_number(value)
     dateish = op in ("after", "before") and not _is_number(value)
@@ -97,7 +96,10 @@ def rule_to_column(df: DataFrame, rule: dict) -> Column:
         "atleast": xv >= yv, "atmost": xv <= yv,
     }
     try:
-        return F.coalesce(cmp[op], F.lit(False))
+        # no per-rule coalesce: a NULL predicate is dropped by WHERE
+        # exactly like False, and wrapping in coalesce would defeat
+        # parquet predicate pushdown (PushedFilters goes empty)
+        return cmp[op]
     except KeyError:
         raise ValueError(f"unknown filter op: {op!r}") from None
 
@@ -115,7 +117,11 @@ def build_predicate(df: DataFrame, conf: dict) -> Column:
         pred = reduce(lambda a, b: a | b, cols)
     else:
         pred = reduce(lambda a, b: a & b, cols)
-    return pred if permit else ~pred
+    if permit:
+        return pred
+    # negation must treat NULL as False first (riko: an unevaluable
+    # block-rule does not block), then invert
+    return ~F.coalesce(pred, F.lit(False))
 
 
 @register("filter", kind="operator", sub_kind="composer")

@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions (pushdown, pruning, broadcast,
+top-k) and salted-aggregation equivalence.
+
+The 100 TB design rests on these plan properties — a regression here
+is a performance bug even when results stay correct.
+"""
+
+import pyspark.sql.functions as F
+
+from riko_spark.functions.skew import explain_skew, salted_agg
+from riko_spark.plans.flow import Flow
+from riko_spark.sources.pages import pages_fixture
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushes_to_scan(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = Flow(orders).filter(
+        {"rule": [{"field": "o_orderstatus", "op": "is", "value": "F"}]}
+    ).df.select("o_orderkey")
+    plan = _plan(out)
+    assert "PushedFilters: [" in plan and "IsNotNull(o_orderstatus)" in plan
+    # column pruning: the scan must read only the 2 needed columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    out = Flow(cust).join(
+        {"join_key": "c_nationkey", "other_join_key": "n_nationkey"},
+        other=nat, broadcast_other=True,
+    ).df
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_sort_limit_plans_top_k(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = (
+        Flow(li, order_by=["l_orderkey"])
+        .sort({"rule": [{"field": "l_extendedprice", "dir": "desc"}]})
+        .df.limit(10)
+    )
+    # TakeOrderedAndProject = per-partition top-k + single merge,
+    # NOT a global sort exchange
+    assert "TakeOrderedAndProject" in _plan(out)
+
+
+def test_tail_plans_top_k(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = Flow(ev, order_by=["ts", "event_id"]).tail({"count": 5}).df
+    assert "TakeOrderedAndProject" in _plan(out)
+
+
+def test_grouped_agg_is_partial(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = Flow(ev).count({"count_key": "event_type"}).df
+    plan = _plan(out)
+    assert "partial_count" in plan  # map-side combine before exchange
+
+
+def test_extract_stage_has_no_exchange(spark):
+    path = pages_fixture(n=200)
+    df = spark.read.parquet(path)
+    plan = _plan(Flow(df).extract(None).df)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+
+
+def test_salted_agg_equivalence(spark):
+    path = pages_fixture(n=2_000)
+    df = spark.read.parquet(path).withColumn(
+        "domain", F.parse_url(F.col("url"), F.lit("HOST"))
+    )
+    direct = {
+        (r["domain"]): (r["n"], r["first_ts"])
+        for r in df.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n"), F.min("warc_ts").alias("first_ts")
+        ).collect()
+    }
+    salted = {
+        (r["domain"]): (r["n"], r["first_ts"])
+        for r in salted_agg(
+            df, ["domain"], {"n": ("count", "*"), "first_ts": ("min", "warc_ts")}
+        ).collect()
+    }
+    assert salted == direct
+    # and the corpus really is skewed (Zipf) — salting has a job to do
+    top = explain_skew(df, "domain", top=1)
+    assert top[0][1] > (2_000 / 50) * 5  # hottest domain ≫ uniform share
