@@ -381,6 +381,51 @@ def q_image_features(spark, sf):
     return image_features_op(d).select("id", "width", "height")
 
 
+def q_salted_count(spark, sf):
+    """Two-phase salted aggregation (skew defense) must equal a plain
+    GROUP BY — verified against the oracle directly."""
+    from riko_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf, "events")
+    return salted_agg(
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
+        ["hour", "event_type"],
+        {"n": ("count", "*"), "maxv": ("max", "value")},
+        buckets=8,
+    )
+
+
+def q_union_ragged(spark, sf):
+    """Bag union of ragged schemas (riko items are schemaless dicts;
+    unionByName with missing columns -> NULL fill)."""
+    o = _t(spark, sf, "orders")
+    a = o.select("o_orderkey", "o_orderstatus").filter(F.col("o_orderstatus") == "O")
+    b = o.select("o_orderkey", "o_totalprice").filter(F.col("o_totalprice") > 180000)
+    return _flow(a).union(None, others=[b]).df
+
+
+def q_strfind_last(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_name")
+    conf = {"rule": [{"find": " ", "location": "after", "param": "last"}]}
+    return _flow(p).strfind(conf, field="p_name", assign="last_word").df
+
+
+def q_regex_casematch(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    conf = {"rule": [{"field": "text", "match": "SPARK", "replace": "x",
+                      "casematch": True}]}
+    return _flow(d).regex(conf).df
+
+
+def q_first_k_per_key(spark, sf):
+    """Custom stateful operator, batch mode (streaming variant tested
+    in tests/test_stateful.py): first 2 events per user."""
+    from riko_spark.streaming.stateful import first_k_per_key
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    return first_k_per_key(ev, "user_id", k=2, order_col="event_id")
+
+
 def q_pipe_graph(spark, sf):
     """End-to-end riko pipe graph via the JSON-DAG compiler:
     documents → filter(lang=en) → tokenizer → count(token)."""
@@ -451,6 +496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_metadata": q_media_metadata,
         "image_features": q_image_features,
+        "salted_count": q_salted_count,
+        "union_ragged": q_union_ragged,
+        "strfind_last": q_strfind_last,
+        "regex_casematch": q_regex_casematch,
+        "first_k_per_key": q_first_k_per_key,
         "pipe_graph": q_pipe_graph,
     }
 
@@ -704,6 +754,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
                    'application/octet-stream' AS media_type
             FROM documents
+        """,
+        "salted_count": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n, MAX(value) AS maxv
+            FROM events GROUP BY 1, 2
+        """,
+        "union_ragged": """
+            SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, NULL, o_totalprice
+            FROM orders WHERE o_totalprice > 180000
+        """,
+        "strfind_last": r"""
+            SELECT p_partkey, p_name,
+                   regexp_replace(CASE WHEN contains(p_name, ' ')
+                        THEN regexp_replace(p_name, '^.* ', '', 's')
+                        ELSE p_name END, '^\s+|\s+$', '', 'g') AS last_word
+            FROM part
+        """,
+        "regex_casematch": """
+            SELECT doc_id, regexp_replace(text, '(?ms)SPARK', 'x', 'g') AS text
+            FROM documents
+        """,
+        "first_k_per_key": """
+            SELECT event_id, user_id, ts FROM (
+                SELECT event_id, user_id, ts,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+                FROM events
+            ) WHERE rn <= 2
         """,
         "pipe_graph": f"""
             WITH toks AS (
