@@ -381,6 +381,29 @@ def q_image_features(spark, sf):
     return image_features_op(d).select("id", "width", "height")
 
 
+def q_sliding_count(spark, sf):
+    """Sliding windows (1 h window, 30 min slide) — every event lands
+    in exactly two windows."""
+    ev = _t(spark, sf, "events")
+    from riko_spark.streaming.windows import sliding_count
+
+    out = sliding_count(ev, ts_col="ts", window="1 hour", slide="30 minutes",
+                        watermark=None, keys=["event_type"])
+    return out.select("window_start", "event_type", F.col("n_docs").alias("n"))
+
+
+def q_topk_per_group(spark, sf):
+    """Top-3 events by value per event_type (ranking window)."""
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def q_salted_count(spark, sf):
     """Two-phase salted aggregation (skew defense) must equal a plain
     GROUP BY — verified against the oracle directly."""
@@ -496,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_metadata": q_media_metadata,
         "image_features": q_image_features,
+        "sliding_count": q_sliding_count,
+        "topk_per_group": q_topk_per_group,
         "salted_count": q_salted_count,
         "union_ragged": q_union_ragged,
         "strfind_last": q_strfind_last,
@@ -754,6 +779,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
                    'application/octet-stream' AS media_type
             FROM documents
+        """,
+        "sliding_count": """
+            WITH buckets AS (
+                SELECT event_type,
+                       unnest([
+                         CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP),
+                         CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) AS TIMESTAMP)
+                       ]) AS window_start
+                FROM events
+            )
+            SELECT window_start, event_type, COUNT(*) AS n
+            FROM buckets GROUP BY 1, 2
+        """,
+        "topk_per_group": """
+            SELECT event_id, event_type, value, rank FROM (
+                SELECT event_id, event_type, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC) AS rank
+                FROM events
+            ) WHERE rank <= 3
         """,
         "salted_count": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

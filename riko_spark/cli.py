@@ -45,10 +45,20 @@ def main(argv: list[str] | None = None) -> int:
     desc = sub.add_parser("describe", help="topo-sorted module list of a pipe def")
     desc.add_argument("pipe_json")
 
+    comp = sub.add_parser("compile", help="generate a Python module from a pipe def")
+    comp.add_argument("pipe_json")
+    comp.add_argument("--name", default="pipeline")
+
     args = ap.parse_args(argv)
 
     with open(args.pipe_json) as f:
         pipe_def = json.load(f)
+
+    if args.cmd == "compile":
+        from riko_spark.plans.codegen import stringify_pipe
+
+        print(stringify_pipe(pipe_def, args.name), end="")
+        return 0
 
     if args.cmd == "describe":
         from riko_spark.plans.dag import parse_pipe_def, topological_sort
