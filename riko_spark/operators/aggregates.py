@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from riko_spark.operators import register
+from riko_spark.operators.ordering import first_col
 
 _DEC = "decimal(38,18)"
 
@@ -49,7 +50,7 @@ def count_op(
     if order_by:
         out = grouped.agg(
             F.count(F.lit(1)).alias("count"),
-            F.min(F.col(order_by[0])).alias("first_seen"),
+            F.min(first_col(order_by)).alias("first_seen"),
         )
         return out.orderBy("first_seen")
     return grouped.agg(F.count(F.lit(1)).alias("count"))

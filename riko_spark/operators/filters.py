@@ -134,7 +134,9 @@ def filter_op(df: DataFrame, conf: dict, order_by: list[str] | None = None) -> D
         # keep the prefix before the first blocked row (riko
         # filter.py:213-214). Global min over a blocked-seq column;
         # restricted: one global ordering => single-pass window.
-        w = Window.orderBy(*order_by).rowsBetween(
+        from riko_spark.operators.ordering import asc_cols
+
+        w = Window.orderBy(*asc_cols(order_by)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         blocked_so_far = F.max(F.when(~pred, F.lit(1)).otherwise(F.lit(0))).over(w)

@@ -20,12 +20,8 @@ from pyspark.sql import DataFrame
 from riko_spark.operators import register
 
 
-def _asc(order_by: list[str]):
-    return [F.col(c).asc() for c in order_by]
-
-
-def _desc(order_by: list[str]):
-    return [F.col(c).desc() for c in order_by]
+from riko_spark.operators.ordering import asc_cols as _asc
+from riko_spark.operators.ordering import desc_cols as _desc
 
 
 @register("truncate", kind="operator", sub_kind="composer")

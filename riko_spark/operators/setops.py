@@ -93,7 +93,9 @@ def uniq_op(
     """
     key = (conf or {}).get("uniq_key", "id")
     if order_by:
-        w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order_by])
+        from riko_spark.operators.ordering import asc_cols
+
+        w = Window.partitionBy(key).orderBy(*asc_cols(order_by))
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -33,8 +33,10 @@ def sort_keys(conf: dict, order_by: list[str] | None = None) -> list[Column]:
             col = cast_with_default(col, r["type"])
         direction = (r.get("dir") or r.get("sort_dir") or "asc").lower()
         keys.append(col.desc() if direction == "desc" else col.asc())
-    for ob in order_by or []:
-        keys.append(F.col(ob).asc())
+    if order_by:
+        from riko_spark.operators.ordering import asc_cols
+
+        keys.extend(asc_cols(order_by))
     return keys
 
 

@@ -152,15 +152,21 @@ def datebuilder_op(
 
 @register("urlbuilder")
 def urlbuilder_op(
-    df: DataFrame, conf: dict, assign: str = "urlbuilder",
-    emit: bool = False, skip_if=None,
+    df: DataFrame | None, conf: dict, assign: str = "urlbuilder",
+    emit: bool = False, skip_if=None, spark=None,
 ) -> DataFrame:
     """base + '/'-joined paths + urlencoded params.  Params with
     ``subkey`` pull their value from a column; everything else is a
     plan-time literal (riko/modules/urlbuilder.py:73-121)."""
+    if df is None:  # source mode: one literal row (riko emit-style source)
+        from pyspark.sql import SparkSession
+
+        df = (spark or SparkSession.getActiveSession()).range(1).drop("id")
+        emit = True
     base = str(conf["base"]).rstrip("/")
     path = conf.get("path")
     paths = [path] if isinstance(path, str) else list(path or [])
+    paths = [p for p in paths if str(p)]  # riko: urljoin(base, '') == base
     url = F.lit(base + ("/" + "/".join(str(p) for p in paths) if paths else ""))
     params = _listize(conf.get("param"))
     static = [(p["key"], p["value"]) for p in params if p.get("key") and "subkey" not in p]
@@ -255,10 +261,15 @@ def subelement_op(
 # ----------------------------------------------------------- itembuilder
 
 @register("itembuilder", sub_kind="source")
-def itembuilder_op(df: DataFrame, conf: dict, emit: bool = True) -> DataFrame:
+def itembuilder_op(df: DataFrame | None, conf: dict, emit: bool = True, spark=None) -> DataFrame:
     """Build item columns from literal attrs (riko/modules/
     itembuilder.py:48-77).  Operates per input row (riko's loopable
-    source): attrs with ``subkey`` copy from existing columns."""
+    source); with no input it emits one literal item."""
+    if df is None:
+        from pyspark.sql import SparkSession
+
+        df = (spark or SparkSession.getActiveSession()).range(1).drop("id")
+        emit = True
     cols = []
     for attr in _listize(conf.get("attrs")):
         key = attr["key"]
@@ -319,4 +330,8 @@ def bind_input(conf: dict, inputs: dict | None = None):
 
     key = conf.get("input_key") or conf.get("name") or "input"
     value = (inputs or {}).get(key, conf.get("default"))
-    return cast_literal(value, conf.get("type", "text"))
+    if "type" not in conf:
+        # conf values were already typed by normalize_conf's
+        # {"type","value"} unwrapping — don't re-cast to text
+        return value
+    return cast_literal(value, conf["type"])

@@ -26,19 +26,73 @@ from riko_spark.operators import register
 from riko_spark.operators.options import apply_scalar
 
 
+RSS_ENTRY_SCHEMA = (
+    "title STRING, link STRING, description STRING, pubDate STRING, "
+    "guid STRING, author STRING"
+)
+
+
+def _resolve(url: str) -> str:
+    """file:// strip + relative-path resolution against
+    $RIKO_SPARK_DATA_ROOT (the reference pipe defs use paths like
+    ``file://riko/data/feed.xml``)."""
+    import os
+
+    path = url.removeprefix("file://")
+    if not os.path.isabs(path) and not os.path.exists(path):
+        root = os.environ.get("RIKO_SPARK_DATA_ROOT", "")
+        cand = os.path.join(root, path)
+        if root and os.path.exists(cand):
+            return cand
+    return path
+
+
+def rss_entries(spark: SparkSession, url: str) -> DataFrame:
+    """RSS/Atom feed → one row per entry, riko item shape
+    (riko/parsers.py parse_rss + riko/utils.py:1045-1087
+    augment_entries: title/link/summary/pubDate/guid/author).
+    Native: wholetext read → item-block extraction → ``from_xml``."""
+    raw = spark.read.text(_resolve(url), wholetext=True)
+    blocks = F.regexp_extract_all(
+        "value", F.lit(r"(?s)<(?:item|entry)[ >].*?</(?:item|entry)>"), 0
+    )
+    items = raw.select(F.explode(blocks).alias("__xml"))
+    parsed = items.select(F.from_xml("__xml", RSS_ENTRY_SCHEMA).alias("e"))
+    return parsed.select(
+        F.col("e.title").alias("title"),
+        F.col("e.link").alias("link"),
+        F.col("e.description").alias("summary"),
+        F.col("e.pubDate").alias("pubDate"),
+        F.col("e.guid").alias("guid"),
+        F.col("e.author").alias("author"),
+    )
+
+
 @register("fetch", sub_kind="source")
 def fetch_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
     """Read a table/dataset; conf: {url, format?}.  file:// and bare
-    paths supported; http fetch is out of scope in-sandbox."""
+    paths supported (http fetch is out of scope in-sandbox); ``.xml``
+    urls take the RSS/Atom entry path like riko's fetch pipe."""
     spark = spark or SparkSession.getActiveSession()
-    url = conf["url"].removeprefix("file://")
-    fmt = conf.get("format", "parquet")
+    urls = conf["url"]
+    if isinstance(urls, list):  # multi-source fetch: bag union of feeds
+        from functools import reduce
+
+        frames = [fetch_op(df, {**conf, "url": u}, spark=spark) for u in urls]
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+    url = _resolve(urls)
+    fmt = conf.get("format")
+    if fmt is None:
+        ext = url.rsplit(".", 1)[-1].lower()
+        fmt = {"xml": "rss", "csv": "csv", "json": "json", "txt": "text"}.get(ext, "parquet")
+    if fmt in ("rss", "atom", "xml"):
+        return rss_entries(spark, url)
     reader = spark.read
     if fmt == "csv":
         return reader.csv(url, header=bool(conf.get("has_header", True)),
                           sep=conf.get("delimiter", ","))
     if fmt == "json":
-        return reader.json(url)
+        return reader.option("multiLine", "true").json(url)
     if fmt == "text":
         return reader.text(url)
     return reader.parquet(url)
@@ -49,7 +103,7 @@ def fetchdata_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = 
     """JSON fetch + descend ``path`` (riko/modules/fetchdata.py:92-130):
     read json, explode the array at the dotted path."""
     spark = spark or SparkSession.getActiveSession()
-    out = spark.read.option("multiLine", "true").json(conf["url"].removeprefix("file://"))
+    out = spark.read.option("multiLine", "true").json(_resolve(conf["url"]))
     path = conf.get("path")
     if path:
         col = F.col(path)
@@ -65,7 +119,7 @@ def fetchdata_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = 
 def fetchtext_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
     """One item per stripped line (riko/modules/fetchtext.py:85-118)."""
     spark = spark or SparkSession.getActiveSession()
-    out = spark.read.text(conf["url"].removeprefix("file://"))
+    out = spark.read.text(_resolve(conf["url"]))
     return out.select(F.regexp_replace("value", r"^\s+|\s+$", "").alias("content"))
 
 
@@ -77,7 +131,7 @@ def csv_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) 
         reader = reader.option("sep", conf["delimiter"])
     if conf.get("skip_rows"):
         reader = reader.option("skipLines", int(conf["skip_rows"]))
-    return reader.csv(conf["url"].removeprefix("file://"))
+    return reader.csv(_resolve(conf["url"]))
 
 
 @register("fetchtable", sub_kind="source")
@@ -86,7 +140,7 @@ def fetchtable_op(df: DataFrame | None, conf: dict, spark: SparkSession | None =
     csv/xls/json via meza): csv/json/parquet by extension; xls needs a
     reader library absent from this container."""
     spark = spark or SparkSession.getActiveSession()
-    url = conf["url"].removeprefix("file://")
+    url = _resolve(conf["url"])
     ext = url.rsplit(".", 1)[-1].lower()
     if ext in ("xls", "xlsx"):
         raise NotImplementedError("xls reading requires an excel reader library")

@@ -20,6 +20,11 @@ def cast_literal(value: Any, cast_type: str = "text") -> Any:
     """Python-side cast with riko's defaults-on-failure
     (riko/cast.py:280-292,353-422)."""
     try:
+        if cast_type == "url":
+            return str(value)
+        if cast_type == "number":
+            f = float(value)
+            return int(f) if f.is_integer() else f
         if cast_type == "int":
             return int(float(value))
         if cast_type == "float":
@@ -49,8 +54,12 @@ def _is_type_value(v: Any) -> bool:
 
 def normalize_conf(conf: Any) -> Any:
     """Recursively unwrap {"type","value"} wrappers and lower-case keys
-    (riko lower-cases conf keys at parse time, riko/compile.py:612-644)."""
+    (riko lower-cases conf keys at parse time, riko/compile.py:612-644).
+    ``{"type": "module", "value": {...}}`` wraps an embedded submodule
+    (loop pipes) — unwrapped structurally, not cast."""
     if _is_type_value(conf):
+        if conf["type"] == "module":
+            return normalize_conf(conf["value"])
         return cast_literal(conf["value"], conf["type"])
     if isinstance(conf, dict):
         return {str(k).lower(): normalize_conf(v) for k, v in conf.items()}

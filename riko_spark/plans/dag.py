@@ -58,6 +58,21 @@ def topological_sort(graph: dict[str, list[str]]) -> list[str]:
     return order
 
 
+def _substitute_terminals(conf: Any, terminals: dict[str, Any]) -> Any:
+    """Resolve ``{"terminal": name, ...}`` conf values from wired
+    module results (riko's dotdict sentinel wiring —
+    riko/dotdict.py:78-85,147-157; e.g. an input module feeding tail's
+    ``count``)."""
+    if isinstance(conf, dict):
+        term = conf.get("terminal")
+        if term is not None and str(term).lower() in terminals:
+            return terminals[str(term).lower()]
+        return {k: _substitute_terminals(v, terminals) for k, v in conf.items()}
+    if isinstance(conf, list):
+        return [_substitute_terminals(v, terminals) for v in conf]
+    return conf
+
+
 def parse_pipe_def(pipe_def: dict, name: str = "pipeline") -> dict:
     """Normalize a pipe def into {name, modules, graph, wires}."""
     modules = {str(m["id"]): normalize_conf(m) for m in pipe_def["modules"]}
@@ -104,6 +119,9 @@ def build_pipeline(
             extra_inputs.setdefault(tgt, []).append((tgt_id, src))
 
     results: dict[str, Any] = {}
+    # stream-order propagation: a sort module defines the downstream
+    # ordering (riko streams are ordered; positional ops consume it)
+    stream_order: dict[str, list[str] | None] = {}
     for mid in topological_sort(parsed["graph"]):
         mod = modules[mid]
         mtype = mod.get("type") or mod.get("module")
@@ -123,15 +141,31 @@ def build_pipeline(
             # nothing — fall back to an explicitly provided source
             df = sources.get(mid) or sources.get(str(conf.get("source", "")))
 
-        kwargs: dict[str, Any] = {"spark": spark, "order_by": order_by}
+        inherited = stream_order.get(main_input.get(mid, ""), None)
+        kwargs: dict[str, Any] = {"spark": spark,
+                                  "order_by": inherited or order_by}
         others: list[DataFrame] = []
+        terminals: dict[str, Any] = {}
         for tgt_id, src in sorted(extra_inputs.get(mid, [])):
             if tgt_id.startswith("_OTHER"):
                 others.append(results[src])
-            else:
+            elif isinstance(results[src], DataFrame) and tgt_id in ("other", "embed"):
                 kwargs[tgt_id] = results[src]
+            else:
+                # terminal slot: riko pulls the FIRST value from the
+                # wired pipe's stream (riko/dotdict.py:78-85,606-630);
+                # a literal (input module) passes through as-is
+                val = results[src]
+                if isinstance(val, DataFrame):
+                    row = val.first()
+                    val = row[0] if row is not None and len(row) == 1 else (
+                        row.asDict() if row is not None else None
+                    )
+                terminals[tgt_id.lower()] = val
         if others:
             kwargs["others"] = others
+        if terminals:
+            conf = _substitute_terminals(conf, terminals)
 
         # option-layer keys may ride in the conf (riko module kwargs);
         # only lift the ones this operator's signature accepts — e.g.
@@ -157,6 +191,16 @@ def build_pipeline(
             conf.setdefault("splits", len([w for w in wires if str(w["src"]["moduleid"]) == mid]) or 2)
 
         results[mid] = call_operator(mtype, df, conf, **kwargs)
+        if mtype == "sort":
+            rules = conf.get("rule") or []
+            rules = [rules] if isinstance(rules, dict) else rules
+            stream_order[mid] = [
+                f"{r['field']} desc"
+                if str(r.get("dir", "asc")).lower() == "desc" else str(r["field"])
+                for r in rules
+            ]
+        else:
+            stream_order[mid] = inherited
 
     # result = last module in topo order that produced a DataFrame
     last = None

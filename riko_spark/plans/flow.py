@@ -63,7 +63,16 @@ class Flow:
             )
             if isinstance(out, list):  # split
                 return [Flow(o, self.order_by) for o in out]
-            return Flow(out, self.order_by)
+            order = self.order_by
+            if name == "sort" and conf:
+                rules = conf.get("rule") or []
+                rules = [rules] if isinstance(rules, dict) else rules
+                order = [
+                    f"{r['field']} desc"
+                    if str(r.get("dir", "asc")).lower() == "desc" else str(r["field"])
+                    for r in rules
+                ] + (self.order_by or [])
+            return Flow(out, order)
 
         return stage
 

@@ -1,0 +1,72 @@
+"""Run the reference's OWN JSON pipe definitions through our DAG
+compiler against its OWN data fixtures, asserting its functional-test
+goldens (tests/functional/test_basics.py).
+
+Covered here (RSS sources parse natively via from_xml):
+  * pipe_2de0e... ("simplest"): fetch(rss) → output; 17 items, first
+    title golden (test_basics.py:306-315)
+  * pipe_06c4c44... ("tail"): fetch(rss) → sort(title DESC) →
+    tail(count=input terminal, default 5); 5 items, first title
+    contains golden (test_basics.py:401-406)
+"""
+
+import json
+import os
+
+import pytest
+
+from riko_spark.plans.dag import build_pipeline
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(f"{REF}/tests/pipelines"), reason="reference not available"
+)
+
+
+@pytest.fixture(autouse=True)
+def _data_root(monkeypatch):
+    monkeypatch.setenv("RIKO_SPARK_DATA_ROOT", REF)
+
+
+def _pipe(name):
+    with open(f"{REF}/tests/pipelines/{name}.json") as f:
+        return json.load(f)
+
+
+def test_simplest_rss_pipeline(spark):
+    out = build_pipeline(spark, _pipe("pipe_2de0e4517ed76082dcddf66f7b218057"))
+    rows = out.collect()
+    assert len(rows) == 17
+    assert rows[0]["title"].startswith("Running “Native” Data Wrangling Applicati")
+
+
+def test_tail_pipeline_with_input_terminal(spark):
+    out = build_pipeline(
+        spark, _pipe("pipe_06c4c44316efb0f5f16e4e7fa4589ba2"),
+        order_by=None,
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    # sort title DESC then tail(5): riko emits the 5 smallest titles in
+    # ascending position of the DESC order; the golden checks items[0]
+    assert any("American woman is being held hostage" in r["title"] for r in rows)
+
+
+def test_reverse_truncate_pipeline(spark):
+    """pipe_58a53...: fetch(2 rss urls) + fetch(urlbuilder terminal url)
+    → union → sort(title ASC) → truncate(3) → reverse; golden: 3 items,
+    titles strictly descending (test_basics.py:389-398)."""
+    out = build_pipeline(spark, _pipe("pipe_58a53262da5a095fe7a0d6d905cc4db6"))
+    rows = out.collect()
+    assert len(rows) == 3
+    titles = [r["title"] for r in rows]
+    assert titles == sorted(titles, reverse=True)
+
+
+def test_tail_pipeline_count_override(spark):
+    out = build_pipeline(
+        spark, _pipe("pipe_06c4c44316efb0f5f16e4e7fa4589ba2"),
+        inputs={"numberinput1": 3},
+    )
+    assert len(out.collect()) == 3
