@@ -111,9 +111,20 @@ def forever_op(df: DataFrame | None, conf: dict | None = None,
                spark: SparkSession | None = None) -> DataFrame:
     """Unbounded driver stream (riko/modules/forever.py:37-64 yields
     ``{'forever': True}`` endlessly) → the rate source, the canonical
-    Structured-Streaming unbounded driver."""
+    Structured-Streaming unbounded driver.
+
+    ``streaming: false`` gives the batch analog: a bounded driver frame
+    (default 1024 rows — riko's laziness means downstream limits bound
+    it anyway; a batch plan needs an explicit bound).
+    """
+    conf = conf or {}
     spark = spark or SparkSession.getActiveSession()
-    rate = (conf or {}).get("rows_per_second", 1)
+    if not conf.get("streaming", True) or conf.get("limit"):
+        n = int(conf.get("limit", 1024))
+        return spark.range(n).select(
+            F.col("id").alias("event_seq"), F.lit(True).alias("forever")
+        )
+    rate = conf.get("rows_per_second", 1)
     return (
         spark.readStream.format("rate").option("rowsPerSecond", rate).load()
         .withColumn("forever", F.lit(True))

@@ -190,12 +190,18 @@ def strtransform_op(
 
 @register("strconcat")
 def strconcat_op(
-    df: DataFrame, conf: dict, assign: str = "strconcat",
-    emit: bool = False, skip_if=None,
+    df: DataFrame | None, conf: dict, assign: str = "strconcat",
+    emit: bool = False, skip_if=None, spark=None,
 ) -> DataFrame:
     """Concatenate conf ``part`` values — literals and/or item-field
     refs; falsy parts are dropped (riko/modules/strconcat.py:36-58)."""
-    parts = _listize(conf.get("part"))
+    if df is None:  # source mode: one literal row
+        from pyspark.sql import SparkSession
+
+        df = (spark or SparkSession.getActiveSession()).range(1).drop("id")
+        emit = True
+    part = conf.get("part")
+    parts = [part] if isinstance(part, str) else _listize(part)
     cols = []
     for p in parts:
         if isinstance(p, dict) and "subkey" in p:

@@ -270,14 +270,32 @@ def itembuilder_op(df: DataFrame | None, conf: dict, emit: bool = True, spark=No
 
         df = (spark or SparkSession.getActiveSession()).range(1).drop("id")
         emit = True
-    cols = []
+    attrs: list[tuple[str, Column]] = []
     for attr in _listize(conf.get("attrs")):
         key = attr["key"]
         value = attr.get("value")
         if isinstance(value, dict) and "subkey" in value:
-            cols.append(F.col(value["subkey"]).alias(key))
+            attrs.append((key, F.col(value["subkey"])))
         else:
-            cols.append(F.lit(value).alias(key))
+            attrs.append((key, F.lit(value)))
+    # dotted keys create nested structs (riko DotDict.__setitem__,
+    # riko/dotdict.py:525-563)
+    tree: dict = {}
+    for key, col in attrs:
+        node = tree
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = col
+
+    def build(node):
+        return F.struct(*[
+            (build(v) if isinstance(v, dict) else v).alias(k) for k, v in node.items()
+        ])
+
+    cols = [
+        (build(v) if isinstance(v, dict) else v).alias(k) for k, v in tree.items()
+    ]
     return df.select(*cols) if emit else df.select("*", *cols)
 
 

@@ -131,7 +131,13 @@ def csv_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) 
         reader = reader.option("sep", conf["delimiter"])
     if conf.get("skip_rows"):
         reader = reader.option("skipLines", int(conf["skip_rows"]))
-    return reader.csv(_resolve(conf["url"]))
+    out = reader.csv(_resolve(conf["url"]))
+    col_names = conf.get("col_names")
+    if col_names:
+        # riko csv: col_names override the header positionally
+        # (riko/modules/csv.py:100-135)
+        out = out.toDF(*[str(c) for c in col_names[: len(out.columns)]])
+    return out
 
 
 @register("fetchtable", sub_kind="source")

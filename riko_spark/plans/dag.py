@@ -95,6 +95,7 @@ def build_pipeline(
     sources: dict[str, DataFrame] | None = None,
     inputs: dict | None = None,
     order_by: list[str] | None = None,
+    streaming: bool = True,
 ) -> DataFrame:
     """Interpret a pipe def into a single DataFrame plan.
 
@@ -180,13 +181,25 @@ def build_pipeline(
 
         if mtype == "loop":
             # loop(embed=X): apply the embedded processor per row with
-            # the loop-level fold options (riko/modules/loop.py)
-            embed = mod["conf"]["embed"] if "embed" in (mod.get("conf") or {}) else mod["embed"]
+            # the two-level fold options (riko/modules/loop.py) — the
+            # embed dict and the loop conf both carry option keys
+            embed = conf.get("embed") if "embed" in conf else mod.get("embed")
             embed = normalize_conf(embed)
             etype = embed.get("type") or embed.get("module")
             econf = dict(embed.get("conf") or {})
+            try:
+                eparams = inspect.signature(get_operator(etype)).parameters
+            except UnsupportedModuleError:
+                eparams = {}
+            for opt in OPTION_KEYS:
+                for layer in (embed, conf):
+                    if opt in layer and opt in eparams:
+                        kwargs[opt] = layer[opt]
             results[mid] = call_operator(etype, df, econf, **kwargs)
+            stream_order[mid] = inherited
             continue
+        if mtype == "forever" and not streaming:
+            conf.setdefault("streaming", False)
         if mtype == "split":
             conf.setdefault("splits", len([w for w in wires if str(w["src"]["moduleid"]) == mid]) or 2)
 

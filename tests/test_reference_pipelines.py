@@ -64,6 +64,50 @@ def test_reverse_truncate_pipeline(spark):
     assert titles == sorted(titles, reverse=True)
 
 
+def test_itembuilder_pipeline_nested_paths(spark):
+    """pipe_b9628...: two source itembuilders with dotted keys (nested
+    structs) + a strconcat terminal → union; goldens at
+    test_basics.py:409-424 (keys case-insensitive per riko DotDict)."""
+    out = build_pipeline(spark, _pipe("pipe_b96287458de001ad62a637095df33ad5"))
+    rows = [r.asDict(recursive=True) for r in out.collect()]
+    assert len(rows) == 2
+    first = next(r for r in rows if r["attr1"] == "val1")
+    second = next(r for r in rows if r["attr1"] == "VAL1")
+    assert first["attrpath"] == {"attr2": "val2", "attr3": "extVal"}
+    assert first["longpath"] == {"attrpath": {"attr3": "val3"}}
+    assert second["attrpath"]["attr2"] == "VAL2"
+
+
+def test_csv_pipeline_with_loops(spark):
+    """pipe_UuvYtuMe...: csv(col_names) → filter(Member contains input
+    terminal 'Lancaster') → loop(rename copy Member→title) →
+    loop(strconcat assign description) → loop(strconcat assign title);
+    golden: exactly 1 item, title/description exact
+    (test_basics.py:467-517)."""
+    out = build_pipeline(spark, _pipe("pipe_UuvYtuMe3hGDsmRgPm7D0g"))
+    rows = [r.asDict() for r in out.collect()]
+    assert len(rows) == 1
+    item = rows[0]
+    assert item["Member"] == "Lancaster"
+    assert item["firstName"] == "Mr Mark"
+    assert item["title"] == "Mr Mark Lancaster"
+    assert item["description"].startswith(
+        "Total allowances claimed, inc travel: 151619<br>"
+    )
+    assert item["description"].endswith("Staffing Costs: 88283")
+    assert item["StaffingCosts"] == "88283"
+
+
+def test_forever_pipeline(spark):
+    """pipe_forever: forever driver source bounded by truncate(3);
+    golden: 3 x {'forever': True} (test_basics.py:333-340)."""
+    out = build_pipeline(
+        spark, _pipe("pipe_forever"), order_by=["event_seq"], streaming=False
+    )
+    rows = [r.asDict() for r in out.drop("event_seq").collect()]
+    assert rows == [{"forever": True}] * 3
+
+
 def test_tail_pipeline_count_override(spark):
     out = build_pipeline(
         spark, _pipe("pipe_06c4c44316efb0f5f16e4e7fa4589ba2"),
