@@ -380,8 +380,11 @@ def tokenize_col(col: Column, delimiter: str = ",", dedupe: bool = False, sort: 
     tokens survive as ''); optional dedupe and lower-keyed sort."""
     quoted = "\\Q" + delimiter + "\\E"  # literal delimiter (split takes a regex)
     toks = F.split(col.cast("string"), quoted, -1)
-    toks = F.filter(toks, lambda x: x != F.lit(""))
-    toks = F.transform(toks, lambda x: F.regexp_replace(x, _PY_STRIP, ""))
+    # drop pre-strip empties natively (cheaper than a filter lambda),
+    # then strip Python's exact whitespace set with btrim (no regex)
+    toks = F.array_remove(toks, "")
+    py_ws = " \t\n\r\x0b\x0c"
+    toks = F.transform(toks, lambda x: F.btrim(x, F.lit(py_ws)))
     if dedupe:
         toks = F.array_distinct(toks)
     if sort:
