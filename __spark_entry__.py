@@ -449,6 +449,31 @@ def q_first_k_per_key(spark, sf):
     return first_k_per_key(ev, "user_id", k=2, order_col="event_id")
 
 
+def q_aggregate_udaf(spark, sf):
+    """The ``aggregate`` pipe (UDAF escape hatch, riko/modules/
+    aggregate.py): per-group pandas aggregation — integer-cent sums so
+    the value hash is exact across engines."""
+    import pandas as pd
+
+    from riko_spark.operators.aggregates import aggregate_op
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]],
+             "total_cents": [pdf["cents"].sum()],
+             "n": [len(pdf)]}
+        )
+
+    return aggregate_op(
+        ev, func=agg, schema="event_type string, total_cents bigint, n bigint",
+        group_key="event_type",
+    )
+
+
 def q_pipe_graph(spark, sf):
     """End-to-end riko pipe graph via the JSON-DAG compiler:
     documents → filter(lang=en) → tokenizer → count(token)."""
@@ -526,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strfind_last": q_strfind_last,
         "regex_casematch": q_regex_casematch,
         "first_k_per_key": q_first_k_per_key,
+        "aggregate_udaf": q_aggregate_udaf,
         "pipe_graph": q_pipe_graph,
     }
 
@@ -829,6 +855,13 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
                 FROM events
             ) WHERE rn <= 2
+        """,
+        "aggregate_udaf": """
+            SELECT event_type,
+                   -- DuckDB SUM(BIGINT) widens to HUGEINT; cast back
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         "pipe_graph": f"""
             WITH toks AS (
