@@ -1,0 +1,174 @@
+"""Property-style parity: random inputs through the Spark operators vs
+straight-line Python implementations of the reference semantics.
+
+Instead of per-example Spark jobs (too slow), each test generates a
+few hundred random strings with a seeded RNG, runs ONE Spark job over
+all of them, and compares elementwise against the pure-Python
+reference transcription (the same functions riko applies per item).
+"""
+
+import random
+import re
+import string
+
+import pyspark.sql.functions as F
+import pytest
+
+from riko_spark.plans.flow import Flow
+
+ALPHABET = string.ascii_letters + string.digits + " \t\n,.#-_<>" + "éß"
+
+
+def _random_strings(n=300, seed=1234, maxlen=40):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        k = rng.randrange(0, maxlen)
+        out.append("".join(rng.choice(ALPHABET) for _ in range(k)))
+    return out
+
+
+def _run(spark, values, flow_fn, out_col):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i long, content string")
+    out = flow_fn(Flow(df)).df.select("i", out_col)
+    return [r[out_col] for r in out.orderBy("i").collect()]
+
+
+def test_tokenizer_parity_random(spark):
+    # riko/modules/tokenizer.py:66-68 exact semantics
+    values = _random_strings(seed=42)
+
+    def py_tokens(s):
+        return [t.strip() for t in s.split(",") if t]
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i long, content string")
+    from riko_spark.operators.strings import tokenize_col
+
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokenize_col(F.col("content")).alias("toks")).collect()
+    }
+    for i, v in enumerate(values):
+        assert got[i] == py_tokens(v), f"tokenizer diverged on {v!r}"
+
+
+def test_substr_parity_random(spark):
+    values = _random_strings(seed=7)
+    start, length = 3, 5
+
+    got = _run(spark, values,
+               lambda f: f.substr({"start": start, "length": length}), "substr")
+    for v, g in zip(values, got):
+        assert g == v[start:start + length], f"substr diverged on {v!r}"
+
+
+def test_strreplace_first_last_parity_random(spark):
+    values = _random_strings(seed=99)
+    find, repl = ",", "<SEP>"
+    for param, pyfn in (
+        ("first", lambda s: s.replace(find, repl, 1)),
+        ("last", lambda s: repl.join(s.rsplit(find, 1))),
+        ("every", lambda s: s.replace(find, repl)),
+    ):
+        got = _run(
+            spark, values,
+            lambda f, p=param: f.strreplace({"rule": [{"find": find, "replace": repl, "param": p}]}),
+            "strreplace",
+        )
+        for v, g in zip(values, got):
+            assert g == pyfn(v), f"strreplace {param} diverged on {v!r}"
+
+
+def test_strfind_parity_random(spark):
+    # riko/modules/strfind.py reducer transcription
+    values = _random_strings(seed=3)
+    find = "-"
+
+    def py_strfind(word, location, param):
+        if location == "at":
+            pos = word.find(find) if param != "last" else word.rfind(find)
+            sliced = word[pos:len(find)] if pos != -1 else ""
+            return sliced.strip()
+        splits = word.split(find, 1) if param == "first" else word.split(find)
+        if location == "after":
+            return splits[-1].strip()
+        return find.join(splits[: len(splits) - 1]).strip()
+
+    for location in ("before", "after"):
+        for param in ("first", "last"):
+            got = _run(
+                spark, values,
+                lambda f, lo=location, p=param: f.strfind(
+                    {"rule": [{"find": find, "location": lo, "param": p}]}
+                ),
+                "strfind",
+            )
+            for v, g in zip(values, got):
+                assert g == py_strfind(v, location, param), (
+                    f"strfind {location}/{param} diverged on {v!r}"
+                )
+
+
+def test_regex_parity_random(spark):
+    values = _random_strings(seed=11)
+    pattern, repl = r"(\d+)", r"<$1>"
+    py = re.compile(pattern, re.IGNORECASE | re.MULTILINE | re.DOTALL)
+
+    got = _run(
+        spark, values,
+        lambda f: f.regex({"rule": [{"field": "content", "match": pattern, "replace": repl}]}),
+        "content",
+    )
+    for v, g in zip(values, got):
+        assert g == py.sub(r"<\1>", v), f"regex diverged on {v!r}"
+
+
+def test_filter_predicate_parity_random(spark):
+    # rule eval vs riko's SWITCH semantics (riko/modules/filter.py:52-69)
+    values = _random_strings(seed=23)
+
+    def py_contains(x, y):
+        return bool(x and y.lower() in x.lower())
+
+    out = _run(
+        spark, values,
+        lambda f: f.strconcat({"part": [{"subkey": "content"}]}, assign="copy"),
+        "copy",
+    )  # warm spark session path; real check below
+    del out
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i long, content string")
+    kept = {
+        r["i"]
+        for r in Flow(df).filter(
+            {"rule": [{"field": "content", "op": "contains", "value": "a"}]}
+        ).df.collect()
+    }
+    for i, v in enumerate(values):
+        assert (i in kept) == py_contains(v, "a"), f"filter diverged on {v!r}"
+
+
+@pytest.mark.parametrize("parts", [1, 8])
+def test_minhash_partitioning_invariance(spark, parts):
+    """Signatures are a pure function of the document — identical under
+    any partitioning (distribution-correctness invariant)."""
+    from riko_spark.operators.dedupe import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(_random_strings(6, seed=i, maxlen=8)))
+         for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(parts)
+    sigs = {
+        r["doc_id"]: tuple(r[f"__m{p}"] for p in range(8))
+        for r in minhash_signatures(docs, "text", 8, 3).collect()
+    }
+    # compare against single-partition ground truth
+    base = {
+        r["doc_id"]: tuple(r[f"__m{p}"] for p in range(8))
+        for r in minhash_signatures(docs.coalesce(1), "text", 8, 3).collect()
+    }
+    assert sigs == base
