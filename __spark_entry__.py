@@ -11,10 +11,17 @@ column names).
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+
+# the riko_spark package lives next to this file; make imports robust
+# to whatever cwd the driver runs from
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 SF001 = "/root/testdata/sf0.001"
 
