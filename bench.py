@@ -235,7 +235,8 @@ def main():
     pages_path = pages_fixture(n=args.rows)
 
     spark = get_spark(app_name="riko_spark-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
+                      shuffle_partitions=CPUS,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "32m"})
     out = {
         "metric": "end-to-end pipe-graph throughput (docs/sec) and "
                   "windowed-aggregate latency on synthetic webtext stream",
