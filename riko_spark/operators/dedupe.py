@@ -9,7 +9,9 @@ Exact + four near-dup families, all shaped for 100 TB:
                    all pairs: rows shuffle once per band on the band
                    hash, skew bounded by bucket size.
   simhash          64-bit SimHash per doc (Arrow-batched pandas UDF),
-                   near-dup = identical simhash prefix buckets.
+                   near-dup candidates = any of B bit-bands identical
+                   (Manku et al., WWW'07) — guarantees recall for
+                   hamming ≤ B-1 by pigeonhole.
   ngram_jaccard    exact Jaccard over word n-gram sets for candidate
                    pairs (used to verify LSH candidates).
   embedding_neardup  random-hyperplane LSH over an embedding column →
@@ -30,6 +32,43 @@ from pyspark.sql.types import LongType
 
 from riko_spark.operators import register
 from riko_spark.operators.textstats import words_col
+
+
+def cap_buckets(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int | None,
+    log_dropped: bool = False, what: str = "lsh",
+) -> DataFrame:
+    """Frequent-bucket guard for bucketed self-joins.
+
+    One degenerate bucket (boilerplate-heavy corpora: identical
+    headers/footers hashing to one band value) makes the self-join
+    O(bucket²).  Buckets above ``max_bucket_size`` are excluded from
+    candidate generation; a bucket that large at a sane band width is
+    ~always a pathological collision, and its pairs are recoverable by
+    re-running with a salt.  Not silent: with ``log_dropped`` the
+    dropped row mass is counted and warned (costs one extra job — flip
+    it on for audits, off in the steady-state pipeline where the
+    bucket-size histogram is monitored from the metrics listener).
+    """
+    if max_bucket_size is None:
+        return keyed
+    counts = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    if log_dropped:
+        import warnings
+
+        big = counts.filter(F.col("__bn") > max_bucket_size)
+        dropped = big.agg(
+            F.coalesce(F.sum("__bn"), F.lit(0)).alias("rows"),
+            F.count(F.lit(1)).alias("buckets"),
+        ).first()
+        if dropped["buckets"]:
+            warnings.warn(
+                f"{what}: dropped {dropped['buckets']} bucket(s) / "
+                f"{dropped['rows']} rows over max_bucket_size={max_bucket_size}",
+                stacklevel=2,
+            )
+    ok = counts.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+    return keyed.join(ok, bucket_cols, "inner")
 
 
 def _norm(text: Column) -> Column:
@@ -99,16 +138,21 @@ def minhash_lsh_op(
     bands: int = 8,
     shingle_size: int = 3,
     jaccard_threshold: float | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     Returns (left_id, right_id[, jaccard]) with left < right.  With
     ``jaccard_threshold`` the candidates are verified with exact
     n-gram Jaccard (one extra join against the shingle sets).
+    Buckets larger than ``max_bucket_size`` are excluded from the
+    self-join (see :func:`cap_buckets`).
     """
     conf = conf or {}
     num_hashes = int(conf.get("num_hashes", num_hashes))
     bands = int(conf.get("bands", bands))
+    shingle_size = int(conf.get("shingle_size", shingle_size))
+    max_bucket_size = conf.get("max_bucket_size", max_bucket_size)
     rows = num_hashes // bands
     sigs = minhash_signatures(df, field, num_hashes, shingle_size, id_col)
     band_structs = F.array(*[
@@ -122,6 +166,8 @@ def minhash_lsh_op(
         sigs.select(id_col, F.explode(band_structs).alias("__b"))
         .select(id_col, F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
     )
+    banded = cap_buckets(banded, ["__band", "__bh"], max_bucket_size,
+                         log_dropped=bool(conf.get("log_dropped")), what="minhash_lsh")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -177,8 +223,13 @@ def ngram_jaccard_op(df: DataFrame, conf: dict | None = None, **kwargs) -> DataF
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-batched).
 
-    Token hashes via a stable blake2b-derived 64-bit value so results
-    are reproducible across processes (unlike the builtin ``hash``)."""
+    Token hash = first 8 bytes of md5 (big-endian), chosen because it
+    is stable across processes (unlike the builtin ``hash``) AND
+    engine-independent: the whole simhash is reproducible in ANSI SQL
+    (md5 + bit ops), so the driver's DuckDB oracle value-checks this
+    kernel end-to-end.  Bit k of the result (k=0 = MSB) is 1 iff the
+    sum over token occurrences of ±1 (per the token hash's bit k) is
+    strictly positive."""
     import hashlib
 
     def one(t):
@@ -186,7 +237,7 @@ def simhash64(texts: pd.Series) -> pd.Series:
             return None
         acc = np.zeros(64, dtype=np.int64)
         for tok in t.lower().split():
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
             bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
             acc += np.where(bits > 0, 1, -1)
         val = 0
@@ -206,38 +257,89 @@ def simhash_op(df: DataFrame, conf: dict | None = None, field: str = "text",
 @register("simhash_neardup")
 def simhash_neardup_op(
     df: DataFrame, conf: dict | None = None, field: str = "text",
-    id_col: str = "doc_id", prefix_bits: int = 16,
+    id_col: str = "doc_id", bands: int = 8, max_hamming: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Candidate near-dup pairs whose simhash agrees on a high-bit
-    prefix bucket — one shuffle on the bucket key."""
-    prefix_bits = int((conf or {}).get("prefix_bits", prefix_bits))
-    hashed = df.withColumn("__sh64", simhash64(F.col(field))).select(
-        id_col, (F.shiftright(F.col("__sh64"), 64 - prefix_bits)).alias("__bucket"), "__sh64"
-    )
-    l, r = hashed.alias("l"), hashed.alias("r")
+    """Near-dup pairs by banded SimHash (Manku et al., WWW'07 §3).
+
+    The 64-bit simhash splits into ``bands`` equal bit-bands; a pair is
+    a candidate when ANY band is identical — by pigeonhole this finds
+    every pair with hamming ≤ bands-1 (guaranteed recall), with one
+    shuffle keyed on (band, band-bits).  With ``max_hamming`` the
+    candidates are verified exactly (bit_count of the XOR) and
+    filtered; default ``bands-1`` keeps the recall guarantee tight.
+    Buckets above ``max_bucket_size`` are excluded (boilerplate guard,
+    see :func:`cap_buckets`)."""
+    conf = conf or {}
+    bands = int(conf.get("bands", bands))
+    max_hamming = conf.get("max_hamming", max_hamming)
+    max_hamming = bands - 1 if max_hamming is None else int(max_hamming)
+    max_bucket_size = conf.get("max_bucket_size", max_bucket_size)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashed = df.withColumn("__sh64", simhash64(F.col(field))).select(id_col, "__sh64")
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("__sh64"), b * width).bitwiseAND(F.lit(mask)).alias("bits"),
+        )
+        for b in range(bands)
+    ])
+    banded = hashed.select(
+        id_col, "__sh64", F.explode(band_structs).alias("__b")
+    ).select(id_col, "__sh64", F.col("__b.band").alias("__band"),
+             F.col("__b.bits").alias("__bits"))
+    banded = cap_buckets(banded, ["__band", "__bits"], max_bucket_size,
+                         log_dropped=bool(conf.get("log_dropped")), what="simhash_neardup")
+    l, r = banded.alias("l"), banded.alias("r")
     return (
-        l.join(r, (F.col("l.__bucket") == F.col("r.__bucket"))
+        l.join(r, (F.col("l.__band") == F.col("r.__band"))
+               & (F.col("l.__bits") == F.col("r.__bits"))
                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .select(
             F.col(f"l.{id_col}").alias("left_id"),
             F.col(f"r.{id_col}").alias("right_id"),
             F.bit_count(F.col("l.__sh64").bitwiseXOR(F.col("r.__sh64"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+
+
+def embedding_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality: prefer the caller-supplied value (a plan
+    builder must not launch jobs); fall back to sniffing one row."""
+    if dim is not None:
+        return int(dim)
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer dim of {vec_col!r} from an empty DataFrame — "
+            "pass dim= (or conf['dim'])"
+        )
+    return len(row[0])
 
 
 @register("embedding_neardup")
 def embedding_neardup_op(
     df: DataFrame, conf: dict | None = None, vec_col: str = "embedding",
     id_col: str = "vec_id", planes: int = 12, cosine_threshold: float = 0.9,
-    seed: int = 7,
+    seed: int = 7, dim: int | None = None, probes: int = 0,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: random-hyperplane LSH bucket
-    join, then exact cosine verification inside buckets."""
+    join, then exact cosine verification inside buckets.
+
+    ``probes=1`` additionally pairs rows whose buckets differ in one
+    plane bit (multi-probe: one side explodes to its hamming-1
+    neighborhood) — recall knob for pairs straddling one hyperplane.
+    """
     conf = conf or {}
     planes = int(conf.get("planes", planes))
     thr = float(conf.get("cosine_threshold", cosine_threshold))
-    dim = len(df.select(vec_col).first()[0])
+    probes = int(conf.get("probes", probes))
+    max_bucket_size = conf.get("max_bucket_size", max_bucket_size)
+    dim = embedding_dim(df, vec_col, conf.get("dim", dim))
     rng = np.random.default_rng(seed)
     hyper = rng.standard_normal((planes, dim))
 
@@ -260,7 +362,19 @@ def embedding_neardup_op(
         (b * (1 << i) for i, b in enumerate(sign_bits)), F.lit(0)
     )
     keyed = df.select(id_col, vec_col).withColumn("__bucket", bucket)
-    l, r = keyed.alias("l"), keyed.alias("r")
+    keyed = cap_buckets(keyed, ["__bucket"], max_bucket_size,
+                        log_dropped=bool(conf.get("log_dropped")),
+                        what="embedding_neardup")
+    left = keyed
+    if probes:
+        # multi-probe: left side explodes to (own bucket + 1-bit flips);
+        # pairs whose buckets differ by ≤1 plane then meet on the key
+        flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(planes)])
+        left = keyed.withColumn(
+            "__bucket",
+            F.explode(F.transform(flips, lambda m: F.col("__bucket").bitwiseXOR(m))),
+        )
+    l, r = left.alias("l"), keyed.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
                    lambda a, b: a.cast("double") * b.cast("double")),

@@ -132,14 +132,33 @@ def filter_op(df: DataFrame, conf: dict, order_by: list[str] | None = None) -> D
         if not order_by:
             raise ValueError("filter(stop=True) requires order_by (event-order spine)")
         # keep the prefix before the first blocked row (riko
-        # filter.py:213-214). Global min over a blocked-seq column;
-        # restricted: one global ordering => single-pass window.
-        from riko_spark.operators.ordering import asc_cols
+        # filter.py:213-214).  Two-pass plan: a tiny all-reduce finds
+        # the min ordering key among blocked rows, then a plain filter
+        # keeps everything strictly before it.  No global window — an
+        # unpartitioned running-max Window funnels ALL rows through one
+        # task; this shape is two parallel scans + a 1-row broadcast.
+        from riko_spark.operators.ordering import asc_cols, parse_spec
 
+        specs = [parse_spec(c) for c in order_by]
+        if not any(d for _, d in specs):
+            key = F.struct(*[F.col(n) for n, _ in specs])
+            first_blocked = (
+                df.filter(~F.coalesce(pred, F.lit(False)))
+                .agg(F.min(key).alias("__stop_at"))
+            )
+            return (
+                df.join(F.broadcast(first_blocked))
+                .filter(F.col("__stop_at").isNull() | (key < F.col("__stop_at")))
+                .drop("__stop_at")
+            )
+        # mixed-direction spine: struct-min has no per-field direction —
+        # fall back to the single-pass global window (bounded use only)
         w = Window.orderBy(*asc_cols(order_by)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        blocked_so_far = F.max(F.when(~pred, F.lit(1)).otherwise(F.lit(0))).over(w)
+        blocked_so_far = F.max(
+            F.when(~F.coalesce(pred, F.lit(False)), F.lit(1)).otherwise(F.lit(0))
+        ).over(w)
         return (
             df.withColumn("__blocked", blocked_so_far)
             .filter(F.col("__blocked") == 0)

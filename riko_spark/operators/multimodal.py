@@ -87,12 +87,11 @@ def image_features_op(df: DataFrame, conf: dict | None = None,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                b = row[field]
+            for rid, b in zip(pdf[id_col], pdf[field]):
                 if b is None:
                     continue
                 w, h, feat = _decode_image_stub(bytes(b))
-                rows.append((row[id_col], w, h, feat.tolist()))
+                rows.append((rid, w, h, feat.tolist()))
             yield pd.DataFrame(rows, columns=["id", "width", "height", "feature"])
 
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
@@ -111,8 +110,7 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                b = row[field]
+            for rid, b in zip(pdf[id_col], pdf[field]):
                 if b is None:
                     continue
                 b = bytes(b)
@@ -120,7 +118,7 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
                 for i, off in enumerate(range(0, len(b), chunk * every)):
                     if i >= max_frames:
                         break
-                    rows.append((row[id_col], i, b[off:off + chunk]))
+                    rows.append((rid, i, b[off:off + chunk]))
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame"])
 
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)

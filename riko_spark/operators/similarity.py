@@ -86,6 +86,7 @@ def ann_lsh_op(
     planes: int = 10,
     probes: int = 1,
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-sign buckets + multi-probe.
 
@@ -97,7 +98,9 @@ def ann_lsh_op(
                          int(conf.get("probes", probes)))
     if queries is None:
         raise ValueError("ann_lsh requires queries=")
-    dim = len(df.select(vec_col).first()[0])
+    from riko_spark.operators.dedupe import embedding_dim
+
+    dim = embedding_dim(df, vec_col, conf.get("dim", dim))
     rng = np.random.default_rng(seed)
     hyper = rng.standard_normal((planes, dim))
 

@@ -151,7 +151,9 @@ def _apply_transform(col: Column, transform: str, args: list[str]) -> Column:
     if transform == "capitalize":
         return F.concat(F.upper(F.substring(col, 1, 1)), F.lower(F.substring(col, 2, 2**31 - 1)))
     if transform == "zfill":
-        return F.lpad(col, int(args[0]), "0")
+        # lpad truncates when len(s) > width; Python str.zfill never does
+        width = int(args[0])
+        return F.when(F.length(col) >= width, col).otherwise(F.lpad(col, width, "0"))
     if transform == "replace":
         return F.replace(col, F.lit(args[0]), F.lit(args[1] if len(args) > 1 else ""))
     if transform == "count":

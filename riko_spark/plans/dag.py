@@ -73,6 +73,114 @@ def _substitute_terminals(conf: Any, terminals: dict[str, Any]) -> Any:
     return conf
 
 
+def resolve_terminal(val: Any) -> Any:
+    """Terminal slot: riko pulls the FIRST value from the wired pipe's
+    stream (riko/dotdict.py:78-85,606-630); a literal (input module)
+    passes through as-is."""
+    if isinstance(val, DataFrame):
+        row = val.first()
+        if row is None:
+            return None
+        return row[0] if len(row) == 1 else row.asDict()
+    return val
+
+
+def _op_params(mtype: str):
+    try:
+        return inspect.signature(get_operator(mtype)).parameters
+    except UnsupportedModuleError:
+        return {}
+
+
+def execute_module(
+    mtype: str,
+    df: DataFrame | None,
+    conf: dict | None,
+    *,
+    spark: SparkSession | None = None,
+    order_by: list[str] | None = None,
+    others: list[DataFrame] | None = None,
+    wired: dict[str, Any] | None = None,
+    embed_def: dict | None = None,
+    streaming: bool = True,
+    fanout: int | None = None,
+) -> Any:
+    """Run ONE pipe module with riko's kwarg/terminal/option semantics.
+
+    This is the shared execution core of the interpreter
+    (:func:`build_pipeline`) and of generated code
+    (riko_spark.plans.codegen) — factoring it out keeps the two paths
+    behaviorally identical by construction.
+
+    ``wired`` maps a wire's target slot id to the upstream result:
+    DataFrames wired into ``other``/``embed`` pass as operator kwargs;
+    anything else is a *terminal* (first value of the upstream stream,
+    riko's dotdict sentinel) substituted into the conf.  Option-layer
+    keys (field/assign/emit/skip_if/count) lift out of the conf only
+    when the operator's signature accepts them — e.g. truncate's conf
+    ``count`` is NOT the option-layer ``count``.
+    """
+    conf = dict(conf or {})
+    kwargs: dict[str, Any] = {"spark": spark, "order_by": order_by}
+    terminals: dict[str, Any] = {}
+    for tgt_id, val in sorted((wired or {}).items()):
+        if isinstance(val, DataFrame) and tgt_id in ("other", "embed"):
+            kwargs[tgt_id] = val
+        else:
+            terminals[tgt_id.lower()] = resolve_terminal(val)
+    if others:
+        kwargs["others"] = others
+    if terminals:
+        conf = _substitute_terminals(conf, terminals)
+
+    if mtype == "loop":
+        # loop(embed=X): apply the embedded processor per row with the
+        # two-level fold options (riko/modules/loop.py) — the embed
+        # dict and the loop conf both carry option keys
+        embed = conf.get("embed") if "embed" in conf else embed_def
+        embed = normalize_conf(embed)
+        etype = embed.get("type") or embed.get("module")
+        econf = dict(embed.get("conf") or {})
+        eparams = _op_params(etype)
+        for opt in OPTION_KEYS:
+            for layer in (embed, conf):
+                if opt in layer and opt in eparams:
+                    kwargs[opt] = layer[opt]
+        return call_operator(etype, df, econf, **kwargs)
+
+    params = _op_params(mtype)
+    for opt in OPTION_KEYS:
+        if opt in conf and opt in params:
+            kwargs[opt] = conf.pop(opt)
+    if mtype == "forever" and not streaming:
+        conf.setdefault("streaming", False)
+    if mtype == "split" and fanout is not None:
+        conf.setdefault("splits", fanout or 2)
+    return call_operator(mtype, df, conf, **kwargs)
+
+
+def resolve_upstream(results: dict, main_src: str | None, sources: dict,
+                     mid: str, source_name: str) -> DataFrame | None:
+    """Main-input DataFrame for a module: the wired upstream result if
+    it is a DataFrame, else an explicitly provided source (the sandbox
+    stand-in for URL fetching)."""
+    df = results.get(main_src) if main_src is not None else None
+    if not isinstance(df, DataFrame):
+        df = sources.get(mid) or sources.get(source_name)
+    return df
+
+
+def sort_order_rules(conf: dict) -> list[str]:
+    """Stream ordering a ``sort`` module imposes downstream."""
+    rules = conf.get("rule") or []
+    rules = [rules] if isinstance(rules, dict) else rules
+    return [
+        f"{r['field']} desc"
+        if str(r.get("dir", "asc")).lower() == "desc" else str(r["field"])
+        for r in rules
+    ]
+
+
 def parse_pipe_def(pipe_def: dict, name: str = "pipeline") -> dict:
     """Normalize a pipe def into {name, modules, graph, wires}."""
     modules = {str(m["id"]): normalize_conf(m) for m in pipe_def["modules"]}
@@ -136,84 +244,27 @@ def build_pipeline(
             results[mid] = bind_input(conf, inputs)
             continue
 
-        df = results.get(main_input.get(mid)) if mid in main_input else None
-        if not isinstance(df, DataFrame):
-            # upstream produced a plan-time literal (input module) or
-            # nothing — fall back to an explicitly provided source
-            df = sources.get(mid) or sources.get(str(conf.get("source", "")))
+        df = resolve_upstream(results, main_input.get(mid), sources,
+                              mid, str(conf.get("source", "")))
 
         inherited = stream_order.get(main_input.get(mid, ""), None)
-        kwargs: dict[str, Any] = {"spark": spark,
-                                  "order_by": inherited or order_by}
         others: list[DataFrame] = []
-        terminals: dict[str, Any] = {}
+        wired: dict[str, Any] = {}
         for tgt_id, src in sorted(extra_inputs.get(mid, [])):
             if tgt_id.startswith("_OTHER"):
                 others.append(results[src])
-            elif isinstance(results[src], DataFrame) and tgt_id in ("other", "embed"):
-                kwargs[tgt_id] = results[src]
             else:
-                # terminal slot: riko pulls the FIRST value from the
-                # wired pipe's stream (riko/dotdict.py:78-85,606-630);
-                # a literal (input module) passes through as-is
-                val = results[src]
-                if isinstance(val, DataFrame):
-                    row = val.first()
-                    val = row[0] if row is not None and len(row) == 1 else (
-                        row.asDict() if row is not None else None
-                    )
-                terminals[tgt_id.lower()] = val
-        if others:
-            kwargs["others"] = others
-        if terminals:
-            conf = _substitute_terminals(conf, terminals)
+                wired[tgt_id] = results[src]
 
-        # option-layer keys may ride in the conf (riko module kwargs);
-        # only lift the ones this operator's signature accepts — e.g.
-        # truncate's conf 'count' is NOT the option-layer 'count'
-        try:
-            params = inspect.signature(get_operator(mtype)).parameters
-        except UnsupportedModuleError:
-            params = {}
-        for opt in OPTION_KEYS:
-            if opt in conf and opt in params:
-                kwargs[opt] = conf.pop(opt)
-
-        if mtype == "loop":
-            # loop(embed=X): apply the embedded processor per row with
-            # the two-level fold options (riko/modules/loop.py) — the
-            # embed dict and the loop conf both carry option keys
-            embed = conf.get("embed") if "embed" in conf else mod.get("embed")
-            embed = normalize_conf(embed)
-            etype = embed.get("type") or embed.get("module")
-            econf = dict(embed.get("conf") or {})
-            try:
-                eparams = inspect.signature(get_operator(etype)).parameters
-            except UnsupportedModuleError:
-                eparams = {}
-            for opt in OPTION_KEYS:
-                for layer in (embed, conf):
-                    if opt in layer and opt in eparams:
-                        kwargs[opt] = layer[opt]
-            results[mid] = call_operator(etype, df, econf, **kwargs)
-            stream_order[mid] = inherited
-            continue
-        if mtype == "forever" and not streaming:
-            conf.setdefault("streaming", False)
-        if mtype == "split":
-            conf.setdefault("splits", len([w for w in wires if str(w["src"]["moduleid"]) == mid]) or 2)
-
-        results[mid] = call_operator(mtype, df, conf, **kwargs)
-        if mtype == "sort":
-            rules = conf.get("rule") or []
-            rules = [rules] if isinstance(rules, dict) else rules
-            stream_order[mid] = [
-                f"{r['field']} desc"
-                if str(r.get("dir", "asc")).lower() == "desc" else str(r["field"])
-                for r in rules
-            ]
-        else:
-            stream_order[mid] = inherited
+        results[mid] = execute_module(
+            mtype, df, conf,
+            spark=spark, order_by=inherited or order_by,
+            others=others or None, wired=wired or None,
+            embed_def=mod.get("embed"), streaming=streaming,
+            fanout=len([w for w in wires if str(w["src"]["moduleid"]) == mid])
+            if mtype == "split" else None,
+        )
+        stream_order[mid] = sort_order_rules(conf) if mtype == "sort" else inherited
 
     # result = last module in topo order that produced a DataFrame
     last = None

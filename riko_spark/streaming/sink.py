@@ -8,10 +8,16 @@ at-least-once ``foreachBatch``.
 
 Production target is Iceberg ``MERGE INTO`` on a table partitioned by
 ``days(warc_ts), bucket(64, url)``; this container has no Iceberg
-catalog jars, so the same contract is implemented over parquet with an
-atomic directory swap (write-new → rename), behind one interface.
-The MERGE key and the swap protocol are identical — swapping in the
-Iceberg implementation changes only ``_merge_batch``.
+catalog jars, so the same contract is implemented over parquet with a
+manifest-pointer commit (write generation dir → atomically rename a
+one-line MANIFEST pointing at it), behind one interface.  The MERGE
+key and the commit protocol are identical — swapping in the Iceberg
+implementation changes only ``_merge_batch``.
+
+Cost note: the parquet stand-in rewrites the whole keyed table each
+micro-batch (O(table) per batch) — acceptable only for the bounded
+sandbox tables it is used on; Iceberg MERGE INTO with partition
+pruning is the production path at 10^12 rows.
 """
 
 from __future__ import annotations
@@ -36,15 +42,39 @@ class UpsertSink:
         self.keys = keys
         self.order_col = order_col  # optional recency column for latest-wins
         os.makedirs(path, exist_ok=True)
+        self._gc()
 
     @property
-    def _data_dir(self) -> str:
-        return os.path.join(self.path, "data")
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "MANIFEST")
+
+    def _current_gen(self) -> str | None:
+        """Generation dir the manifest points at, or None before the
+        first commit."""
+        try:
+            with open(self._manifest) as fh:
+                gen = fh.read().strip()
+        except FileNotFoundError:
+            return None
+        p = os.path.join(self.path, gen)
+        return p if gen and os.path.exists(p) else None
+
+    def _gc(self) -> None:
+        """Drop generation/tmp dirs not referenced by the manifest —
+        leftovers of a crash between write and commit."""
+        live = self._current_gen()
+        for name in os.listdir(self.path):
+            p = os.path.join(self.path, name)
+            if p != live and os.path.isdir(p) and name.startswith(("_gen_", "_tmp_", "_old_", "data")):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.isfile(p) and name.startswith("MANIFEST."):
+                os.remove(p)  # uncommitted manifest tmp from a crash
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.exists(self._data_dir):
+        gen = self._current_gen()
+        if gen is None:
             return None
-        return spark.read.parquet(self._data_dir)
+        return spark.read.parquet(gen)
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -67,15 +97,16 @@ class UpsertSink:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
-        deduped.write.mode("overwrite").parquet(tmp)
-        old = self._data_dir
-        back = os.path.join(self.path, f"_old_{uuid.uuid4().hex}")
-        if os.path.exists(old):
-            os.rename(old, back)
-        os.rename(tmp, old)
-        if os.path.exists(back):
-            shutil.rmtree(back, ignore_errors=True)
+        # manifest-pointer commit: the single atomic os.rename of the
+        # manifest file is the commit point — a crash at any earlier
+        # instant leaves the previous generation fully readable
+        gen_name = f"_gen_{batch_id}_{uuid.uuid4().hex}"
+        deduped.write.mode("overwrite").parquet(os.path.join(self.path, gen_name))
+        mtmp = self._manifest + f".{uuid.uuid4().hex}"
+        with open(mtmp, "w") as fh:
+            fh.write(gen_name)
+        os.rename(mtmp, self._manifest)  # atomic on POSIX
+        self._gc()
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         self._merge_batch(batch, batch_id)

@@ -29,7 +29,7 @@ UNION_DEF = {
 
 def test_codegen_is_deterministic():
     assert stringify_pipe(PIPE_DEF, "p") == stringify_pipe(PIPE_DEF, "p")
-    assert "call_operator" in stringify_pipe(PIPE_DEF, "p")
+    assert "execute_module" in stringify_pipe(PIPE_DEF, "p")
 
 
 def test_codegen_matches_interpreter(spark):
@@ -51,3 +51,90 @@ def test_codegen_union_wires(spark):
     fn, _ = compile_pipe(UNION_DEF, "u")
     got = fn(spark, sources={"a": a, "b": b})
     assert sorted(r["x"] for r in got.collect()) == [1, 2]
+
+
+OPTION_DEF = {
+    # conf carries option-layer keys (field/assign/emit) that must be
+    # lifted into operator kwargs — a def the old codegen dropped
+    "modules": [
+        {"id": "s", "type": "filter", "conf": {}},
+        {"id": "tok", "type": "tokenizer",
+         "conf": {"delimiter": " ", "field": "content",
+                  "token_key": "tok", "emit": False}},
+    ],
+}
+
+TERMINAL_DEF = {
+    # an input module wired into truncate's count slot (riko's dotdict
+    # terminal sentinel)
+    "modules": [
+        {"id": "n", "type": "input",
+         "conf": {"input_key": "howmany", "type": "int", "default": "2"}},
+        {"id": "s", "type": "filter", "conf": {}},
+        {"id": "t", "type": "truncate", "conf": {"count": {"terminal": "count"}}},
+    ],
+    "wires": [
+        {"src": {"moduleid": "s"}, "tgt": {"moduleid": "t", "id": "_INPUT"}},
+        {"src": {"moduleid": "n"}, "tgt": {"moduleid": "t", "id": "count"}},
+    ],
+}
+
+LOOP_DEF = {
+    "modules": [
+        {"id": "s", "type": "filter", "conf": {}},
+        {"id": "lp", "type": "loop",
+         "embed": {"type": "strtransform",
+                   "conf": {"rule": [{"transform": "upper"}]},
+                   "assign": "shout"}},
+    ],
+}
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_codegen_option_keys_match_interpreter(spark):
+    df = spark.createDataFrame(
+        [{"content": "a b", "event_seq": 1}, {"content": "c", "event_seq": 2}]
+    )
+    interp = build_pipeline(spark, OPTION_DEF, sources={"s": df},
+                            order_by=["event_seq"])
+    fn, source = compile_pipe(OPTION_DEF, "opt")
+    gen = fn(spark, sources={"s": df}, order_by=["event_seq"])
+    assert "wired" not in source  # options ride through execute_module
+    assert sorted(interp.columns) == sorted(gen.columns)
+    assert "tok" in gen.columns  # assign honored (old codegen dropped it)
+    assert sorted(map(str, _rows(interp))) == sorted(map(str, _rows(gen)))
+
+
+def test_codegen_terminal_wire_matches_interpreter(spark):
+    df = spark.createDataFrame([{"x": i, "event_seq": i} for i in range(10)])
+    interp = build_pipeline(spark, TERMINAL_DEF, sources={"s": df},
+                            order_by=["event_seq"])
+    fn, _ = compile_pipe(TERMINAL_DEF, "term")
+    gen = fn(spark, sources={"s": df}, order_by=["event_seq"])
+    assert _rows(interp) == _rows(gen)
+    assert len(_rows(gen)) == 2  # default bound via the input module
+    fn2, _ = compile_pipe(TERMINAL_DEF, "term2")
+    gen2 = fn2(spark, sources={"s": df}, order_by=["event_seq"],
+               inputs={"howmany": 5})
+    assert len(_rows(gen2)) == 5
+
+
+def test_codegen_loop_fold_options_match_interpreter(spark):
+    df = spark.createDataFrame([{"content": "hello"}])
+    interp = build_pipeline(spark, LOOP_DEF, sources={"s": df})
+    fn, _ = compile_pipe(LOOP_DEF, "lp")
+    gen = fn(spark, sources={"s": df})
+    assert _rows(interp) == _rows(gen)
+    assert gen.collect()[0]["shout"] == "HELLO"
+
+
+def test_codegen_rejects_non_identifier_name():
+    import pytest
+
+    with pytest.raises(ValueError):
+        stringify_pipe(PIPE_DEF, "evil'); import os #")
+    with pytest.raises(ValueError):
+        stringify_pipe(PIPE_DEF, "class")

@@ -71,7 +71,14 @@ def test_forever_rate_source(spark):
         .trigger(processingTime="0 seconds")
         .start()
     )
-    finished = timeout(q, 6)
+    # wait until at least one non-empty batch commits (query startup
+    # can eat several seconds under load), THEN exercise timeout()
+    import time
+
+    deadline = time.time() + 60
+    while sum(counts) == 0 and time.time() < deadline:
+        time.sleep(0.5)
+    finished = timeout(q, 1)
     assert not finished  # deadline hit, query stopped by timeout()
     q.awaitTermination(30)
     assert sum(counts) > 0

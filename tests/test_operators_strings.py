@@ -62,6 +62,7 @@ def test_strreplace_doctest(spark):
         ("title", None, "Hello World"),
         ("swapcase", None, "HELLO WORLD"),
         ("zfill", "13", "00hello world"),
+        ("zfill", "3", "hello world"),  # width < len: no truncation (str.zfill)
         ("replace", "world,there", "hello there"),
         ("count", "l", 3),
         ("find", "world", 6),

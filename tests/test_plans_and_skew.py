@@ -76,6 +76,55 @@ def test_extract_stage_has_no_exchange(spark):
     assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
 
 
+def test_filter_stop_has_no_global_window(spark):
+    """filter(stop=True) on an ascending spine must plan as the
+    two-pass min-aggregate + broadcast, not an unpartitioned Window
+    (which funnels every row through one task)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = Flow(ev, order_by=["event_id"]).filter(
+        {"rule": [{"field": "value", "op": "atmost", "value": 10_000}],
+         "stop": True}
+    ).df
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # semantics: prefix strictly before the first blocked event
+    rows = [r["event_id"] for r in out.select("event_id").collect()]
+    all_rows = [
+        (r["event_id"], r["value"])
+        for r in ev.select("event_id", "value").orderBy("event_id").collect()
+    ]
+    stop_at = next((eid for eid, v in all_rows if not (v <= 10_000)), None)
+    expected = [eid for eid, _ in all_rows if stop_at is None or eid < stop_at]
+    assert sorted(rows) == expected
+
+
+def test_lsh_bucket_cap_bounds_fanout(spark):
+    """A degenerate bucket (every row identical) must be excluded from
+    the self-join by cap_buckets: candidate pairs stay bounded instead
+    of going O(n²) on the boilerplate bucket."""
+    import pytest
+
+    from riko_spark.operators.dedupe import minhash_lsh_op, simhash_neardup_op
+
+    boiler = [{"doc_id": i, "text": "same boilerplate header row " * 6}
+              for i in range(40)]
+    uniq = [{"doc_id": 100 + i, "text": f"unique document body {i} " * 6}
+            for i in range(5)]
+    df = spark.createDataFrame(boiler + uniq)
+    capped = minhash_lsh_op(df, {"num_hashes": 16, "bands": 4,
+                                 "max_bucket_size": 10})
+    assert capped.count() == 0  # the 40-dup bucket is excluded
+    uncapped = minhash_lsh_op(df, {"num_hashes": 16, "bands": 4,
+                                   "max_bucket_size": None})
+    assert uncapped.count() == 40 * 39 // 2
+    with pytest.warns(UserWarning, match="dropped"):
+        minhash_lsh_op(df, {"num_hashes": 16, "bands": 4,
+                            "max_bucket_size": 10, "log_dropped": True}).count()
+    capped_sh = simhash_neardup_op(df, {"max_bucket_size": 10})
+    assert capped_sh.count() == 0
+
+
 def test_salted_agg_equivalence(spark):
     path = pages_fixture(n=2_000)
     df = spark.read.parquet(path).withColumn(

@@ -116,6 +116,30 @@ def test_sink_replay_idempotent(spark, tmp_path):
     assert got == {"a": 9, "b": 2}
 
 
+def test_sink_crash_between_write_and_commit(spark, tmp_path):
+    """A generation dir written but never committed (crash before the
+    manifest rename) must not lose or corrupt the committed table, and
+    a fresh sink instance garbage-collects the orphan."""
+    import os
+
+    path = str(tmp_path / "sink")
+    sink = UpsertSink(path, keys=["k"])
+    sink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    # simulate a crash: orphan generation + orphan manifest tmp exist,
+    # manifest still points at generation 0
+    os.makedirs(os.path.join(path, "_gen_1_deadbeef"))
+    with open(os.path.join(path, "MANIFEST.orphan"), "w") as fh:
+        fh.write("_gen_1_deadbeef")
+    sink2 = UpsertSink(path, keys=["k"])  # restart: init GC runs
+    assert not os.path.exists(os.path.join(path, "_gen_1_deadbeef"))
+    got = {r["k"]: r["v"] for r in sink2.result(spark).collect()}
+    assert got == {"a": 1}
+    # replayed batch after restart still merges correctly
+    sink2(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"), 0)
+    got = {r["k"]: r["v"] for r in sink2.result(spark).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
 def test_dedupe_within_watermark(spark, tmp_path, pages_path):
     """Streaming uniq: duplicated input deduped back to one row per url
     within the watermark (riko uniq analog, principled version)."""
