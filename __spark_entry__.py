@@ -292,34 +292,145 @@ def q_exact_dedupe(spark, sf):
     return exact_dedupe_op(d).select("doc_id", "lang")
 
 
+def _planted_docs(spark, sf):
+    """Planted near-dup corpus for ground-truth checks: the first 60
+    documents plus, for each, a near-duplicate with one appended marker
+    token (3-gram Jaccard = m/(m+1) ≥ 0.85 for these docs, vs ≤ 0.03
+    for unrelated pairs at every sf — measured).  The same corpus is
+    reconstructed in the DuckDB oracle, so the oracle computes the TRUE
+    pair set from data, not from construction knowledge."""
+    d = _t(spark, sf, "documents").select("doc_id", "text").filter(F.col("doc_id") < 60)
+    pert = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz"),
+                 (F.col("doc_id") % 3).cast("string")).alias("text"),
+    )
+    return d.unionByName(pert)
+
+
+_PLANTED_DOCS_SQL = """
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+        corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zz' || CAST(doc_id % 3 AS VARCHAR)
+          FROM base
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM corpus
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks
+        ),
+        jac AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 len(list_intersect(a.s, b.s)) AS n_inter,
+                 len(list_distinct(list_concat(a.s, b.s))) AS n_union
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+"""
+
+
 def q_minhash_lsh(spark, sf):
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    """Ground-truth recall check: MinHash-LSH over the planted corpus
+    with exact-Jaccard verification must return EXACTLY the pairs the
+    oracle finds by brute-force exact Jaccard ≥ 0.7.  A missed planted
+    pair (recall < 1) or a surviving false positive hash-mismatches.
+    16 hashes × 8 bands (r=2): P(miss) ≤ (1-0.85²)^8 ≈ 4e-5 per pair,
+    and deterministic for fixed data/seeds."""
     from riko_spark.operators.dedupe import minhash_lsh_op
 
-    return minhash_lsh_op(d, {"num_hashes": 16, "bands": 4, "jaccard_threshold": 0.8})
+    corpus = _planted_docs(spark, sf)
+    pairs = minhash_lsh_op(
+        corpus, {"num_hashes": 16, "bands": 8, "jaccard_threshold": 0.7}
+    )
+    return pairs.select("left_id", "right_id")
 
 
 def q_simhash(spark, sf):
-    d = _t(spark, sf, "documents").select("doc_id", "text").limit(2000)
+    """Full value oracle of the SimHash kernel: the md5-token-hash
+    simhash is reproducible in ANSI SQL (md5 + bit ops), so DuckDB
+    recomputes every 64-bit signature."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
     from riko_spark.operators.dedupe import simhash_op
 
     return simhash_op(d).select("doc_id", "simhash")
 
 
-def q_ngram_jaccard(spark, sf):
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    from riko_spark.operators.dedupe import minhash_lsh_op
+def q_simhash_neardup(spark, sf):
+    """Banded-SimHash near-dup with an exact oracle: bands=8 guarantees
+    (pigeonhole) every pair with hamming ≤ 7 is a candidate, so the
+    output equals the oracle's brute-force hamming ≤ 7 self-join —
+    structurally, not probabilistically."""
+    d = _t(spark, sf, "documents").select("doc_id", "text").filter(F.col("doc_id") < 200)
+    from riko_spark.operators.dedupe import simhash_neardup_op
 
-    return minhash_lsh_op(d, {"num_hashes": 16, "bands": 4, "jaccard_threshold": 0.5})
+    return simhash_neardup_op(d, {"bands": 8, "max_hamming": 7}).select(
+        "left_id", "right_id", "hamming"
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard kernel vs DuckDB list functions: all pairs
+    of the planted corpus with ≥ 3 shared 3-shingles, integer set
+    sizes + the unrounded ratio (division is IEEE-exact both sides)."""
+    from riko_spark.operators.dedupe import _shingle_sets
+
+    corpus = _planted_docs(spark, sf)
+    sets = _shingle_sets(corpus, "text", "doc_id", 3)
+    l = sets.select(F.col("doc_id").alias("left_id"), F.col("__sh").alias("__shl"))
+    r = sets.select(F.col("doc_id").alias("right_id"), F.col("__sh").alias("__shr"))
+    inter = F.size(F.array_intersect("__shl", "__shr"))
+    union = F.size(F.array_union("__shl", "__shr"))
+    return (
+        l.join(r, F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id", "right_id",
+            inter.alias("n_inter"), union.alias("n_union"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("n_inter") >= 3)
+    )
+
+
+def _planted_embeddings(spark, sf):
+    """First 60 embeddings plus near-identical copies (first component
+    nudged by 0.0005·(1+id%5) ⇒ cosine ≥ 0.99996 vs ≤ 0.48 for any
+    natural pair at every sf — measured)."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") < 60)
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1)
+                    + F.lit(0.0005) * (F.lit(1) + F.col("vec_id") % 5)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return e.unionByName(pert)
 
 
 def q_embedding_neardup(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    """Hyperplane-LSH near-dup with a brute-force cosine oracle over
+    the planted corpus: output must equal ALL pairs with cosine ≥
+    0.999 (planes=8 + hamming-1 multi-probe ⇒ a planted pair is missed
+    only when ≥ 2 of 8 hyperplanes split an angle of 0.01 rad —
+    P ≈ 3e-5 per pair, deterministic for fixed seed/data)."""
     from riko_spark.operators.dedupe import embedding_neardup_op
 
-    # the synthetic embeddings have no true near-dups (max pair cosine
-    # ≈0.51), so use a demonstrative threshold that yields candidates
-    return embedding_neardup_op(e, {"planes": 6, "cosine_threshold": 0.35})
+    corpus = _planted_embeddings(spark, sf)
+    out = embedding_neardup_op(
+        corpus, {"planes": 8, "probes": 1, "cosine_threshold": 0.999, "dim": 64}
+    )
+    return out.select("left_id", "right_id")
 
 
 def q_ann_bruteforce(spark, sf):
@@ -333,13 +444,32 @@ def q_ann_bruteforce(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
+    """ANN-LSH with a planted-ground-truth oracle: 5 near-identical
+    copies are planted per query vector, so the true top-6 per query is
+    (self, copies in perturbation order) with cosine ≥ 0.9999 vs ≤ 0.48
+    for natural vectors.  The oracle brute-forces top-6 over the same
+    corpus; ann_lsh must find all of them inside its probed buckets
+    (self shares the exact bucket; a copy is missed only when ≥ 2 of 8
+    hyperplanes split — P ≈ 2e-5 per copy, deterministic)."""
     from riko_spark.operators.similarity import ann_lsh_op
 
-    return ann_lsh_op(e, {"k": 10, "planes": 8, "probes": 1}, queries=queries)
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 3)
+    j = spark.range(1, 6)  # copy index 1..5
+    planted = qs.crossJoin(j).select(
+        ((F.col("vec_id") + 1) * 100000 + F.col("id")).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.0005) * F.col("id")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    queries = qs.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ann_lsh_op(corpus, {"k": 6, "planes": 8, "probes": 1, "dim": 64},
+                     queries=queries)
+    return out.select("query_id", "rank", "vec_id")
 
 
 def q_token_count(spark, sf):
@@ -380,12 +510,19 @@ def q_media_metadata(spark, sf):
 
 
 def q_image_features(spark, sf):
-    d = _t(spark, sf, "documents").limit(500).select(
+    """mapInPandas plumbing oracle: the stub decoder's width is a pure
+    function of blob length (64 + n_bytes % 512) and the feature vector
+    is always 16-dim, both recomputable in SQL — verifying ids survive
+    Arrow batching, no rows are dropped/duplicated, and the batch
+    kernel sees exactly the bytes Spark stored."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500).select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("blob")
     )
     from riko_spark.operators.multimodal import image_features_op
 
-    return image_features_op(d).select("id", "width", "height")
+    return image_features_op(d).select(
+        "id", "width", F.size("feature").alias("n_feat")
+    )
 
 
 def q_sliding_count(spark, sf):
@@ -541,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedupe": q_exact_dedupe,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
@@ -570,6 +708,45 @@ _TOKENIZE_SQL = (
     "list_transform(list_filter(string_split(text, ' '), t -> t <> ''), "
     "t -> regexp_replace(t, '^\\s+|\\s+$', '', 'g'))"
 )
+
+
+def _simhash_sql(src: str) -> str:
+    """ANSI-SQL (DuckDB) recomputation of the md5-token SimHash kernel
+    (riko_spark.operators.dedupe.simhash64): per doc, bit k of the
+    64-bit signature is 1 iff the ±1 sum over token occurrences of the
+    token-md5's bit k is > 0.  Emits a ``sim(doc_id, simhash BIGINT)``
+    CTE (two's-complement to match Spark's signed long)."""
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM {src}),
+        tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM d
+        ),
+        th AS (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok
+        ),
+        bits AS (
+          SELECT doc_id, bb.b AS bit,
+                 SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS m
+          FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+          GROUP BY doc_id, bb.b
+        ),
+        uns AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN m > 0 THEN (1::UBIGINT << bit)::HUGEINT
+                          ELSE 0::HUGEINT END) AS uv
+          FROM bits GROUP BY doc_id
+        ),
+        sim AS (
+          SELECT doc_id,
+                 CAST(uv - CASE WHEN uv >= 9223372036854775808::HUGEINT
+                                THEN 18446744073709551616::HUGEINT
+                                ELSE 0::HUGEINT END AS BIGINT) AS simhash
+          FROM uns
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -741,6 +918,70 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+        """,
+        # ---- planted-ground-truth / kernel oracles for the similarity ops
+        "minhash_lsh": _PLANTED_DOCS_SQL + """
+            SELECT left_id, right_id FROM jac
+            WHERE n_inter * 1.0 / n_union >= 0.7
+        """,
+        "ngram_jaccard": _PLANTED_DOCS_SQL + """
+            SELECT left_id, right_id, n_inter, n_union,
+                   CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+            FROM jac WHERE n_inter >= 3
+        """,
+        "simhash": _simhash_sql("documents") + """
+            SELECT doc_id, simhash FROM sim
+        """,
+        "simhash_neardup": _simhash_sql(
+            "(SELECT * FROM documents WHERE doc_id < 200)"
+        ) + """
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+        """,
+        "embedding_neardup": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 60
+            ),
+            corpus AS (
+                SELECT vec_id, v FROM base
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_concat([v[1] + 0.0005::DOUBLE * (1 + vec_id % 5)], v[2:])
+                FROM base
+            )
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        """,
+        "ann_lsh": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            planted AS (
+                SELECT (q.query_id + 1) * 100000 + jj.j AS vec_id,
+                       list_concat([q.qv[1] + 0.0005::DOUBLE * jj.j], q.qv[2:]) AS v
+                FROM qs q, (SELECT unnest(range(1, 6)) AS j) jj
+            ),
+            corpus AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM planted),
+            scored AS (
+                SELECT q.query_id, c.vec_id,
+                       ROUND(list_cosine_similarity(c.v, q.qv), 6) AS cos
+                FROM corpus c CROSS JOIN qs q
+            ), ranked AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 6
+        """,
+        "image_features": """
+            SELECT doc_id AS id,
+                   CAST(64 + (octet_length(encode(text)) % 512) AS INT) AS width,
+                   16 AS n_feat
+            FROM documents WHERE doc_id < 500
         """,
         "windowed_count": """
             SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n

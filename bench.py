@@ -82,6 +82,16 @@ def headline_queries(spark, sf_dir):
             .count()
         )
 
+    def minhash_full():
+        # realistic workload: the entry query moved to a small planted
+        # corpus for its ground-truth oracle — bench the full table
+        from riko_spark.operators.dedupe import minhash_lsh_op
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        return minhash_lsh_op(
+            d, {"num_hashes": 16, "bands": 4, "jaccard_threshold": 0.8}
+        ).count()
+
     return {
         "wordcount": wordcount,
         "sort_truncate": run("sort_truncate"),
@@ -89,7 +99,7 @@ def headline_queries(spark, sf_dir):
         "uniq_first_seen": run("uniq"),
         "windowed_count": run("windowed_count"),
         "session_windows": run("session_windows"),
-        "minhash_lsh": run("minhash_lsh"),
+        "minhash_lsh": minhash_full,
         "ann_bruteforce": run("ann_bruteforce"),
         "exact_dedupe": run("exact_dedupe"),
         "quality_stats": run("quality"),
@@ -247,25 +257,40 @@ def main():
         "queries": {},
     }
 
-    # batch pipe-graph throughput
-    spark.read.parquet(pages_path).count()  # warm
-    wall, _ = _timed(lambda: _pages_pipe_graph(spark, pages_path).count())
+    # per-query statistic: one warm pass (JIT/codegen/Python-worker
+    # spawn), then best-of-N timed runs.  min defends against the
+    # sandbox VM's sporadic multi-second CPU stalls; each run rebuilds
+    # the DataFrame (re-invoking the query fn) so Spark cannot reuse a
+    # materialized result.  BASELINE.md "Measured" is recorded with
+    # this same procedure — BENCH_rN vs baseline is apples-to-apples.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    out["runs_per_query"] = n_runs
+
+    def best_of(fn):
+        fn()  # warm
+        return min(_timed(fn)[0] for _ in range(n_runs))
+
+    spark.read.parquet(pages_path).count()  # warm the scan
+    wall = best_of(lambda: _pages_pipe_graph(spark, pages_path).count())
     out["queries"]["pipe_graph_batch"] = round(wall, 3)
     out["docs_per_sec"] = round(args.rows / wall, 1)
 
     for name, fn in headline_queries(spark, SF_DIR).items():
         try:
-            fn()  # warm (JIT/codegen); record the steady-state run
-            t, _ = _timed(fn)
-            out["queries"][name] = round(t, 3)
+            out["queries"][name] = round(best_of(fn), 3)
         except Exception as e:  # noqa: BLE001
             out["queries"][name] = f"ERROR: {type(e).__name__}"
 
     if not args.skip_stream:
         import tempfile
 
-        with tempfile.TemporaryDirectory() as tmp:
-            out["stream"] = bench_stream(spark, pages_path, tmp)
+        # best-of-2 full stream drains (fresh checkpoint+sink each):
+        # same VM-stall defense as the query suite
+        runs = []
+        for _ in range(2):
+            with tempfile.TemporaryDirectory() as tmp:
+                runs.append(bench_stream(spark, pages_path, tmp))
+        out["stream"] = max(runs, key=lambda r: r["docs_per_sec"])
     spark.stop()
 
     if args.scaling:

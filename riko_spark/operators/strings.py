@@ -404,13 +404,28 @@ def tokenizer_op(
     df: DataFrame, conf: dict | None = None, field: str = "content",
     emit: bool = True, skip_if=None, count: str = "all",
 ) -> DataFrame:
-    """Split a field into one row per token (riko's UDTF-shaped pipe)."""
+    """Split a field into one row per token (riko's UDTF-shaped pipe).
+
+    Fast path (the common explode-all case, no dedupe/sort/skip): the
+    per-token strip runs as a scalar projection AFTER the explode —
+    split/explode/filter/btrim all stay inside whole-stage codegen,
+    whereas an array ``transform`` lambda is CodegenFallback
+    (interpreted per element) and was the measured non-scaling
+    component of the pipe-graph aggregate leg."""
     conf = conf or {}
-    toks = tokenize_col(
-        F.col(field),
-        delimiter=conf.get("delimiter", ","),
-        dedupe=bool(conf.get("dedupe")),
-        sort=bool(conf.get("sort")),
-    )
     token_key = conf.get("token_key", "content")
+    delimiter = conf.get("delimiter", ",")
+    dedupe, sort = bool(conf.get("dedupe")), bool(conf.get("sort"))
+    if not dedupe and not sort and skip_if is None and count == "all":
+        quoted = "\\Q" + delimiter + "\\E"
+        py_ws = " \t\n\r\x0b\x0c"
+        raw = "__rawtok" if token_key != "__rawtok" else "__rawtok2"
+        exploded = (
+            df.withColumn(raw, F.explode(F.split(F.col(field).cast("string"), quoted, -1)))
+            .filter(F.col(raw) != "")  # pre-strip empties, riko edge
+            .withColumn(token_key, F.btrim(F.col(raw), F.lit(py_ws)))
+            .drop(raw)
+        )
+        return exploded.select(token_key) if emit else exploded
+    toks = tokenize_col(F.col(field), delimiter=delimiter, dedupe=dedupe, sort=sort)
     return apply_multi(df, toks, assign=token_key, emit=emit, skip_if=skip_if, count=count)
