@@ -265,6 +265,45 @@ def q_itembuilder(spark, sf):
 
 # ---------------------------------------------- windows / sessions
 
+def q_uniq_limited(spark, sf):
+    """riko's bounded uniq (deque(maxlen=limit)): sequential-exact
+    simulation over the event spine; the oracle replays the same fold
+    as a recursive CTE."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 800).select(
+        "event_id", "ts", "user_id"
+    )
+    return _flow(ev, order_by=["ts", "event_id"]).uniq(
+        {"uniq_key": "user_id", "limit": 5}
+    ).df.select("event_id", "user_id")
+
+
+_RATES_JSON = (
+    '{"rates": {"USD": 1, "EUR": 0.8625, "GBP": 0.784175, "JPY": 111.0525}}'
+)
+
+
+def q_exchangerate(spark, sf):
+    """Rates-feed parsing + broadcast cross-rate lookup
+    (riko/modules/exchangerate.py): customers mapped onto 4 currencies,
+    exchangerate = 1/rate quantized to 6 places (the reference doctest
+    value parity is covered in tests/test_misc_ops.py against riko's
+    own quote.json)."""
+    from riko_spark.operators.structure import exchangerate_op
+
+    cur = F.element_at(
+        F.array(F.lit("USD"), F.lit("EUR"), F.lit("GBP"), F.lit("JPY")),
+        (F.col("c_nationkey") % 4 + 1).cast("int"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", cur.alias("currency"))
+    out = exchangerate_op(
+        c, {"url": _RATES_JSON, "currency": "USD", "precision": 6},
+        field="currency",
+    )
+    return out.select(
+        "c_custkey", "currency", F.col("exchangerate").cast("double").alias("exchangerate")
+    )
+
+
 def q_windowed_count(spark, sf):
     ev = _t(spark, sf, "events")
     from riko_spark.streaming.windows import tumbling_agg
@@ -673,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlbuilder": q_urlbuilder,
         "urlparse": q_urlparse,
         "itembuilder": q_itembuilder,
+        "uniq_limited": q_uniq_limited,
+        "exchangerate": q_exchangerate,
         "windowed_count": q_windowed_count,
         "session_windows": q_session_windows,
         "exact_dedupe": q_exact_dedupe,
@@ -982,6 +1023,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (octet_length(encode(text)) % 512) AS INT) AS width,
                    16 AS n_feat
             FROM documents WHERE doc_id < 500
+        """,
+        "uniq_limited": """
+            WITH RECURSIVE o AS (
+                SELECT event_id, user_id,
+                       ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+                FROM events WHERE event_id < 800
+            ),
+            sim AS (
+                SELECT 0 AS rn, CAST([] AS BIGINT[]) AS q,
+                       CAST(NULL AS BIGINT) AS kept
+                UNION ALL
+                SELECT e.rn,
+                       CASE WHEN list_contains(s.q, e.user_id) THEN s.q
+                            WHEN len(list_append(s.q, e.user_id)) > 5
+                                 THEN list_append(s.q, e.user_id)[2:]
+                            ELSE list_append(s.q, e.user_id) END,
+                       CASE WHEN list_contains(s.q, e.user_id) THEN NULL
+                            ELSE e.event_id END
+                FROM sim s JOIN o e ON e.rn = s.rn + 1
+            )
+            SELECT o.event_id, o.user_id
+            FROM sim JOIN o ON sim.kept = o.event_id
+        """,
+        "exchangerate": """
+            WITH cur AS (
+                SELECT c_custkey,
+                       (['USD','EUR','GBP','JPY'])[CAST(c_nationkey % 4 + 1 AS INT)] AS currency
+                FROM customer
+            ),
+            rates AS (
+                SELECT 'USD' AS currency, 1.0 AS usd_rate
+                UNION ALL SELECT 'EUR', 0.8625
+                UNION ALL SELECT 'GBP', 0.784175
+                UNION ALL SELECT 'JPY', 111.0525
+            )
+            SELECT c.c_custkey, c.currency,
+                   CAST(ROUND(1.0 / r.usd_rate, 6) AS DOUBLE) AS exchangerate
+            FROM cur c LEFT JOIN rates r USING (currency)
         """,
         "windowed_count": """
             SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n

@@ -263,7 +263,7 @@ def main():
     # the DataFrame (re-invoking the query fn) so Spark cannot reuse a
     # materialized result.  BASELINE.md "Measured" is recorded with
     # this same procedure — BENCH_rN vs baseline is apples-to-apples.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     out["runs_per_query"] = n_runs
 
     def best_of(fn):

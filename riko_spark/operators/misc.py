@@ -64,19 +64,46 @@ def fetchsitefeed_op(
     return df.withColumn(assign, F.element_at(links, 1))
 
 
+# CLDR ``en`` currency symbols (the subset the en locale defines; any
+# other ISO code falls back to the code itself, exactly like Babel) and
+# the CLDR per-currency fraction digits that differ from 2.
+_CLDR_EN_SYMBOLS = {
+    "USD": "$", "EUR": "€", "GBP": "£", "JPY": "¥", "CNY": "CN¥",
+    "AUD": "A$", "BRL": "R$", "CAD": "CA$", "HKD": "HK$", "ILS": "₪",
+    "INR": "₹", "KRW": "₩", "MXN": "MX$", "NZD": "NZ$", "TWD": "NT$",
+    "VND": "₫", "XAF": "FCFA", "XCD": "EC$", "PHP": "₱", "THB": "THB",
+}
+_CLDR_DIGITS = {
+    "JPY": 0, "KRW": 0, "VND": 0, "CLP": 0, "ISK": 0,
+    "BHD": 3, "IQD": 3, "JOD": 3, "KWD": 3, "LYD": 3, "OMR": 3, "TND": 3,
+}
+
+
 @register("currencyformat")
 def currencyformat_op(
     df: DataFrame, conf: dict | None = None, field: str = "content",
     assign: str = "currencyformat", emit: bool = False, skip_if=None,
 ) -> DataFrame:
-    """en_US currency formatting (riko/modules/currencyformat.py:37-69
-    formats via Babel; the common symbols are reproduced natively with
-    ``format_number`` — grouping + 2 decimals)."""
-    currency = (conf or {}).get("currency", "USD")
-    symbols = {"USD": "$", "EUR": "€", "GBP": "£", "JPY": "¥"}
+    """en_US currency formatting (riko/modules/currencyformat.py:37-69:
+    Babel ``format_currency(amount, currency, locale='en_US')`` — the
+    locale is ALWAYS en_US in the reference; only symbol and fraction
+    digits vary by currency).  Reproduced natively: CLDR en symbols,
+    CLDR fraction digits, ``#,##0.##`` grouping via ``format_number``,
+    sign before the symbol (``-$10.33``), and CLDR currency spacing
+    (NBSP between an alphabetic symbol and the number: ``CHF 100.00``).
+    """
+    currency = str((conf or {}).get("currency", "USD"))
+    symbol = _CLDR_EN_SYMBOLS.get(currency, currency)
+    digits = _CLDR_DIGITS.get(currency, 2)
+    # CLDR currencySpacing: insert U+00A0 when the symbol ends in a
+    # letter/digit (alphabetic codes), none for $/¥/£-style symbols
+    sep = " " if symbol[-1].isalnum() else ""
     amount = F.col(field).try_cast("decimal(38,6)")
-    formatted = F.concat(F.lit(symbols.get(currency, currency + " ")),
-                         F.format_number(amount, 2))
+    formatted = F.concat(
+        F.when(amount < 0, F.lit("-")).otherwise(F.lit("")),
+        F.lit(symbol + sep),
+        F.format_number(F.abs(amount), digits),
+    )
     result = F.when(amount.isNotNull(), formatted).otherwise(F.lit(None))
     return apply_scalar(df, result, assign=assign, emit=emit, skip_if=skip_if)
 

@@ -90,8 +90,23 @@ def uniq_op(
     occurrence): row_number over (partition by key order by spine) = 1,
     a key-partitioned shuffle — no global sort.  Without a spine it
     falls back to ``dropDuplicates`` (arbitrary representative).
+
+    With an explicit ``limit`` the reference's bounded sliding-window
+    state is honored exactly (riko/modules/uniq.py:76-82
+    ``deque(maxlen=limit)``: a key is readmitted once ``limit`` other
+    distinct keys were kept after it).  That fold is recursively
+    sequential — each keep decision feeds the eviction state — so it
+    runs as a restricted single-partition pass over the spine, like
+    riko's own single-threaded generator.  Leave ``limit`` unset for
+    the distributed first-seen path.
     """
-    key = (conf or {}).get("uniq_key", "id")
+    conf = conf or {}
+    key = conf.get("uniq_key", "id")
+    limit = conf.get("limit")
+    if limit is not None:
+        if not order_by:
+            raise ValueError("uniq(limit=N) requires order_by (event-order spine)")
+        return _uniq_bounded(df, key, int(limit), order_by)
     if order_by:
         from riko_spark.operators.ordering import asc_cols
 
@@ -102,3 +117,29 @@ def uniq_op(
             .drop("__rn")
         )
     return df.dropDuplicates([key])
+
+
+def _uniq_bounded(df: DataFrame, key: str, limit: int, order_by: list[str]) -> DataFrame:
+    """riko's deque(maxlen=limit) uniq: sequential simulation over the
+    stream order.  Arrow-batched mapInPandas on a single sorted
+    partition; the deque state carries across batches."""
+    from collections import deque
+
+    from riko_spark.operators.ordering import asc_cols
+
+    schema = df.schema
+
+    def gen(batches):
+        seen: deque = deque(maxlen=limit)
+        for pdf in batches:
+            mask = []
+            for v in pdf[key]:
+                if v in seen:
+                    mask.append(False)
+                else:
+                    seen.append(v)
+                    mask.append(True)
+            yield pdf[mask]
+
+    ordered = df.repartition(1).sortWithinPartitions(*asc_cols(order_by))
+    return ordered.mapInPandas(gen, schema)

@@ -318,17 +318,77 @@ def udf_op(df: DataFrame, conf: dict | None = None, func=None, schema=None) -> D
 
 # ----------------------------------------------------------- exchangerate
 
+def parse_rates_feed(source, currency: str = "USD", precision: int = 6) -> list[tuple]:
+    """Parse a rates feed into (from_currency, exchangerate) pairs with
+    the reference's exact arithmetic (riko/modules/exchangerate.py:
+    64-97 ``parse_response``/``calc_rate``): rates are USD-based; the
+    cross rate from X to ``currency`` is
+    ``1 / (rates[X] / rates[currency])`` quantized to ``precision``
+    decimal places (Decimal, not float).
+
+    ``source``: a path to a rates JSON document (openexchangerates
+    shape, ``{"rates": {CUR: number}}``), a JSON string, or an
+    already-parsed dict.  The dimension is tiny (~170 currencies) so it
+    is computed driver-side and broadcast — the 100 TB-correct shape
+    for a per-row lookup against a static dim.
+    """
+    import json as _json
+    from decimal import Decimal
+
+    if isinstance(source, str):
+        if source.lstrip().startswith("{"):
+            doc = _json.loads(source)
+        else:
+            with open(source, encoding="utf-8") as fh:
+                doc = _json.load(fh)
+    else:
+        doc = source
+    raw = (doc or {}).get("rates", doc or {})
+    # parse_response: Decimal via str (exact), drop falsy entries
+    rates = {k: Decimal(str(v)) for k, v in raw.items() if v}
+    places = Decimal(10) ** -int(precision)
+    out = []
+    for cur, usd_to_cur in rates.items():
+        if cur == currency:
+            rate = Decimal(1)
+        elif currency == "USD":
+            rate = usd_to_cur
+        else:
+            to_rate = rates.get(currency)
+            if not to_rate:
+                continue  # target currency missing from the feed
+            rate = usd_to_cur / to_rate
+        out.append((cur, (Decimal(1) / rate).quantize(places)))
+    return out
+
+
 @register("exchangerate")
 def exchangerate_op(
     df: DataFrame, conf: dict | None = None, field: str = "content",
     assign: str = "exchangerate", rates: DataFrame | None = None,
-    emit: bool = False, skip_if=None,
+    emit: bool = False, skip_if=None, spark=None,
 ) -> DataFrame:
     """Cross-rate lookup against a small rates dimension — broadcast
-    join (riko fetches a rates JSON per run; riko/modules/
-    exchangerate.py:162-209).  ``rates`` schema: (currency, rate)."""
+    join (riko fetches a rates JSON per item batch; riko/modules/
+    exchangerate.py:162-209 fetch+parse, :86-97 cross-rate math).
+
+    Either pass a prebuilt ``rates`` DataFrame (currency, rate) or a
+    ``conf`` with the reference's keys: ``url`` (path to the rates
+    JSON), ``currency`` (exchanging-to, default USD), ``precision``
+    (default 6).  Unknown currencies yield NULL (riko yields Decimal
+    NaN, unrepresentable in a decimal column — documented divergence).
+    """
+    conf = conf or {}
     if rates is None:
-        raise ValueError("exchangerate requires a rates DataFrame")
+        url = conf.get("url")
+        if not url:
+            raise ValueError("exchangerate requires a rates DataFrame or conf['url']")
+        precision = int(conf.get("precision", 6))
+        pairs = parse_rates_feed(url, str(conf.get("currency", "USD")), precision)
+        session = spark or df.sparkSession
+        rates = session.createDataFrame(
+            [(c, str(r)) for c, r in pairs], "currency string, rate string"
+        ).select("currency", F.col("rate").cast(f"decimal(28,{precision})").alias("rate"))
     joined = df.join(
         F.broadcast(rates.withColumnRenamed("currency", "__cur")),
         F.col(field) == F.col("__cur"),

@@ -18,6 +18,7 @@ pipes become projections/extractions over it.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -190,24 +191,137 @@ def discover_feeds_op(
     return exploded.select(assign) if emit else exploded
 
 
+def _item_rows(items: list) -> tuple[list, str]:
+    """Normalize etree2dict-shaped items (str / nested dict values) to a
+    unified (rows, ddl-schema) pair for createDataFrame: keys merged
+    across items, nested dicts become structs, anything exotic (lists
+    of repeated tags) is JSON-encoded."""
+    import json as _json
+
+    def norm(v):
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        if isinstance(v, str) or v is None:
+            return v
+        return _json.dumps(v, ensure_ascii=False)
+
+    items = [i if isinstance(i, dict) else {"content": i} for i in items]
+    items = [norm(i) for i in items]
+
+    def merge_schema(vals):
+        sub: dict = {}
+        has_scalar = False
+        for v in vals:
+            if isinstance(v, dict):
+                for k, x in v.items():
+                    sub.setdefault(k, []).append(x)
+            elif v is not None:
+                has_scalar = True
+        if sub and has_scalar:  # mixed shapes: stringify
+            return "string"
+        if not sub:
+            return "string"
+        return "struct<" + ", ".join(
+            f"{k}: {merge_schema(xs)}" for k, xs in sorted(sub.items())
+        ) + ">"
+
+    keys = sorted({k for i in items for k in i})
+    fields = []
+    for k in keys:
+        vals = [i.get(k) for i in items]
+        fields.append((k, merge_schema(vals)))
+    ddl = ", ".join(f"`{k}` {t}" for k, t in fields)
+
+    def to_row(item, field_types):
+        out = []
+        for k, t in field_types:
+            v = item.get(k)
+            if t.startswith("struct<"):
+                subkeys = _struct_keys(t)
+                out.append(to_row(v if isinstance(v, dict) else {}, subkeys)
+                           if v is not None else None)
+            else:
+                out.append(v if (v is None or isinstance(v, str)) else _json.dumps(v))
+        return tuple(out)
+
+    def _struct_keys(t):
+        # parse "struct<a: string, b: struct<...>>" one level
+        inner = t[len("struct<"):-1]
+        parts, depth, cur = [], 0, ""
+        for ch in inner:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            parts.append(cur)
+        out = []
+        for p in parts:
+            name, _, typ = p.partition(":")
+            out.append((name.strip().strip("`"), typ.strip()))
+        return out
+
+    rows = [to_row(i, fields) for i in items]
+    return rows, ddl
+
+
 @register("xpathfetchpage")
 def xpath_op(
-    df: DataFrame, conf: dict, field: str = "html",
+    df: DataFrame | None, conf: dict, field: str = "html",
     assign: str = "content", emit: bool = True,
+    spark: SparkSession | None = None,
 ) -> DataFrame:
     """XPath extraction (riko/modules/xpathfetchpage.py:161-200).
 
-    Spark 4's native ``xpath`` expressions handle well-formed XML; for
-    messy HTML the reference uses lxml/html5lib which are not in this
-    container — that path raises with a clear message."""
+    Source mode (conf has ``url``, like the reference pipe): the page
+    is fetched once driver-side, parsed with the dependency-free
+    html5-lite DOM (riko_spark.functions.htmlpath — the lxml/html5lib
+    stand-in), and each XPath match becomes a row shaped by riko's
+    ``etree2dict`` (nested attrs → struct columns, so downstream
+    ``subkey`` refs like ``img.src`` resolve as struct fields).
+
+    Per-row mode (an upstream html column): well-formed XML goes
+    through Spark's native ``xpath`` expression; ``html5: true`` uses
+    the same html5-lite kernel in an Arrow-batched pandas UDF, emitting
+    one JSON item per match."""
     xpath = conf["xpath"]
-    if conf.get("html5"):
-        try:
-            import lxml  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "html5/lxml xpath extraction requires lxml, not available in this container"
-            ) from None
+    if df is None or "url" in conf:
+        spark = spark or SparkSession.getActiveSession()
+        from riko_spark.functions.htmlpath import node_to_item, parse_html, xpath_select
+
+        with open(_resolve(conf["url"]), encoding=conf.get("encoding", "utf-8"),
+                  errors="replace") as fh:
+            root = parse_html(fh.read())
+        items = [node_to_item(m) for m in xpath_select(root, xpath)]
+        if not items:
+            return spark.createDataFrame([], "content string")
+        rows, ddl = _item_rows(items)
+        return spark.createDataFrame(rows, ddl)
     col = F.col(field).cast("string")
-    exploded = df.withColumn(assign, F.explode(F.xpath(col, F.lit(xpath))))
+    if conf.get("html5"):
+        import json as _json
+
+        from pyspark.sql.types import ArrayType, StringType
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _hp(html: pd.Series) -> pd.Series:
+            from riko_spark.functions.htmlpath import (
+                node_to_item, parse_html, xpath_select,
+            )
+
+            return html.map(
+                lambda h: None if h is None else [
+                    _json.dumps(node_to_item(m), ensure_ascii=False, sort_keys=True)
+                    for m in xpath_select(parse_html(h), xpath)
+                ]
+            )
+
+        exploded = df.withColumn(assign, F.explode(_hp(col)))
+    else:
+        exploded = df.withColumn(assign, F.explode(F.xpath(col, F.lit(xpath))))
     return exploded.select(assign) if emit else exploded

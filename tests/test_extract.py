@@ -80,3 +80,19 @@ def test_feed_discovery(spark):
     got = [r["link"] for r in links.collect()]
     assert len(got) == 100  # one RSS link per generated page
     assert all(l.endswith(".xml") for l in got)
+
+
+def test_xpath_per_row_html5(spark):
+    """Per-row html5-lite xpath over an html column (Arrow-batched):
+    one JSON item per match."""
+    import json
+
+    from riko_spark.operators.webtext import xpath_op
+
+    df = spark.createDataFrame(
+        [(1, "<div><a href='/x'><img src='a.png'></a><a href='/y'>no img</a></div>")],
+        "id long, html string",
+    )
+    out = xpath_op(df, {"xpath": "//a[img]", "html5": True}, field="html")
+    items = [json.loads(r["content"]) for r in out.collect()]
+    assert items == [{"href": "/x", "img": {"src": "a.png"}}]

@@ -31,6 +31,24 @@ def test_currencyformat(spark):
     assert got == ["$10.33", "$1,234.50"]
 
 
+def test_currencyformat_locale_table(spark):
+    """Babel-en_US parity beyond USD (riko doctests: '$100.00',
+    '£100.00'): CLDR symbols, per-currency fraction digits, alphabetic
+    symbol spacing, sign before symbol."""
+    df = spark.createDataFrame([{"content": "100"}])
+    def fmt(cur, content="100"):
+        d = spark.createDataFrame([{"content": content}])
+        return rows(Flow(d).currencyformat({"currency": cur}).df)[0]["currencyformat"]
+
+    assert fmt("USD") == "$100.00"          # riko doctest
+    assert fmt("GBP") == "£100.00"          # riko doctest
+    assert fmt("JPY") == "¥100"             # 0 fraction digits
+    assert fmt("KWD") == "KWD\xa0100.000"  # 3 digits + NBSP spacing
+    assert fmt("CHF") == "CHF\xa0100.00"   # code fallback + NBSP
+    assert fmt("BRL") == "R$100.00"
+    assert fmt("USD", "-10.33") == "-$10.33"  # sign precedes symbol
+
+
 def test_geolocate_coordinates(spark):
     df = spark.createDataFrame([{"content": "40.5, -73.9"}])
     out = Flow(df).geolocate({"type": "coordinates"})
@@ -82,3 +100,34 @@ def test_forever_rate_source(spark):
     assert not finished  # deadline hit, query stopped by timeout()
     q.awaitTermination(30)
     assert sum(counts) > 0
+
+
+def test_exchangerate_feed_doctest_parity(spark):
+    """riko/modules/exchangerate.py doctest: GBP against quote.json
+    -> Decimal('1.275201'); cross-rate (non-USD target) exercised too."""
+    import os
+    from decimal import Decimal
+
+    import pytest
+
+    from riko_spark.operators.structure import exchangerate_op, parse_rates_feed
+
+    quote = "/root/reference/riko/data/quote.json"
+    if not os.path.exists(quote):
+        pytest.skip("reference quote.json not available")
+    df = spark.createDataFrame([{"content": "GBP"}, {"content": "USD"},
+                                {"content": "XXNOPE"}])
+    out = {r["content"]: r["exchangerate"] for r in
+           exchangerate_op(df, {"url": quote}).collect()}
+    assert out["GBP"] == Decimal("1.275201")
+    assert out["USD"] == Decimal("1.000000")
+    assert out["XXNOPE"] is None  # unknown currency -> NULL (riko: NaN)
+
+    # cross rate to a non-USD currency: 1/(rates[GBP]/rates[EUR])
+    import json
+
+    doc = json.load(open(quote))
+    gbp = Decimal(str(doc["rates"]["GBP"]))
+    eur = Decimal(str(doc["rates"]["EUR"]))
+    rates = dict(parse_rates_feed(quote, currency="EUR", precision=6))
+    assert rates["GBP"] == (Decimal(1) / (gbp / eur)).quantize(Decimal("0.000001"))

@@ -230,6 +230,21 @@ def test_uniq_first_seen(spark):
     ]
 
 
+def test_uniq_bounded_limit_readmits_evicted_key(spark):
+    """riko/modules/uniq.py deque(maxlen=limit): once `limit` other
+    distinct keys were kept after key k, k is readmitted (the
+    1025th-distinct-value behavior at limit=3 scale)."""
+    seq = [("u1", 1), ("u2", 2), ("u3", 3), ("u1", 4), ("u4", 5), ("u1", 6)]
+    df = spark.createDataFrame(seq, "id string, event_seq long")
+    out = flow(df).uniq({"uniq_key": "id", "limit": 3})
+    kept = sorted(r["event_seq"] for r in rows(out.df))
+    # 4 dropped (u1 still in deque); 5 evicts u1; 6 readmits u1
+    assert kept == [1, 2, 3, 5, 6]
+    # unbounded first-seen stays the distributed path
+    out2 = flow(df).uniq({"uniq_key": "id"})
+    assert sorted(r["event_seq"] for r in rows(out2.df)) == [1, 2, 3, 5]
+
+
 def test_split(kv):
     branches = flow(kv).split({"splits": 3})
     assert len(branches) == 3

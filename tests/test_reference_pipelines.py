@@ -114,3 +114,34 @@ def test_tail_pipeline_count_override(spark):
         inputs={"numberinput1": 3},
     )
     assert len(out.collect()) == 3
+
+
+def test_xpath_cnn_rss_pipeline(spark):
+    """pipe_a08134...: xpathfetchpage('//a[img]' over messy CNN html,
+    html5-lite parser) → loop(strconcat description) → loop(rename
+    href→link) → loop(rssitembuilder); goldens at
+    test_basics.py:713-739 — 94 items, first item exact."""
+    out = build_pipeline(spark, _pipe("pipe_a08134746e30a6dd3a7cb3c0cf098692"))
+    rows = [r.asDict(recursive=True) for r in out.collect()]
+    assert len(rows) == 94
+    url = "i.cdn.turner.com/cnn/.e/img/3.0/global/header/intl/CNNi_Logo_new.png"
+    first = rows[0]
+    assert first["link"] == "/"
+    assert first["description"] == f'<img src="http://{url}">'
+    assert first["y_title"] == "CNN"
+    assert first["media_content"] == {
+        "height": "65", "type": "", "url": f"http://{url}", "width": "213",
+    }
+    assert first["media_thumbnail"] == {"height": "", "url": "", "width": ""}
+    assert first["author"] == "" and first["y_id"] == "" and first["pubDate"] == ""
+
+
+def test_xpath_sciencedaily_doctest(spark):
+    """riko/modules/xpathfetchpage.py doctest: /html/head/title over
+    sciencedaily.html -> 'Help Page -- ScienceDaily'."""
+    from riko_spark.operators.webtext import xpath_op
+
+    out = xpath_op(None, {"url": "file://riko/data/sciencedaily.html",
+                          "xpath": "/html/head/title"}, spark=spark)
+    got = [r.asDict() for r in out.collect()]
+    assert got == [{"content": "Help Page -- ScienceDaily"}]
