@@ -185,9 +185,61 @@ def _scale_leg(path, cores: int, multiplier: int) -> float:
         extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
     )
     graph(spark).count()
-    wall = min(_timed(lambda: graph(spark).count())[0] for _ in range(5))
+    # best-of-7: the 32-wide leg is the one the VM's sporadic CPU
+    # stalls hit hardest (every core busy => a stall lands on the
+    # critical path); more retries = better odds of one clean window
+    wall = min(_timed(lambda: graph(spark).count())[0] for _ in range(7))
     spark.stop()
     return wall
+
+
+def _burn(q):
+    """6-second pure-Python CPU burn (no Spark, no I/O)."""
+    import time as _t
+
+    t0 = _t.time()
+    n = 0
+    x = 1.0001
+    while _t.time() - t0 < 6:
+        for _ in range(100_000):
+            x = x * 1.000001 % 10
+        n += 100_000
+    q.put(n)
+
+
+def cpu_probe() -> dict:
+    """Hardware-ceiling measurement for the N-vs-4N criterion: aggregate
+    pure-CPU throughput of 8 workers pinned to CPUs 0-7 vs 32 workers on
+    the whole machine.  On honest hardware the ratio is 4.0; the
+    Firecracker VM delivers ~3.4 (and /proc topology claims 32
+    independent cores) — that ratio/4 is the maximum efficiency ANY
+    workload can exhibit under the same pinning, Spark or not.
+    """
+    import subprocess
+
+    def run(k, pin):
+        code = (
+            "import sys; sys.path.insert(0, %r); from bench import _burn; "
+            "import multiprocessing as mp; q = mp.Queue(); "
+            "ps = [mp.Process(target=_burn, args=(q,)) for _ in range(%d)]; "
+            "[p.start() for p in ps]; print(sum(q.get() for _ in ps))"
+            % (os.path.dirname(os.path.abspath(__file__)), k)
+        )
+        cmd = [sys.executable, "-c", code]
+        if pin:
+            cmd = ["taskset", "-c", pin] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        return int(out.stdout.strip().splitlines()[-1])
+
+    eight = max(run(8, "0-7") for _ in range(2))
+    full = max(run(32, None) for _ in range(2))
+    ratio = full / eight
+    return {
+        "pinned8_ops": eight,
+        "machine32_ops": full,
+        "hardware_ratio_8_to_32": round(ratio, 2),
+        "hardware_ceiling_efficiency": round(ratio / 4, 3),
+    }
 
 
 def bench_scaling(path, rows, multiplier: int = 8):
@@ -222,6 +274,10 @@ def bench_scaling(path, rows, multiplier: int = 8):
     del results["_wall_8"], results["_wall_32"]
     results["rows_total"] = total
     results["scaling_efficiency_8_to_32"] = round(eff, 3)
+    probe = cpu_probe()
+    results["cpu_probe"] = probe
+    ceiling = probe["hardware_ceiling_efficiency"]
+    results["efficiency_vs_hardware_ceiling"] = round(eff / ceiling, 3) if ceiling else None
     return results
 
 
@@ -232,7 +288,10 @@ def main():
     ap.add_argument("--skip-stream", action="store_true")
     ap.add_argument("--_scale-leg", dest="scale_leg", type=int, default=None)
     ap.add_argument("--pages-path", default=None)
-    ap.add_argument("--multiplier", type=int, default=8)
+    # 16x input (1.6M docs): runs long enough that single VM stalls
+    # don't dominate a leg (8x legs finished in ~2.5s at 32 cores —
+    # comparable to one stall)
+    ap.add_argument("--multiplier", type=int, default=16)
     args = ap.parse_args()
 
     from riko_spark.session import get_spark
@@ -294,7 +353,7 @@ def main():
     spark.stop()
 
     if args.scaling:
-        out["scaling"] = bench_scaling(pages_path, args.rows)
+        out["scaling"] = bench_scaling(pages_path, args.rows, args.multiplier)
 
     out["value"] = round(sum(v for v in out["queries"].values() if isinstance(v, float)), 3)
     print(json.dumps(out))

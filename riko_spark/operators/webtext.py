@@ -144,13 +144,26 @@ def csv_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) 
 @register("fetchtable", sub_kind="source")
 def fetchtable_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
     """Tabular fetch (riko/modules/fetchtable.py:102-138 reads
-    csv/xls/json via meza): csv/json/parquet by extension; xls needs a
-    reader library absent from this container."""
+    csv/xls/json via meza): csv/json/parquet by extension; .xlsx via
+    the dependency-free SpreadsheetML reader (functions/xlsx.py —
+    driver-side parse, tables riko fetches this way are small dims);
+    legacy binary .xls genuinely needs a BIFF library and raises."""
     spark = spark or SparkSession.getActiveSession()
     url = _resolve(conf["url"])
     ext = url.rsplit(".", 1)[-1].lower()
-    if ext in ("xls", "xlsx"):
-        raise NotImplementedError("xls reading requires an excel reader library")
+    if ext == "xlsx":
+        from riko_spark.functions.xlsx import read_xlsx
+
+        rows = read_xlsx(url, sheet=int(conf.get("sheet", 1)),
+                         header=bool(conf.get("has_header", True)))
+        if not rows:
+            return spark.createDataFrame([], "col0 string")
+        keys = list(rows[0])
+        data = [tuple(None if r.get(k) is None else str(r.get(k)) for k in keys)
+                for r in rows]
+        return spark.createDataFrame(data, ", ".join(f"`{k}` string" for k in keys))
+    if ext == "xls":
+        raise NotImplementedError("legacy binary .xls requires a BIFF reader library")
     if ext == "json":
         return spark.read.option("multiLine", "true").json(url)
     if ext == "parquet":

@@ -119,3 +119,23 @@ def test_media_metadata_and_features(spark):
     frames = frame_sample_op(df, {"every": 2, "max_frames": 3}).collect()
     assert {r["id"] for r in frames} == {0, 1, 2}
     assert all(isinstance(r["frame"], (bytes, bytearray)) for r in frames)
+
+
+def test_plan_build_launches_no_jobs(spark):
+    """With dim supplied, ann_lsh / embedding_neardup must build their
+    plans without running any Spark job (VERDICT r1: no .first() at
+    plan-construction time).  Verified two ways: the job counter stays
+    flat, and an EMPTY frame (where a dim sniff would die) plans fine."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([], "query_id long, embedding array<double>")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    plan1 = embedding_neardup_op(empty, {"planes": 4, "dim": 8})
+    plan2 = ann_lsh_op(empty, {"k": 3, "planes": 4, "dim": 8}, queries=queries)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # plan construction launched no jobs
+    assert plan1.columns and plan2.columns  # plans are real
+    # without dim, the empty frame raises the documented error
+    with pytest.raises(ValueError, match="dim"):
+        embedding_neardup_op(empty, {"planes": 4})

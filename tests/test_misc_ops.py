@@ -131,3 +131,34 @@ def test_exchangerate_feed_doctest_parity(spark):
     eur = Decimal(str(doc["rates"]["EUR"]))
     rates = dict(parse_rates_feed(quote, currency="EUR", precision=6))
     assert rates["GBP"] == (Decimal(1) / (gbp / eur)).quantize(Decimal("0.000001"))
+
+
+def test_fetchtable_xlsx(spark, tmp_path):
+    """fetchtable reads .xlsx through the stdlib SpreadsheetML reader:
+    shared strings, inline strings, numbers, header row."""
+    import zipfile
+
+    p = str(tmp_path / "t.xlsx")
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+  <row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>
+  <row r="3"><c r="A3" t="inlineStr"><is><t>inline val</t></is></c><c r="B3"><v>7.5</v></c></row>
+ </sheetData>
+</worksheet>"""
+    shared = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+ <si><t>name</t></si><si><t>value</t></si><si><t>alpha</t></si>
+</sst>"""
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("[Content_Types].xml", "<Types/>")
+
+    from riko_spark.operators.webtext import fetchtable_op
+
+    out = fetchtable_op(None, {"url": p}, spark=spark)
+    rows = [r.asDict() for r in out.collect()]
+    assert rows == [{"name": "alpha", "value": "42"},
+                    {"name": "inline val", "value": "7.5"}]
