@@ -96,3 +96,46 @@ def test_xpath_per_row_html5(spark):
     out = xpath_op(df, {"xpath": "//a[img]", "html5": True}, field="html")
     items = [json.loads(r["content"]) for r in out.collect()]
     assert items == [{"href": "/x", "img": {"src": "a.png"}}]
+
+
+def test_fast_detag_byte_identical_to_parser():
+    """The regex fast path must be byte-identical to the HTMLParser
+    ground truth on everything it accepts, and must decline (None) on
+    the constructs whose parser behavior a flat split cannot mirror."""
+    from riko_spark.functions.text import _BatchTextParser, _fast_detag
+
+    parser = _BatchTextParser()
+
+    def slow(s):
+        parser.reset()
+        parser.parts = []
+        parser.feed(s)
+        return "".join(p + "\n" for p in parser.parts).strip()
+
+    must_fallback = [
+        "<p>a & b</p>",                 # bare &
+        "<p>x &amp y</p>",              # unterminated entity
+        "<script>if (a<b) x();</script><p>t</p>",  # CDATA content model
+        "<style>a<b{}</style>hello",
+        "<!DOCTYPE html><p>z</p>",      # declaration
+        "<![CDATA[raw<>]]><p>q</p>",
+        "</p title='a>b'>weird",        # quotes in END tag: parser ignores them
+        "<p>end &",
+    ]
+    for case in must_fallback:
+        assert _fast_detag(case) is None, case
+
+    fast_ok = [
+        "text &amp; more", "&#65;&#x41; mid", "a &frac12; b",
+        "<!-- c -- > still comment --><b>k</b>",   # --\\s*> comment close
+        "<p title='a>b'>tricky</p>",               # quoted '>' in START tag
+        "<p>unterminated <tag",                     # leftover '<' guard
+        "<p a=b\"c>mix</p>",                        # guard: quote mid-tag
+        "<1notag>data</p>", "<? pi ?>txt", "<p/>self", "< p>spaced",
+        "<a href='x'>l</a>&gt;<i>e</i>", "<p>multi &amp;&amp; amp</p>",
+        "<em a='1' b=\"2\" c=d>attrs</em>", "<p>ok</p>\r\nline",
+    ]
+    for case in fast_ok:
+        got = _fast_detag(case)
+        if got is not None:
+            assert got == slow(case), case
