@@ -265,6 +265,27 @@ def q_itembuilder(spark, sf):
 
 # ---------------------------------------------- windows / sessions
 
+def q_token_totals(spark, sf):
+    """tokenizer→count fusion through the DAG compiler: token totals per
+    lang compile to a size-sum aggregate with NO explode (the rewrite in
+    riko_spark/plans/rewrite.py); the oracle recomputes the counts
+    independently in SQL."""
+    from riko_spark.plans.dag import build_pipeline
+
+    docs = _t(spark, sf, "documents")
+    pipe_def = {
+        "modules": [
+            {"id": "s", "type": "filter", "conf": {}},
+            {"id": "tok", "type": "tokenizer",
+             "conf": {"delimiter": " ", "token_key": "token",
+                      "field": "text", "emit": False}},
+            {"id": "cnt", "type": "count", "conf": {"count_key": "lang"}},
+        ],
+    }
+    out = build_pipeline(spark, pipe_def, sources={"s": docs}, order_by=["doc_id"])
+    return out.select("lang", "count", "first_seen")
+
+
 def q_uniq_limited(spark, sf):
     """riko's bounded uniq (deque(maxlen=limit)): sequential-exact
     simulation over the event spine; the oracle replays the same fold
@@ -712,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlbuilder": q_urlbuilder,
         "urlparse": q_urlparse,
         "itembuilder": q_itembuilder,
+        "token_totals": q_token_totals,
         "uniq_limited": q_uniq_limited,
         "exchangerate": q_exchangerate,
         "windowed_count": q_windowed_count,
@@ -1023,6 +1045,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (octet_length(encode(text)) % 512) AS INT) AS width,
                    16 AS n_feat
             FROM documents WHERE doc_id < 500
+        """,
+        "token_totals": """
+            WITH n AS (
+                SELECT COALESCE(CAST(lang AS VARCHAR), 'None') AS lang, doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+                FROM documents
+            )
+            SELECT lang, CAST(SUM(n) AS BIGINT) AS count,
+                   MIN(CASE WHEN n > 0 THEN doc_id END) AS first_seen
+            FROM n GROUP BY lang HAVING SUM(n) > 0
         """,
         "uniq_limited": """
             WITH RECURSIVE o AS (

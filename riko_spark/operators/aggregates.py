@@ -56,6 +56,43 @@ def count_op(
     return grouped.agg(F.count(F.lit(1)).alias("count"))
 
 
+@register("fused_token_count", kind="operator", sub_kind="aggregator")
+def fused_token_count_op(
+    df: DataFrame, conf: dict | None = None, order_by: list[str] | None = None
+) -> DataFrame:
+    """Explode-elimination fusion of ``tokenizer → count`` (installed by
+    the DAG compiler's logical rewrite, riko_spark.plans.rewrite).
+
+    Counting exploded token rows equals summing per-row token-array
+    sizes — same result, but the shuffle input stays one row per
+    document instead of one row per token (~100× less exchanged data on
+    webtext).  Parity details: rows whose field is NULL contribute 0;
+    a group whose every row has 0 tokens yields no exploded rows, so it
+    is filtered out; ``first_seen`` is the min order value over rows
+    that contributed at least one token."""
+    conf = conf or {}
+    from riko_spark.operators.strings import tokenize_col
+
+    toks = tokenize_col(
+        F.col(conf.get("field", "content")),
+        delimiter=conf.get("delimiter", ","),
+        dedupe=bool(conf.get("dedupe")),
+        sort=False,  # ordering cannot change a count
+    )
+    n = F.coalesce(F.size(toks), F.lit(0))
+    key = conf.get("count_key")
+    if not key:
+        return df.agg(F.coalesce(F.sum(n), F.lit(0)).alias("count"))
+    grouped = df.groupBy(_str_key(key).alias(key))
+    if order_by:
+        out = grouped.agg(
+            F.sum(n).alias("count"),
+            F.min(F.when(n > 0, first_col(order_by))).alias("first_seen"),
+        )
+        return out.filter(F.col("count") > 0).orderBy("first_seen")
+    return grouped.agg(F.sum(n).alias("count")).filter(F.col("count") > 0)
+
+
 @register("sum", kind="operator", sub_kind="aggregator")
 def sum_op(df: DataFrame, conf: dict | None = None) -> DataFrame:
     """Decimal sum of ``sum_key`` (default ``content``), optionally per

@@ -204,15 +204,22 @@ def build_pipeline(
     inputs: dict | None = None,
     order_by: list[str] | None = None,
     streaming: bool = True,
+    optimize: bool = True,
 ) -> DataFrame:
     """Interpret a pipe def into a single DataFrame plan.
 
     ``sources`` maps module ids (or a ``source`` conf name) to input
     DataFrames — the sandbox stand-in for URL fetching.
     ``inputs`` binds runtime parameters for ``input`` modules
-    (riko/modules/input.py:72-107).
+    (riko/modules/input.py:72-107).  ``optimize`` applies the logical
+    rewrites in riko_spark.plans.rewrite (e.g. tokenizer→count
+    explode elimination) before interpretation.
     """
     parsed = parse_pipe_def(pipe_def)
+    if optimize:
+        from riko_spark.plans.rewrite import optimize_parsed
+
+        parsed = optimize_parsed(parsed)
     modules, wires = parsed["modules"], parsed["wires"]
     sources = sources or {}
 

@@ -119,3 +119,78 @@ def test_input_module_binding(spark):
     }
     out = build_pipeline(spark, pipe_def, sources={"s": df})
     assert sorted(r["x"] for r in out.collect()) == [5, 6, 7, 8, 9]
+
+
+def _tok_count_def(count_key=None, emit=False):
+    conf = {"delimiter": " ", "token_key": "token", "field": "text", "emit": emit}
+    cconf = {"count_key": count_key} if count_key else {}
+    return {
+        "modules": [
+            {"id": "s", "type": "filter", "conf": {}},
+            {"id": "tok", "type": "tokenizer", "conf": conf},
+            {"id": "cnt", "type": "count", "conf": cconf},
+        ],
+    }
+
+
+def _fusion_fixture(spark):
+    rows = [
+        ("en", "a b c", 1),
+        ("en", "", 2),          # zero tokens
+        ("de", None, 3),        # NULL text
+        ("de", "x", 4),
+        ("fr", "  ", 5),        # whitespace-only: riko keeps '' token? no — pre-strip empties drop
+        (None, "k k", 6),       # NULL group key -> 'None'
+        ("zz", "", 7),          # group with ONLY zero-token rows: absent
+    ]
+    return spark.createDataFrame(rows, "lang string, text string, event_seq long")
+
+
+def test_fused_token_count_equivalence(spark):
+    """The tokenizer→count fusion must match the exploded plan exactly,
+    including zero-token rows, NULLs, 'None' group keys, all-empty
+    groups, and first_seen ordering."""
+    df = _fusion_fixture(spark)
+    for key in (None, "lang"):
+        d = _tok_count_def(count_key=key)
+        fused = build_pipeline(spark, d, sources={"s": df}, order_by=["event_seq"])
+        plain = build_pipeline(spark, d, sources={"s": df}, order_by=["event_seq"],
+                               optimize=False)
+        assert [r.asDict() for r in fused.collect()] == [
+            r.asDict() for r in plain.collect()
+        ], f"count_key={key}"
+
+
+def test_fusion_eliminates_explode(spark):
+    df = _fusion_fixture(spark)
+    fused = build_pipeline(spark, _tok_count_def("lang"), sources={"s": df},
+                           order_by=["event_seq"])
+    plain = build_pipeline(spark, _tok_count_def("lang"), sources={"s": df},
+                           order_by=["event_seq"], optimize=False)
+    fused_plan = fused._jdf.queryExecution().executedPlan().toString()
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in fused_plan  # no explode in the fused plan
+    assert "Generate" in plain_plan
+
+
+def test_fusion_not_applied_when_counting_by_token(spark):
+    """count_key == token_key needs the values — must NOT fuse."""
+    df = _fusion_fixture(spark)
+    d = _tok_count_def(count_key="token", emit=False)
+    out = build_pipeline(spark, d, sources={"s": df}, order_by=["event_seq"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+    got = {r["token"]: r["count"] for r in out.collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "x": 1, "k": 2}
+
+
+def test_fusion_codegen_equivalence(spark):
+    from riko_spark.plans.codegen import compile_pipe
+
+    df = _fusion_fixture(spark)
+    d = _tok_count_def(count_key="lang")
+    fn, source = compile_pipe(d, "fz")
+    assert "fused_token_count" in source
+    gen = fn(spark, sources={"s": df}, order_by=["event_seq"])
+    interp = build_pipeline(spark, d, sources={"s": df}, order_by=["event_seq"])
+    assert [r.asDict() for r in gen.collect()] == [r.asDict() for r in interp.collect()]
