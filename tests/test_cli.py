@@ -1,0 +1,51 @@
+"""CLI surface: describe/compile in-process, runpipe via subprocess
+(runpipe owns a SparkSession and stops it — keep it out of the shared
+test JVM)."""
+
+import json
+import os
+import subprocess
+import sys
+
+from riko_spark.cli import main
+
+PIPE = {
+    "modules": [
+        {"id": "src", "type": "filter",
+         "conf": {"rule": [{"field": "x", "op": "atleast", "value": 3}]}},
+        {"id": "trunc", "type": "truncate", "conf": {"count": 2}},
+        {"id": "out", "type": "output"},
+    ],
+}
+
+
+def test_cli_describe_and_compile(tmp_path, capsys):
+    p = tmp_path / "pipe.json"
+    p.write_text(json.dumps(PIPE))
+    assert main(["describe", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "src\tfilter" in out and "trunc\ttruncate" in out
+    assert main(["compile", str(p), "--name", "demo"]) == 0
+    src = capsys.readouterr().out
+    assert "def pipe_demo(" in src and "execute_module" in src
+
+
+def test_cli_runpipe_subprocess(tmp_path, spark):
+    pipe = tmp_path / "pipe.json"
+    pipe.write_text(json.dumps(PIPE))
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [{"x": i, "event_seq": i} for i in range(10)]
+    ).write.parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    r = subprocess.run(
+        [sys.executable, "-m", "riko_spark.cli", "runpipe", str(pipe),
+         "--source", f"src={src_dir}", "--out", out_dir,
+         "--order-by", "event_seq", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    back = spark.read.parquet(out_dir)
+    assert sorted(row["x"] for row in back.collect()) == [3, 4]
