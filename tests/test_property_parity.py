@@ -172,3 +172,57 @@ def test_minhash_partitioning_invariance(spark, parts):
         for r in minhash_signatures(docs.coalesce(1), "text", 8, 3).collect()
     }
     assert sigs == base
+
+
+def test_tokenizer_fast_path_matches_array_path_random(spark):
+    """tokenizer_op's whole-stage-codegen fast path (explode → scalar
+    btrim) must produce exactly the rows of the array path
+    (tokenize_col + apply_multi) on random inputs — riko's exact
+    pre-strip-drop / post-strip-keep edge included."""
+    from riko_spark.operators.options import apply_multi
+    from riko_spark.operators.strings import tokenize_col, tokenizer_op
+
+    values = _random_strings(n=300, seed=77)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i long, content string")
+    fast = tokenizer_op(df, {"delimiter": ",", "token_key": "tok"}, emit=False)
+    slow = apply_multi(
+        df, tokenize_col(F.col("content"), delimiter=","),
+        assign="tok", emit=False, count="all",
+    )
+    f = sorted((r["i"], r["tok"]) for r in fast.collect())
+    s = sorted((r["i"], r["tok"]) for r in slow.collect())
+    assert f == s
+    # and the fast plan really is the codegen shape (no ArrayTransform)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "transform(" not in plan.lower() or "ArrayTransform" not in plan
+
+
+def test_fast_detag_random_html(spark):
+    """Random tag-ish soup through the extract fast path vs HTMLParser:
+    whenever the gate accepts, output must be byte-identical."""
+    import random as _r
+
+    from riko_spark.functions.text import _BatchTextParser, _fast_detag
+
+    rng = _r.Random(4242)
+    pieces = ["<b>", "</b>", "<i x='1'>", "text", " ", "&amp;", "&", "<",
+              ">", "<!-- c -->", "word", "\n", "<p a=\"v\">", "</p>",
+              "&#65;", "tail", "<br/>", "&amp ", "--", "'", '"']
+    parser = _BatchTextParser()
+
+    def slow(s):
+        parser.reset()
+        parser.parts = []
+        parser.feed(s)
+        return "".join(p + "\n" for p in parser.parts).strip()
+
+    taken = 0
+    for _ in range(400):
+        s = "".join(rng.choice(pieces) for _ in range(rng.randrange(0, 12)))
+        fast = _fast_detag(s)
+        if fast is None:
+            continue
+        taken += 1
+        assert fast == slow(s), repr(s)
+    assert taken > 50  # the gate must not reject everything
