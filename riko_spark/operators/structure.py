@@ -21,7 +21,7 @@ from urllib.parse import urlencode
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, TimestampType
 
 from riko_spark.functions.casts import cast_with_default
 from riko_spark.operators import register
@@ -125,6 +125,24 @@ def dateformat_op(
 
 # ----------------------------------------------------------- datebuilder
 
+@F.pandas_udf(TimestampType())
+def _dateutil_parse_udf(texts: pd.Series) -> pd.Series:
+    """Arbitrary-format date parsing (riko parses via dateutil —
+    riko/modules/datebuilder.py:46-91); NaT on failure, matching riko's
+    never-raise coercion."""
+    from dateutil import parser as _dp
+
+    def one(t):
+        if t is None:
+            return None
+        try:
+            return _dp.parse(t)
+        except (ValueError, OverflowError):
+            return None
+
+    return texts.map(one)
+
+
 @register("datebuilder")
 def datebuilder_op(
     df: DataFrame, conf: dict | None = None, field: str = "content",
@@ -132,7 +150,9 @@ def datebuilder_op(
 ) -> DataFrame:
     """Text → timestamp, honoring riko's named/relative forms
     ('today', 'tomorrow', '±N days' — riko/cast.py:217-272) relative to
-    ``current_timestamp`` and falling back to a plain cast."""
+    ``current_timestamp``, then a native cast, then dateutil for the
+    arbitrary formats riko accepts (riko/modules/datebuilder.py:46-91
+    parses via dateutil — e.g. the doctest's US-style '12/2/2014')."""
     col = F.col(field).cast("string")
     low = F.lower(col)
     now = F.current_timestamp()
@@ -143,7 +163,7 @@ def datebuilder_op(
         .when(low == "tomorrow", F.date_trunc("day", F.date_add(now, 1)).cast("timestamp"))
         .when(low == "yesterday", F.date_trunc("day", F.date_sub(now, 1)).cast("timestamp"))
         .when(rel_days != "", now + F.make_dt_interval(F.coalesce(rel_days.try_cast("int"), F.lit(0))))
-        .otherwise(col.try_cast("timestamp"))
+        .otherwise(F.coalesce(col.try_cast("timestamp"), _dateutil_parse_udf(col)))
     )
     return apply_scalar(df, result, assign=assign, emit=emit, skip_if=skip_if)
 

@@ -105,3 +105,26 @@ def test_sum_skips_uncastable(spark):
         [("1.5", 0), ("xx", 1), ("2.5", 2)], "content string, event_seq long"
     )
     assert rows(Flow(df).sum().df)[0]["sum"] == Decimal("4")
+
+def test_datebuilder_named_and_relative_forms(spark):
+    """riko/modules/datebuilder.py doctest ('12/2/2014' -> year 2014)
+    plus the named/relative vocabulary from riko/cast.py:217-272."""
+    from datetime import datetime, timedelta
+
+    from riko_spark.plans.flow import Flow
+
+    rows = [{"content": c} for c in
+            ["12/2/2014", "today", "tomorrow", "yesterday", "2 days",
+             "-3 days", "not a date at all"]]
+    df = spark.createDataFrame(rows)
+    got = {r["content"]: r["datebuilder"]
+           for r in Flow(df).datebuilder(None).df.collect()}
+    # the riko doctest value: US-style parse via the dateutil fallback
+    assert got["12/2/2014"].year == 2014 and got["12/2/2014"].month == 12
+    today = datetime.now()
+    assert got["today"].date() == today.date()
+    assert got["tomorrow"].date() == (today + timedelta(days=1)).date()
+    assert got["yesterday"].date() == (today - timedelta(days=1)).date()
+    assert abs((got["2 days"] - today) - timedelta(days=2)) < timedelta(minutes=5)
+    assert abs((today - got["-3 days"]) - timedelta(days=3)) < timedelta(minutes=5)
+    assert got["not a date at all"] is None
