@@ -57,6 +57,43 @@ def _regex_flags(rule: dict) -> str:
     return f"(?{flags})" if flags else ""
 
 
+def _multi_substitute_fn(rules: list[dict]):
+    """Single-pass parallel substitution (riko ``multi: true`` —
+    riko/utils.py:874-965 combined-regex recipe): all rules' patterns
+    are alternated into ONE regex, each match replaced by ITS rule's
+    replacement, so no rule ever sees another rule's output.  Per-rule
+    ``$n`` backrefs are remapped onto the combined pattern's group
+    numbering."""
+    flags = 0 if rules and rules[0].get("casematch") else (
+        _re.IGNORECASE | _re.MULTILINE | _re.DOTALL
+    )
+    bases, parts, total = [], [], 0
+    for i, r in enumerate(rules):
+        parts.append(f"(?P<_m{i}>{r['match']})")
+        bases.append(total + 1)  # the wrapper group itself
+        total += 1 + _re.compile(r["match"]).groups
+    combined = _re.compile("|".join(parts), flags)
+
+    def sub(word: str | None) -> str | None:
+        if word is None:
+            return None
+
+        def repl(m: _re.Match) -> str:
+            for i, r in enumerate(rules):
+                if m.group(f"_m{i}") is not None:
+                    rep = r.get("replace", "") or ""
+                    return _re.sub(
+                        r"\$(\d+)",
+                        lambda g: m.group(bases[i] + int(g.group(1))) or "",
+                        rep,
+                    )
+            return m.group(0)  # pragma: no cover
+
+        return combined.sub(repl, word)
+
+    return sub
+
+
 @register("regex")
 def regex_op(df: DataFrame, conf: dict, skip_if=None) -> DataFrame:
     """Multi-rule regex search/replace applied per field via ``reduce``.
@@ -65,9 +102,27 @@ def regex_op(df: DataFrame, conf: dict, skip_if=None) -> DataFrame:
     vocabulary before its ``$n``→``\\n`` Python conversion
     (riko/utils.py:999-1002).  ``singlelinematch`` additionally means
     count=1 (replace first match only) — that variant runs as a pandas
-    UDF since JVM ``regexp_replace`` is replace-all.
+    UDF since JVM ``regexp_replace`` is replace-all.  ``multi: true``
+    combines all rules of a field into one single-pass parallel
+    substitution (see :func:`_multi_substitute_fn`).
     """
     out = df
+    if conf.get("multi"):
+        by_field: dict[str, list[dict]] = {}
+        for rule in _listize(conf.get("rule")):
+            by_field.setdefault(rule["field"], []).append(rule)
+        for field, rules in by_field.items():
+            subber = _multi_substitute_fn(rules)
+
+            def _make(subber=subber):
+                @F.pandas_udf(StringType())
+                def _multi(s: pd.Series) -> pd.Series:
+                    return s.map(subber)
+                return _multi
+
+            result = _make()(F.col(field).cast("string"))
+            out = apply_scalar(out, result, assign=field, skip_if=skip_if)
+        return out
     for rule in _listize(conf.get("rule")):
         field = rule["field"]
         pattern = _regex_flags(rule) + rule["match"]

@@ -200,6 +200,14 @@ def urlbuilder_op(
             parts.append(kv)
         qs = F.concat_ws("&", *parts)
         url = F.concat(url, F.lit("?"), qs)
+    ext = conf.get("ext")
+    if ext:
+        # riko: substitute invalid filename chars in the WHOLE url with
+        # '_' then append '.ext' (riko/modules/urlbuilder.py:115-117,
+        # INVALID_FILECHAR_PATTERN riko/utils.py:121)
+        url = F.concat(
+            F.regexp_replace(url, r'[<>:"/\\|*?%]', "_"), F.lit(f".{ext}")
+        )
     return apply_scalar(df, url, assign=assign, emit=emit, skip_if=skip_if)
 
 

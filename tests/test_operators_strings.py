@@ -278,3 +278,37 @@ def test_udf_mapinpandas(spark):
 
     f = Flow(df).udf(None, func=double, schema="x bigint")
     assert sorted(r["x"] for r in rows(f.df)) == [2, 4]
+
+
+def test_regex_multi_single_pass_parallel(spark):
+    """riko regex `multi: true` (riko/utils.py:874-965): ALL rules run
+    in one pass, so a later rule never sees an earlier rule's output —
+    sequential application would produce 'c' here, single-pass 'b c'."""
+    df = spark.createDataFrame([{"content": "a b"}])
+    conf = {"multi": True,
+            "rule": [{"field": "content", "match": "a", "replace": "b"},
+                     {"field": "content", "match": "b", "replace": "c"}]}
+    out = Flow(df).regex(conf).df
+    assert out.collect()[0]["content"] == "b c"
+    # sequential (multi off) for contrast: a->b then both b's -> c
+    seq = Flow(df).regex({**conf, "multi": False}).df
+    assert seq.collect()[0]["content"] == "c c"
+
+
+def test_regex_multi_backrefs_remap(spark):
+    """$n backrefs stay rule-local under the combined pattern."""
+    df = spark.createDataFrame([{"content": "x1 y2"}])
+    conf = {"multi": True,
+            "rule": [{"field": "content", "match": r"x(\d)", "replace": "X$1"},
+                     {"field": "content", "match": r"y(\d)", "replace": "Y$1"}]}
+    out = Flow(df).regex(conf).df
+    assert out.collect()[0]["content"] == "X1 Y2"
+
+
+def test_urlbuilder_ext_substitutes_invalid_filechars(spark):
+    """riko/modules/urlbuilder.py:115-117: conf.ext substitutes
+    [<>:"/\\|*?%] with '_' across the whole url then appends '.ext'."""
+    conf = {"base": "http://example.com", "path": ["a", "b"],
+            "param": [{"key": "q", "value": "1"}], "ext": "json"}
+    got = val(one(spark).urlbuilder(conf), "urlbuilder")
+    assert got == "http___example.com_a_b_q=1.json"
