@@ -183,14 +183,30 @@ def extract_op(
     """The fetchpage analog: slice html between ``start``/``end``
     markers, optionally detag, strip — byte-identical per url to the
     reference chain (riko/modules/fetchpage.py:45-53,103-139;
-    riko/parsers.py:113-174).  Arrow-batched pandas UDF."""
+    riko/parsers.py:113-174).  Arrow-batched pandas UDF.
+
+    With ``token`` the extracted text splits into one item per piece,
+    each stripped, empties kept (riko/modules/fetchpage.py:99-100
+    ``detagged.split(token)`` + ``map(str.strip, ...)``)."""
     conf = conf or {}
     udf = extract_text_udf(
         start=conf.get("start", "<body>"),
         end=conf.get("end", "</body>"),
         detag=bool(conf.get("detag", True)),
     )
-    return apply_scalar(df, udf(F.col(field)), assign=assign, emit=emit, skip_if=skip_if)
+    result = udf(F.col(field))
+    token = conf.get("token")
+    if token:
+        from riko_spark.operators.options import apply_multi
+
+        py_ws = " \t\n\r\x0b\x0c"
+        pieces = F.transform(
+            F.split(result, "\\Q" + str(token) + "\\E", -1),
+            lambda x: F.btrim(x, F.lit(py_ws)),
+        )
+        return apply_multi(df, pieces, assign=assign, emit=emit,
+                           skip_if=skip_if, count="all")
+    return apply_scalar(df, result, assign=assign, emit=emit, skip_if=skip_if)
 
 
 @register("feedautodiscovery")

@@ -139,3 +139,16 @@ def test_fast_detag_byte_identical_to_parser():
         got = _fast_detag(case)
         if got is not None:
             assert got == slow(case), case
+
+
+def test_extract_token_split(spark):
+    """fetchpage conf.token: detagged text splits into one stripped
+    item per piece, empties kept (riko/modules/fetchpage.py:99-100)."""
+    from riko_spark.operators.webtext import extract_op
+
+    html = "<html><body><p>alpha | beta</p><p> | gamma</p></body></html>"
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    out = extract_op(df, {"token": "|"}, emit=True)
+    got = [r["content"] for r in out.collect()]
+    # detagged text = 'alpha |  beta\n |  gamma' -> split on '|' -> strip
+    assert got == ["alpha", "beta", "gamma"]
