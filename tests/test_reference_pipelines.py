@@ -145,3 +145,23 @@ def test_xpath_sciencedaily_doctest(spark):
                           "xpath": "/html/head/title"}, spark=spark)
     got = [r.asDict() for r in out.collect()]
     assert got == [{"content": "Help Page -- ScienceDaily"}]
+
+
+def test_reference_pipelines_through_codegen(spark):
+    """Compile two of the reference's own pipe defs with the code
+    generator and execute the generated functions — results must match
+    the interpreter (covers codegen over real-world defs with loops,
+    terminal wiring, and the xpath source)."""
+    from riko_spark.plans.codegen import compile_pipe
+
+    for name, n_rows in (
+        ("pipe_UuvYtuMe3hGDsmRgPm7D0g", 1),       # csv + input terminal + loops
+        ("pipe_a08134746e30a6dd3a7cb3c0cf098692", 94),  # xpath + 3 loops
+    ):
+        pd = _pipe(name)
+        fn, _src = compile_pipe(pd, "ref")
+        gen = fn(spark)
+        interp = build_pipeline(spark, pd)
+        got = sorted(map(str, (r.asDict(recursive=True) for r in gen.collect())))
+        want = sorted(map(str, (r.asDict(recursive=True) for r in interp.collect())))
+        assert len(got) == n_rows and got == want, name
