@@ -119,17 +119,24 @@ def geolocate_op(
     is a broadcast join against a geo dimension table."""
     loc_type = (conf or {}).get("type", "street_address")
     col = F.col(field).cast("string")
-    if loc_type == "coordinates":
-        lat = F.coalesce(F.trim(F.split(col, ",").getItem(0)).try_cast("double"), F.lit(0.0))
-        lon = F.coalesce(F.trim(F.split(col, ",").getItem(1)).try_cast("double"), F.lit(0.0))
-    else:
-        lat, lon = F.lit(0.0), F.lit(0.0)
-    result = F.struct(
-        lat.alias("lat"), lon.alias("lon"),
+    common = [
         F.lit("United States").alias("country"),
         F.lit("state").alias("admin1"), F.lit("county").alias("admin2"),
-        F.lit("city").alias("city"), F.lit("61605").alias("postal"),
-    )
+        F.lit("city").alias("admin3"), F.lit("city").alias("city"),
+    ]
+    if loc_type == "ip_address":
+        # riko/cast.py:146-156 lookup_ip_address: no lat/lon/street/postal
+        result = F.struct(*common)
+    else:
+        if loc_type == "coordinates":
+            lat = F.coalesce(F.trim(F.split(col, ",").getItem(0)).try_cast("double"), F.lit(0.0))
+            lon = F.coalesce(F.trim(F.split(col, ",").getItem(1)).try_cast("double"), F.lit(0.0))
+        else:  # street_address / currency: fixed placeholder record
+            lat, lon = F.lit(0.0), F.lit(0.0)
+        result = F.struct(
+            lat.alias("lat"), lon.alias("lon"), *common,
+            F.lit("street").alias("street"), F.lit("61605").alias("postal"),
+        )
     return apply_scalar(df, result, assign=assign, emit=emit, skip_if=skip_if)
 
 

@@ -162,3 +162,14 @@ def test_fetchtable_xlsx(spark, tmp_path):
     rows = [r.asDict() for r in out.collect()]
     assert rows == [{"name": "alpha", "value": "42"},
                     {"name": "inline val", "value": "7.5"}]
+
+
+def test_geolocate_type_shapes(spark):
+    """riko/cast.py:130-195 record shapes per lookup type: coordinates/
+    street carry lat/lon/street/postal; ip_address carries neither."""
+    df = spark.createDataFrame([{"content": "8.8.8.8"}])
+    ip = rows(Flow(df).geolocate({"type": "ip_address"}).df)[0]["geolocate"]
+    assert set(ip) == {"country", "admin1", "admin2", "admin3", "city"}
+    street = rows(Flow(df).geolocate({"type": "street_address"}).df)[0]["geolocate"]
+    assert street["street"] == "street" and street["postal"] == "61605"
+    assert street["admin3"] == "city"
