@@ -532,6 +532,32 @@ def q_ann_lsh(spark, sf):
     return out.select("query_id", "rank", "vec_id")
 
 
+def q_ann_ivf(spark, sf):
+    """IVF-Flat ANN with the same planted ground truth as ann_lsh: the
+    true top-6 per query (self + 5 near-identical copies) must be found
+    inside the nprobe probed cells; the oracle brute-forces top-6 over
+    the same corpus."""
+    from riko_spark.operators.similarity import ann_ivf_op
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 3)
+    j = spark.range(1, 6)
+    planted = qs.crossJoin(j).select(
+        ((F.col("vec_id") + 1) * 100000 + F.col("id")).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.0005) * F.col("id")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    queries = qs.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ann_ivf_op(corpus, {"k": 6, "nlist": 8, "nprobe": 2, "dim": 64},
+                     queries=queries)
+    return out.select("query_id", "rank", "vec_id")
+
+
 def q_token_count(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "text")
     from riko_spark.operators.textstats import token_count_op
@@ -746,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -1020,6 +1047,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
         """,
         "ann_lsh": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            planted AS (
+                SELECT (q.query_id + 1) * 100000 + jj.j AS vec_id,
+                       list_concat([q.qv[1] + 0.0005::DOUBLE * jj.j], q.qv[2:]) AS v
+                FROM qs q, (SELECT unnest(range(1, 6)) AS j) jj
+            ),
+            corpus AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM planted),
+            scored AS (
+                SELECT q.query_id, c.vec_id,
+                       ROUND(list_cosine_similarity(c.v, q.qv), 6) AS cos
+                FROM corpus c CROSS JOIN qs q
+            ), ranked AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 6
+        """,
+        "ann_ivf": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
             planted AS (

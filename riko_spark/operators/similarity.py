@@ -3,13 +3,20 @@
   ann_bruteforce  exact cosine top-k: broadcast the (small) query set,
                   JVM-native dot products (``zip_with`` + ``aggregate``),
                   per-query top-k via window.  The correctness baseline.
-  ann_lsh         scale path: random-hyperplane buckets with multi-probe
-                  (hamming-adjacent buckets), exact rerank inside the
-                  probed buckets — the shuffle is keyed on bucket, never
-                  all-pairs.
+  ann_lsh         scale path A: random-hyperplane buckets with
+                  multi-probe (hamming-adjacent buckets), exact rerank
+                  inside the probed buckets — the shuffle is keyed on
+                  bucket, never all-pairs.
+  ann_ivf         scale path B: IVF-Flat — a k-means coarse quantizer
+                  (fit on a deterministic sample, centroids broadcast as
+                  literals) assigns every vector to its nearest cell
+                  with native expressions; a query scans only its
+                  ``nprobe`` nearest cells, exact rerank inside.
 
 At 100 TB the brute-force variant is the *per-partition* kernel; the
-LSH variant bounds the candidate set so the join stays sub-quadratic.
+LSH/IVF variants bound the candidate set so the join stays
+sub-quadratic (IVF additionally gives tunable recall via nprobe and a
+data-adaptive partition of the space).
 """
 
 from __future__ import annotations
@@ -131,6 +138,107 @@ def ann_lsh_op(
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def _kmeans_fit(vectors: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a sample (driver-side numpy —
+    the quantizer-training step, eager like any .fit)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(vectors), size=min(nlist, len(vectors)), replace=False)
+    centroids = vectors[np.sort(idx)].astype("float64").copy()
+    for _ in range(iters):
+        # cosine assignment on normalized rows == max dot product
+        sims = vectors @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = vectors[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    centroids[c] = m / norm
+    return centroids
+
+
+@register("ann_ivf")
+def ann_ivf_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    queries: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    seed: int = 5,
+    dim: int | None = None,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF-Flat approximate top-k (the inverted-file scale path).
+
+    Fit: k-means centroids on a deterministic sample (ordered-by-id
+    head — an eager training job, like MLlib ``.fit``).  Index: each
+    vector's cell = argmax centroid dot product, computed with native
+    expressions against broadcast centroid literals.  Search: each
+    query probes its ``nprobe`` best cells; exact cosine rerank runs
+    only inside probed cells, so the join is keyed on cell — never
+    all-pairs.  Assumes (like the cosine metric itself) roughly
+    unit-norm vectors for the argmax-dot assignment."""
+    conf = conf or {}
+    k, nlist, nprobe = (int(conf.get("k", k)), int(conf.get("nlist", nlist)),
+                        int(conf.get("nprobe", nprobe)))
+    seed = int(conf.get("seed", seed))
+    iters = int(conf.get("iters", iters))
+    sample_size = int(conf.get("sample_size", sample_size))
+    if queries is None:
+        raise ValueError("ann_ivf requires queries=")
+    from riko_spark.operators.dedupe import embedding_dim
+
+    dim = embedding_dim(df, vec_col, conf.get("dim", dim))
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).orderBy(id_col).limit(sample_size).collect()],
+        dtype="float64",
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    centroids = _kmeans_fit(sample / norms, nlist, iters, seed)
+
+    cent_lits = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+
+    def scores(vec: Column) -> Column:
+        return F.array(*[dot(vec, c) for c in cent_lits])
+
+    def home_cell(vec: Column) -> Column:
+        s = scores(vec)
+        return F.array_position(s, F.array_max(s)).cast("int")
+
+    data = df.select(id_col, vec_col).withColumn("__cell", home_cell(F.col(vec_col)))
+
+    # top-nprobe cells per query: sort (score, cell) structs descending
+    qs = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored_cells = F.transform(
+        scores(F.col("__qvec")),
+        lambda s, i: F.struct(s.alias("score"), (i + 1).cast("int").alias("cell")),
+    )
+    probe_cells = F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe)
+    probed = qs.withColumn(
+        "__cell", F.explode(F.transform(probe_cells, lambda x: x["cell"]))
+    )
+
+    cand = data.join(F.broadcast(probed), "__cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cosine")
     )

@@ -139,3 +139,28 @@ def test_plan_build_launches_no_jobs(spark):
     # without dim, the empty frame raises the documented error
     with pytest.raises(ValueError, match="dim"):
         embedding_neardup_op(empty, {"planes": 4})
+
+
+def test_ann_ivf_self_and_neighbor(spark):
+    import numpy as np
+
+    from riko_spark.operators.similarity import ann_ivf_op
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype("float32")
+    base = base / np.linalg.norm(base)
+    vecs = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.standard_normal(16).astype("float32")).tolist()),
+        (2, (rng.standard_normal(16) / 4).astype("float32").tolist()),
+        (3, (-base).tolist()),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_ivf_op(df, {"k": 2, "nlist": 2, "nprobe": 1, "dim": 16},
+                     queries=queries).collect()
+    ranked = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranked[0] == 0          # self is always in its own cell
+    assert ranked[1] == 1          # near-dup shares the cell
