@@ -103,6 +103,67 @@ def _extract_series(html: pd.Series, start: str, end: str, detag: bool) -> pd.Se
     return html.map(one)
 
 
+# JVM-native variant of the fast path: maximal runs of separators
+# collapse to one '\n' (identical to split-drop-empties-join) and the
+# Python-whitespace strip runs as btrim — whole-stage codegen, zero
+# Python for every document the gate accepts.
+_PY_WS = " \t\n\r\x0b\x0c"
+_SEP_RUN_JAVA = (
+    r"(?s)(?:<!--.*?--\s*>"
+    r"|<[a-zA-Z][^<>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^<>\"']*)*>"
+    r"|</[^<>]*>"
+    r"|<\?[^<>]*>"
+    r"|&(?:[a-zA-Z][-.a-zA-Z0-9]*|#[0-9]+|#[xX][0-9a-fA-F]+);)+"
+)
+_UNSAFE_JAVA = (
+    r"(?is)<(?:script|style)\b|<!(?!--)"
+    r"|</[^<>]*['\"]"
+    r"|&(?!(?:[a-zA-Z][-.a-zA-Z0-9]*|#[0-9]+|#[xX][0-9a-fA-F]+);)"
+)
+
+
+def sliced_col(col, start: str, end: str):
+    """Native ``textref.get_string``: slice between literal markers,
+    reproducing the reference's quirks exactly (missing start → slice
+    from ``len(start)-1``; end searched from offset 1; missing end →
+    whole remainder)."""
+    out = col
+    if start:
+        sp = F.locate(start, out)  # 1-based; 0 when missing
+        out = out.substr(sp + len(start), F.lit(2147483647))
+    if end:
+        ep = F.locate(end, out, 2)
+        out = F.when(ep >= 2, out.substr(F.lit(1), ep - 1)).otherwise(out)
+    return out
+
+
+def extract_text_col(col, start: str = "<body>", end: str = "</body>",
+                     detag: bool = True):
+    """Column-native reference extraction: byte-identical to
+    ``extract_text_udf`` (verified over the full fixture corpus +
+    adversarial cases) with the common case entirely inside whole-stage
+    codegen; gated rows (script/style CDATA, declarations, ambiguous
+    '&', malformed '<') fall back to the HTMLParser pandas UDF, which
+    receives NULL for accepted rows.
+
+    MEASURED TRADEOFF: on this corpus the JVM regex engine backtracks
+    ~2× slower than CPython's ``re`` running the same fast path inside
+    the Arrow UDF (scale-leg walls 5.5-6.3 s vs 2.7-4.1 s at 32 cores),
+    so ``extract``/``fetchpage`` default to the UDF.  Use this variant
+    where Python workers are unavailable or their memory footprint is
+    the constraint — it is plan-equivalent, not faster, here."""
+    s = col.cast("string")
+    sliced = sliced_col(s, start, end)
+    if not detag:
+        return F.btrim(sliced, F.lit(_PY_WS))
+    replaced = F.regexp_replace(sliced, _SEP_RUN_JAVA, "\n")
+    use_py = sliced.rlike(_UNSAFE_JAVA) | replaced.contains("<")
+    fallback = extract_text_udf(start=start, end=end, detag=True)(
+        F.when(use_py, col)  # NULL for accepted rows: near-zero Python
+    )
+    return F.when(use_py, fallback).otherwise(F.btrim(replaced, F.lit(_PY_WS)))
+
+
 def extract_text_udf(start: str = "<body>", end: str = "</body>", detag: bool = True):
     """pandas UDF: html binary -> reference-extracted text.
 

@@ -152,3 +152,40 @@ def test_extract_token_split(spark):
     got = [r["content"] for r in out.collect()]
     # detagged text = 'alpha |  beta\n |  gamma' -> split on '|' -> strip
     assert got == ["alpha", "beta", "gamma"]
+
+
+def test_native_extract_col_byte_identity(spark):
+    """extract_text_col (JVM-native variant) must equal the stored
+    ground-truth text for fixture pages and the HTMLParser result on
+    adversarial constructs (fallback path included)."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.functions.text import _BatchTextParser, extract_text_col
+    from riko_spark.sources.pages import pages_fixture
+    from riko_spark.textref import get_string
+
+    df = spark.read.parquet(pages_fixture(n=1_000))
+    bad = df.select(
+        (extract_text_col(F.col("html")) != F.col("text")).alias("m")
+    ).filter("m").count()
+    assert bad == 0
+
+    cases = [
+        "<p>a & b</p>", "<script>if (a<b) x();</script><p>t</p>",
+        "<!-- c -- > still comment --><b>k</b>", "<p title='a>b'>tricky</p>",
+        "x</b> <i>y", "<b></b><i></i>between", "  lead <b>mid</b> trail  ",
+        "<p>multi &amp;&amp; amp</p>", "<1notag>data</p>", "<p>end &",
+    ]
+    wrapped = [f"<body>{c}</body>" for c in cases]
+    cdf = spark.createDataFrame([(i, c) for i, c in enumerate(wrapped)],
+                                "i long, html string")
+    got = {r["i"]: r["n"] for r in
+           cdf.select("i", extract_text_col(F.col("html")).alias("n")).collect()}
+    parser = _BatchTextParser()
+    for i, c in enumerate(wrapped):
+        sliced = get_string(c, "<body>", "</body>")
+        parser.reset()
+        parser.parts = []
+        parser.feed(sliced)
+        want = "".join(p + "\n" for p in parser.parts).strip()
+        assert got[i] == want, cases[i]
