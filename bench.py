@@ -28,29 +28,39 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def _pages_pipe_graph(spark, path):
-    """The headline riko pipe graph over the web-pages table:
-    extract(html) -> filter(lang) -> regex -> tokenizer -> windowed count."""
-    import pyspark.sql.functions as F
+def _pipe_graph_def():
+    """The headline riko pipe graph AS A DECLARED PIPE DEF:
+    extract(html) -> filter(lang) -> regex -> tokenizer -> windowed
+    count of tokens per (domain x 10-min window).  Declaring it lets
+    the compiler's rewrite pass pick the fused physical plan (no
+    explode) — the measured engine plan, with optimize=False as the
+    exploded control."""
+    return {
+        "modules": [
+            {"id": "ext", "type": "extract",
+             "conf": {"field": "html", "assign": "content"}},
+            {"id": "flt", "type": "filter",
+             "conf": {"rule": [{"field": "lang", "op": "isnot", "value": "fr"}]}},
+            {"id": "rgx", "type": "regex",
+             "conf": {"rule": [{"field": "content", "match": r"\r\n|\n",
+                                "replace": " "}]}},
+            {"id": "tok", "type": "tokenizer",
+             "conf": {"delimiter": " ", "token_key": "token",
+                      "field": "content", "emit": False}},
+            {"id": "wc", "type": "windowed_count",
+             "conf": {"ts_col": "warc_ts", "window": "10 minutes",
+                      "keys": ["domain"], "name": "n_tokens",
+                      "derive": {"domain": "parse_url(url, 'HOST')"}}},
+        ],
+    }
 
-    from riko_spark.plans.flow import Flow
-    from riko_spark.streaming.windows import tumbling_agg
+
+def _pages_pipe_graph(spark, path, optimize=True):
+    from riko_spark.plans.dag import build_pipeline
 
     df = spark.read.parquet(path)
-    f = (
-        Flow(df)
-        .extract(None, field="html", assign="content")
-        .filter({"rule": [{"field": "lang", "op": "isnot", "value": "fr"}]})
-        .regex({"rule": [{"field": "content", "match": r"\r\n|\n", "replace": " "}]})
-    )
-    toks = f.tokenizer({"delimiter": " ", "token_key": "token"}, field="content", emit=False)
-    domain = F.parse_url(F.col("url"), F.lit("HOST"))
-    counted = tumbling_agg(
-        toks.df.withColumn("domain", domain),
-        ts_col="warc_ts", window="10 minutes", watermark=None,
-        keys=["domain"], aggs={"n_tokens": "count"},
-    )
-    return counted
+    return build_pipeline(spark, _pipe_graph_def(), sources={"ext": df},
+                          optimize=optimize)
 
 
 def _timed(fn):
@@ -153,27 +163,12 @@ def _scale_leg(path, cores: int, multiplier: int) -> float:
     best-of-3 steady-state wall seconds (warm-up absorbs Python-worker
     spawn + JIT; min defends against the sandbox VM's sporadic
     multi-second CPU stalls)."""
+    from riko_spark.plans.dag import build_pipeline
     from riko_spark.session import get_spark
 
     def graph(spark):
-        import pyspark.sql.functions as F
-
-        from riko_spark.plans.flow import Flow
-        from riko_spark.streaming.windows import tumbling_agg
-
         df = spark.read.parquet(*([path] * multiplier))
-        f = (
-            Flow(df)
-            .extract(None, field="html", assign="content")
-            .filter({"rule": [{"field": "lang", "op": "isnot", "value": "fr"}]})
-            .regex({"rule": [{"field": "content", "match": r"\r\n|\n", "replace": " "}]})
-        )
-        toks = f.tokenizer({"delimiter": " ", "token_key": "token"}, field="content", emit=False)
-        return tumbling_agg(
-            toks.df.withColumn("domain", F.parse_url(F.col("url"), F.lit("HOST"))),
-            ts_col="warc_ts", window="10 minutes", watermark=None,
-            keys=["domain"], aggs={"n_tokens": "count"},
-        )
+        return build_pipeline(spark, _pipe_graph_def(), sources={"ext": df})
 
     spark = get_spark(
         app_name=f"bench-scale-{cores}", master=f"local[{cores}]",
@@ -333,6 +328,11 @@ def main():
     wall = best_of(lambda: _pages_pipe_graph(spark, pages_path).count())
     out["queries"]["pipe_graph_batch"] = round(wall, 3)
     out["docs_per_sec"] = round(args.rows / wall, 1)
+    # exploded control: the same declared pipe with the rewrite off
+    wall_u = best_of(
+        lambda: _pages_pipe_graph(spark, pages_path, optimize=False).count()
+    )
+    out["queries"]["pipe_graph_unfused"] = round(wall_u, 3)
 
     for name, fn in headline_queries(spark, SF_DIR).items():
         try:

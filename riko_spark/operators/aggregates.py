@@ -71,15 +71,7 @@ def fused_token_count_op(
     is filtered out; ``first_seen`` is the min order value over rows
     that contributed at least one token."""
     conf = conf or {}
-    from riko_spark.operators.strings import tokenize_col
-
-    toks = tokenize_col(
-        F.col(conf.get("field", "content")),
-        delimiter=conf.get("delimiter", ","),
-        dedupe=bool(conf.get("dedupe")),
-        sort=False,  # ordering cannot change a count
-    )
-    n = F.coalesce(F.size(toks), F.lit(0))
+    n = _token_count_col(conf)
     key = conf.get("count_key")
     if not key:
         return df.agg(F.coalesce(F.sum(n), F.lit(0)).alias("count"))
@@ -91,6 +83,91 @@ def fused_token_count_op(
         )
         return out.filter(F.col("count") > 0).orderBy("first_seen")
     return grouped.agg(F.sum(n).alias("count")).filter(F.col("count") > 0)
+
+
+def _token_count_col(conf: dict):
+    """Per-row token count for the fused aggregates.  Stripping cannot
+    change the count, so the common path is pure codegen —
+    ``size(array_remove(split(...), ''))`` with no higher-order
+    function.  ``dedupe`` counts distinct STRIPPED tokens, so only that
+    path pays for the strip transform."""
+    import pyspark.sql.functions as F  # local alias for clarity
+
+    from riko_spark.operators.strings import tokenize_col
+
+    field = conf.get("field", "content")
+    delimiter = conf.get("delimiter", ",")
+    if conf.get("dedupe"):
+        toks = tokenize_col(F.col(field), delimiter=delimiter, dedupe=True)
+        return F.coalesce(F.size(toks), F.lit(0))
+    quoted = "\\Q" + delimiter + "\\E"
+    raw = F.array_remove(F.split(F.col(field).cast("string"), quoted, -1), "")
+    return F.coalesce(F.size(raw), F.lit(0))
+
+
+def _derive_cols(df: DataFrame, derive: dict | None) -> DataFrame:
+    """Optional conf ``derive``: {name: SQL expr} columns computed
+    before aggregation (same SQL-expression vocabulary as skip_if)."""
+    for name, expr in (derive or {}).items():
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+@register("windowed_count", kind="operator", sub_kind="aggregator")
+def windowed_count_op(
+    df: DataFrame, conf: dict | None = None, order_by: list[str] | None = None
+) -> DataFrame:
+    """Event-time tumbling-window row count per key — the north rule's
+    windowed aggregate as a declarable pipe-def module (batch and
+    streaming; watermark honored when the input is a stream).  Conf:
+    ts_col, window, watermark, keys, name, derive."""
+    conf = conf or {}
+    from riko_spark.streaming.windows import tumbling_agg
+
+    df = _derive_cols(df, conf.get("derive"))
+    return tumbling_agg(
+        df,
+        ts_col=conf.get("ts_col", "warc_ts"),
+        window=conf.get("window", "10 minutes"),
+        watermark=conf.get("watermark"),
+        keys=list(conf.get("keys") or []),
+        aggs={conf.get("name", "n"): "count"},
+    )
+
+
+@register("fused_token_windowed_count", kind="operator", sub_kind="aggregator")
+def fused_token_windowed_count_op(
+    df: DataFrame, conf: dict | None = None, order_by: list[str] | None = None
+) -> DataFrame:
+    """Explode-elimination fusion of ``tokenizer → windowed_count``
+    (installed by riko_spark.plans.rewrite): per-(window × keys) token
+    totals as a sum of per-document token-array sizes — the shuffle
+    carries one row per document instead of one per token.  Groups
+    whose rows contribute zero tokens are absent, matching the
+    exploded plan exactly."""
+    conf = conf or {}
+    df = _derive_cols(df, conf.get("derive"))
+    n = _token_count_col(conf)
+    ts_col = conf.get("ts_col", "warc_ts")
+    if conf.get("watermark") and df.isStreaming:
+        df = df.withWatermark(ts_col, conf["watermark"])
+    name = conf.get("name", "n")
+    keys = list(conf.get("keys") or [])
+    groups = [F.window(F.col(ts_col), conf.get("window", "10 minutes")).alias("win")] + [
+        F.col(k) for k in keys
+    ]
+    out = (
+        df.withColumn("__ntok", n)
+        .groupBy(*groups)
+        .agg(F.sum("__ntok").alias(name))
+        .filter(F.col(name) > 0)
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        F.col(name),
+    )
 
 
 @register("sum", kind="operator", sub_kind="aggregator")

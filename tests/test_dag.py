@@ -194,3 +194,62 @@ def test_fusion_codegen_equivalence(spark):
     gen = fn(spark, sources={"s": df}, order_by=["event_seq"])
     interp = build_pipeline(spark, d, sources={"s": df}, order_by=["event_seq"])
     assert [r.asDict() for r in gen.collect()] == [r.asDict() for r in interp.collect()]
+
+
+def _windowed_def():
+    return {
+        "modules": [
+            {"id": "s", "type": "filter", "conf": {}},
+            {"id": "tok", "type": "tokenizer",
+             "conf": {"delimiter": " ", "token_key": "token",
+                      "field": "text", "emit": False}},
+            {"id": "wc", "type": "windowed_count",
+             "conf": {"ts_col": "ts", "window": "10 minutes",
+                      "keys": ["lang"], "name": "n_tokens"}},
+        ],
+    }
+
+
+def test_fused_token_windowed_count_equivalence(spark):
+    """tokenizer→windowed_count fuses to a windowed size-sum; results
+    must match the exploded plan exactly (zero-token rows and all-empty
+    window×key groups included), and the fused plan has no Generate."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("en", "a b c", base),
+        ("en", "", base),                                  # zero tokens
+        ("de", None, base + dt.timedelta(minutes=11)),     # NULL text
+        ("de", "x y", base + dt.timedelta(minutes=11)),
+        ("fr", "", base + dt.timedelta(minutes=25)),       # all-empty group
+        ("en", "k", base + dt.timedelta(minutes=25)),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string, ts timestamp")
+    d = _windowed_def()
+    fused = build_pipeline(spark, d, sources={"s": df})
+    plain = build_pipeline(spark, d, sources={"s": df}, optimize=False)
+    key = lambda r: (r["window_start"], r["lang"])  # noqa: E731
+    assert sorted((r.asDict() for r in fused.collect()), key=key) == \
+           sorted((r.asDict() for r in plain.collect()), key=key)
+    assert "Generate" not in fused._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plain._jdf.queryExecution().executedPlan().toString()
+
+
+def test_windowed_count_derive_keys(spark):
+    """windowed_count conf.derive computes SQL-expression key columns
+    (e.g. domain = parse_url(url)) before aggregating — and the fusion
+    carries the derive through."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [("http://a.com/x", "p q", base), ("http://b.com/y", "r", base)]
+    df = spark.createDataFrame(rows, "url string, text string, ts timestamp")
+    d = _windowed_def()
+    d["modules"][2]["conf"]["keys"] = ["domain"]
+    d["modules"][2]["conf"]["derive"] = {"domain": "parse_url(url, 'HOST')"}
+    fused = build_pipeline(spark, d, sources={"s": df})
+    got = {r["domain"]: r["n_tokens"] for r in fused.collect()}
+    assert got == {"a.com": 2, "b.com": 1}
+    plain = build_pipeline(spark, d, sources={"s": df}, optimize=False)
+    assert got == {r["domain"]: r["n_tokens"] for r in plain.collect()}
