@@ -117,14 +117,13 @@ def headline_queries(spark, sf_dir):
 
 
 def bench_stream(spark, path, tmp):
-    """Streaming pipe graph: availableNow drain through the exactly-once
-    sink; returns docs/sec and mean per-batch latency."""
+    """Streaming run of the SAME declared pipe graph (extract → filter →
+    regex → tokenizer → fused windowed token count, watermark 30 s):
+    availableNow drain through the exactly-once sink; returns docs/sec
+    and mean per-batch latency."""
+    from riko_spark.plans.dag import build_pipeline
     from riko_spark.streaming.metrics import LineageListener
     from riko_spark.streaming.sink import UpsertSink, write_stream_upsert
-    from riko_spark.streaming.windows import tumbling_agg
-
-    import pyspark.sql.functions as F
-    from riko_spark.plans.flow import Flow
 
     schema = spark.read.parquet(path).schema
     n_docs = spark.read.parquet(path).count()
@@ -135,12 +134,9 @@ def bench_stream(spark, path, tmp):
         .option("maxFilesPerTrigger", 8)
         .parquet(path)
     )
-    f = Flow(stream).extract(None, field="html", assign="content")
-    agg = tumbling_agg(
-        f.df.withColumn("domain", F.parse_url(F.col("url"), F.lit("HOST"))),
-        ts_col="warc_ts", window="10 minutes", watermark="30 seconds",
-        keys=["domain"], aggs={"n": "count"},
-    )
+    pipe = _pipe_graph_def()
+    pipe["modules"][-1]["conf"]["watermark"] = "30 seconds"
+    agg = build_pipeline(spark, pipe, sources={"ext": stream}, streaming=True)
     sink = UpsertSink(os.path.join(tmp, "sink"), keys=["window_start", "domain"])
     t0 = time.time()
     q = write_stream_upsert(agg, sink, os.path.join(tmp, "ckpt"))

@@ -65,7 +65,7 @@ class UpsertSink:
         live = self._current_gen()
         for name in os.listdir(self.path):
             p = os.path.join(self.path, name)
-            if p != live and os.path.isdir(p) and name.startswith(("_gen_", "_tmp_", "_old_", "data")):
+            if p != live and os.path.isdir(p) and name.startswith(("gen_", "_gen_", "_tmp_", "_old_", "data")):
                 shutil.rmtree(p, ignore_errors=True)
             elif os.path.isfile(p) and name.startswith("MANIFEST."):
                 os.remove(p)  # uncommitted manifest tmp from a crash
@@ -100,7 +100,10 @@ class UpsertSink:
         # manifest-pointer commit: the single atomic os.rename of the
         # manifest file is the commit point — a crash at any earlier
         # instant leaves the previous generation fully readable
-        gen_name = f"_gen_{batch_id}_{uuid.uuid4().hex}"
+        # no leading underscore: Hadoop path listings treat _-prefixed
+        # names as hidden, which makes readers warn (and could silently
+        # skip the dir under glob-based access patterns)
+        gen_name = f"gen_{batch_id}_{uuid.uuid4().hex}"
         deduped.write.mode("overwrite").parquet(os.path.join(self.path, gen_name))
         mtmp = self._manifest + f".{uuid.uuid4().hex}"
         with open(mtmp, "w") as fh:

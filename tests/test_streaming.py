@@ -127,11 +127,11 @@ def test_sink_crash_between_write_and_commit(spark, tmp_path):
     sink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
     # simulate a crash: orphan generation + orphan manifest tmp exist,
     # manifest still points at generation 0
-    os.makedirs(os.path.join(path, "_gen_1_deadbeef"))
+    os.makedirs(os.path.join(path, "gen_1_deadbeef"))
     with open(os.path.join(path, "MANIFEST.orphan"), "w") as fh:
-        fh.write("_gen_1_deadbeef")
+        fh.write("gen_1_deadbeef")
     sink2 = UpsertSink(path, keys=["k"])  # restart: init GC runs
-    assert not os.path.exists(os.path.join(path, "_gen_1_deadbeef"))
+    assert not os.path.exists(os.path.join(path, "gen_1_deadbeef"))
     got = {r["k"]: r["v"] for r in sink2.result(spark).collect()}
     assert got == {"a": 1}
     # replayed batch after restart still merges correctly
@@ -252,6 +252,29 @@ def test_full_pipe_graph_stream_batch_parity(spark, tmp_path, pages_path):
         ts_col="warc_ts", window="10 minutes", watermark="2 hours",
         keys=["domain"], aggs={"n_tokens": "count"},
     )
+    sink = UpsertSink(str(tmp_path / "sink"), keys=["window_start", "domain"])
+    q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    assert _bag(sink.result(spark)) == _bag(expected)
+
+
+def test_declared_pipe_graph_stream_batch_parity(spark, tmp_path, pages_path):
+    """The DECLARED flagship pipe def (with the compiler's fused
+    windowed token count) gives identical rows batch vs stream through
+    the exactly-once sink — the optimizer rewrite holds under
+    Structured Streaming semantics too."""
+    from bench import _pipe_graph_def
+    from riko_spark.plans.dag import build_pipeline
+
+    batch_def = _pipe_graph_def()
+    expected = build_pipeline(spark, batch_def,
+                              sources={"ext": spark.read.parquet(pages_path)})
+
+    stream_def = _pipe_graph_def()
+    stream_def["modules"][-1]["conf"]["watermark"] = "2 hours"
+    stream = _read_stream(spark, pages_path)
+    agg = build_pipeline(spark, stream_def, sources={"ext": stream},
+                         streaming=True)
     sink = UpsertSink(str(tmp_path / "sink"), keys=["window_start", "domain"])
     q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
     q.awaitTermination(240)
