@@ -13,7 +13,9 @@ pipes become projections/extractions over it.
       byte-identical-per-url invariant lives here
   feedautodiscovery → ``discover_feeds`` — explode RSS link hrefs
       (riko/modules/feedautodiscovery.py:99-137, riko/autorss.py)
-  xpathfetchpage → gated on lxml availability (not in this container)
+  xpathfetchpage → native ``xpath`` for XML; html5-lite DOM
+      (riko_spark.functions.htmlpath, the lxml/html5lib stand-in) for
+      messy HTML — source mode and per-row mode
 """
 
 from __future__ import annotations

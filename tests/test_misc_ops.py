@@ -173,3 +173,42 @@ def test_geolocate_type_shapes(spark):
     street = rows(Flow(df).geolocate({"type": "street_address"}).df)[0]["geolocate"]
     assert street["street"] == "street" and street["postal"] == "61605"
     assert street["admin3"] == "city"
+
+
+def test_fetchdata_path_descent_doctest(spark):
+    """riko/modules/fetchdata.py doctest: gigs.json with path
+    'value.items' -> first item title 'Business System Analyst'."""
+    import os
+
+    import pytest
+
+    from riko_spark.operators.webtext import fetchdata_op
+
+    path = "/root/reference/riko/data/gigs.json"
+    if not os.path.exists(path):
+        pytest.skip("reference gigs.json not available")
+    out = fetchdata_op(None, {"url": path, "path": "value.items"}, spark=spark)
+    titles = [r["title"] for r in out.collect()]
+    assert "Business System Analyst" in titles
+    # github search fixture: top-level array path
+    gh = "/root/reference/riko/data/api.github.com_search_users_q=defunkt.json"
+    out2 = fetchdata_op(None, {"url": gh, "path": "items"}, spark=spark)
+    assert out2.count() == 28
+    assert "login" in out2.columns
+
+
+def test_fetchtext_doctest(spark):
+    """riko/modules/fetchtext.py doctest: first line of lorem.txt."""
+    import os
+
+    import pytest
+
+    from riko_spark.operators.webtext import fetchtext_op
+
+    path = "/root/reference/riko/data/lorem.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference lorem.txt not available")
+    out = fetchtext_op(None, {"url": path}, spark=spark)
+    lines = [r[0] for r in out.collect()]
+    assert lines[0] == "What is Lorem Ipsum?"
+    assert all(s == s.strip() for s in lines)  # riko strips each line
