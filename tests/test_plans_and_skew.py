@@ -146,3 +146,34 @@ def test_salted_agg_equivalence(spark):
     # and the corpus really is skewed (Zipf) — salting has a job to do
     top = explain_skew(df, "domain", top=1)
     assert top[0][1] > (2_000 / 50) * 5  # hottest domain ≫ uniform share
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Both sides written bucketed+sorted on the join key with the same
+    bucket count: the SortMergeJoin plans with NO Exchange — the
+    storage-layout half of the 100 TB shuffle story."""
+    from riko_spark.functions.bucketing import bucketed_join, write_bucketed
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", "o_orderkey", buckets=8)
+    write_bucketed(li, "b_lineitem", "l_orderkey", buckets=8)
+    # disable broadcast so the planner picks SortMergeJoin — at real
+    # fact×fact scale neither side broadcasts and bucketing is what
+    # removes the exchange (on tiny test tables broadcast would win
+    # and the planner rightly ignores bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_lineitem", "b_orders",
+                               "l_orderkey", "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: same rows as the plain (shuffling) join
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
