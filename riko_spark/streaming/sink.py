@@ -9,19 +9,32 @@ at-least-once ``foreachBatch``.
 Production target is Iceberg ``MERGE INTO`` on a table partitioned by
 ``days(warc_ts), bucket(64, url)``; this container has no Iceberg
 catalog jars, so the same contract is implemented over parquet with a
-manifest-pointer commit (write generation dir → atomically rename a
-one-line MANIFEST pointing at it), behind one interface.  The MERGE
-key and the commit protocol are identical — swapping in the Iceberg
-implementation changes only ``_merge_batch``.
+**bucketed manifest-pointer commit**:
 
-Cost note: the parquet stand-in rewrites the whole keyed table each
-micro-batch (O(table) per batch) — acceptable only for the bounded
-sandbox tables it is used on; Iceberg MERGE INTO with partition
-pruning is the production path at 10^12 rows.
+- the table is hash-bucketed on the merge keys into ``num_buckets``
+  sub-tables (the analog of Iceberg's ``bucket(N, key)`` partition
+  transform);
+- a micro-batch rewrites ONLY the buckets its keys touch — per-batch
+  I/O is O(touched buckets), not O(table), the same pruning MERGE
+  INTO gets from its partition spec;
+- all touched buckets commit atomically through one manifest file
+  (write ``MANIFEST.tmp`` → ``os.rename``): a crash at any earlier
+  instant leaves the previous manifest — and therefore every bucket's
+  previous generation — fully readable.
+
+Single-writer assumption: exactly one UpsertSink instance may write a
+given path at a time (Structured Streaming guarantees this per query
+via the checkpoint lock; two concurrent *queries* writing one path
+would race any table format without a lock service).  GC of orphaned
+generation dirs therefore runs only inside ``_merge_batch`` — where
+the writer owns the path — never at construction time, so merely
+*instantiating* a second sink (e.g. a reader) can never delete a
+generation another writer is about to commit.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -31,85 +44,120 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class UpsertSink:
-    """foreachBatch handler: MERGE micro-batch rows into a keyed table.
+    """foreachBatch handler: MERGE micro-batch rows into a keyed,
+    hash-bucketed table.
 
     Latest-wins per key (ties broken by batch id), so replaying a batch
     is a no-op — the exactly-once contract the north rule requires.
+
+    ``num_buckets`` sizes the bucket fan-out: a micro-batch rewrites
+    only the buckets containing its keys, so at scale (keys ≫ buckets,
+    batches touching a key subset) per-batch I/O stays proportional to
+    the batch, not the table.  Lineage: every committed generation dir
+    name embeds the batch id that produced it.
     """
 
-    def __init__(self, path: str, keys: list[str], order_col: str | None = None):
+    def __init__(self, path: str, keys: list[str], order_col: str | None = None,
+                 num_buckets: int = 8):
         self.path = path
         self.keys = keys
         self.order_col = order_col  # optional recency column for latest-wins
+        self.num_buckets = int(num_buckets)
         os.makedirs(path, exist_ok=True)
-        self._gc()
 
     @property
     def _manifest(self) -> str:
         return os.path.join(self.path, "MANIFEST")
 
-    def _current_gen(self) -> str | None:
-        """Generation dir the manifest points at, or None before the
-        first commit."""
+    def _read_manifest(self) -> dict[int, str]:
+        """bucket -> relative dir of its current generation."""
         try:
             with open(self._manifest) as fh:
-                gen = fh.read().strip()
+                raw = json.load(fh)
         except FileNotFoundError:
-            return None
-        p = os.path.join(self.path, gen)
-        return p if gen and os.path.exists(p) else None
+            return {}
+        return {int(k): v for k, v in raw.get("buckets", {}).items()}
 
-    def _gc(self) -> None:
-        """Drop generation/tmp dirs not referenced by the manifest —
-        leftovers of a crash between write and commit."""
-        live = self._current_gen()
+    def _commit_manifest(self, mf: dict[int, str]) -> None:
+        mtmp = self._manifest + f".{uuid.uuid4().hex}"
+        with open(mtmp, "w") as fh:
+            json.dump({"buckets": {str(k): v for k, v in mf.items()}}, fh)
+        os.rename(mtmp, self._manifest)  # atomic on POSIX — the commit point
+
+    def _gc(self, mf: dict[int, str]) -> None:
+        """Drop generation dirs no manifest bucket references and stale
+        manifest tmps — leftovers of a crash between write and commit.
+        Called only from ``_merge_batch`` (single-writer ownership)."""
+        live = {rel.split("/", 1)[0] for rel in mf.values()}
         for name in os.listdir(self.path):
             p = os.path.join(self.path, name)
-            if p != live and os.path.isdir(p) and name.startswith(("gen_", "_gen_", "_tmp_", "_old_", "data")):
+            if os.path.isdir(p) and name.startswith(("gen_", "_tmp_")) and name not in live:
                 shutil.rmtree(p, ignore_errors=True)
             elif os.path.isfile(p) and name.startswith("MANIFEST."):
                 os.remove(p)  # uncommitted manifest tmp from a crash
 
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
+                      F.lit(self.num_buckets)).cast("int")
+
     def read(self, spark: SparkSession) -> DataFrame | None:
-        gen = self._current_gen()
-        if gen is None:
+        mf = self._read_manifest()
+        if not mf:
             return None
-        return spark.read.parquet(gen)
+        paths = [os.path.join(self.path, rel) for rel in mf.values()]
+        return spark.read.parquet(*paths)
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        new = batch.withColumn("__batch_id", F.lit(batch_id))
-        current = self.read(spark)
-        if current is not None:
-            merged = current.unionByName(new, allowMissingColumns=True)
-        else:
-            merged = new
-        # latest-wins per key: highest (order_col, batch_id) survives —
-        # idempotent under replay of the same batch
-        order = ([F.col(self.order_col).desc_nulls_last()] if self.order_col else []) + [
-            F.col("__batch_id").desc()
-        ]
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*self.keys).orderBy(*order)
-        deduped = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+        new = (
+            batch.withColumn("__batch_id", F.lit(batch_id))
+            .withColumn("__bucket", self._bucket_expr())
+            .persist()  # two actions below must not re-run the stateful plan
         )
-        # manifest-pointer commit: the single atomic os.rename of the
-        # manifest file is the commit point — a crash at any earlier
-        # instant leaves the previous generation fully readable
-        # no leading underscore: Hadoop path listings treat _-prefixed
-        # names as hidden, which makes readers warn (and could silently
-        # skip the dir under glob-based access patterns)
-        gen_name = f"gen_{batch_id}_{uuid.uuid4().hex}"
-        deduped.write.mode("overwrite").parquet(os.path.join(self.path, gen_name))
-        mtmp = self._manifest + f".{uuid.uuid4().hex}"
-        with open(mtmp, "w") as fh:
-            fh.write(gen_name)
-        os.rename(mtmp, self._manifest)  # atomic on POSIX
-        self._gc()
+        try:
+            touched = sorted(r[0] for r in new.select("__bucket").distinct().collect())
+            if not touched:
+                return  # empty batch: nothing to merge, manifest unchanged
+            mf = self._read_manifest()
+            cur_paths = [os.path.join(self.path, mf[b]) for b in touched if b in mf]
+            if cur_paths:
+                # only the touched buckets are read back — per-batch I/O
+                # is O(touched), the parquet analog of MERGE INTO with
+                # bucket-partition pruning
+                current = (
+                    spark.read.parquet(*cur_paths)
+                    .withColumn("__bucket", self._bucket_expr())
+                )
+                merged = current.unionByName(new, allowMissingColumns=True)
+            else:
+                merged = new
+            # latest-wins per key: highest (order_col, batch_id) survives —
+            # idempotent under replay of the same batch
+            order = ([F.col(self.order_col).desc_nulls_last()] if self.order_col else []) + [
+                F.col("__batch_id").desc()
+            ]
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*self.keys).orderBy(*order)
+            deduped = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            # no leading underscore on gen dirs: Hadoop listings treat
+            # _-prefixed names as hidden
+            gen_name = f"gen_{batch_id}_{uuid.uuid4().hex}"
+            (
+                deduped.repartition(len(touched), "__bucket")
+                .write.partitionBy("__bucket")
+                .parquet(os.path.join(self.path, gen_name))
+            )
+            for b in touched:
+                mf[b] = f"{gen_name}/__bucket={b}"
+            self._commit_manifest(mf)
+            self._gc(mf)
+        finally:
+            new.unpersist()
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         self._merge_batch(batch, batch_id)

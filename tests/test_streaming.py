@@ -118,8 +118,11 @@ def test_sink_replay_idempotent(spark, tmp_path):
 
 def test_sink_crash_between_write_and_commit(spark, tmp_path):
     """A generation dir written but never committed (crash before the
-    manifest rename) must not lose or corrupt the committed table, and
-    a fresh sink instance garbage-collects the orphan."""
+    manifest rename) must not lose or corrupt the committed table.
+    Constructing a new sink instance must NOT delete the orphan (a
+    concurrent writer could be about to commit it — single-writer GC);
+    the orphan is collected by the next successful merge, where the
+    writer owns the path."""
     import os
 
     path = str(tmp_path / "sink")
@@ -130,14 +133,40 @@ def test_sink_crash_between_write_and_commit(spark, tmp_path):
     os.makedirs(os.path.join(path, "gen_1_deadbeef"))
     with open(os.path.join(path, "MANIFEST.orphan"), "w") as fh:
         fh.write("gen_1_deadbeef")
-    sink2 = UpsertSink(path, keys=["k"])  # restart: init GC runs
-    assert not os.path.exists(os.path.join(path, "gen_1_deadbeef"))
+    sink2 = UpsertSink(path, keys=["k"])  # restart: NO init-time GC
+    assert os.path.exists(os.path.join(path, "gen_1_deadbeef"))
     got = {r["k"]: r["v"] for r in sink2.result(spark).collect()}
     assert got == {"a": 1}
-    # replayed batch after restart still merges correctly
+    # replayed batch after restart still merges correctly, and its GC
+    # (writer-owned) sweeps the crash leftovers
     sink2(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"), 0)
     got = {r["k"]: r["v"] for r in sink2.result(spark).collect()}
     assert got == {"a": 1, "b": 2}
+    assert not os.path.exists(os.path.join(path, "gen_1_deadbeef"))
+    assert not os.path.exists(os.path.join(path, "MANIFEST.orphan"))
+
+
+def test_sink_bucket_pruning(spark, tmp_path):
+    """A micro-batch rewrites only the buckets its keys touch: after a
+    second batch that hits one bucket, the other buckets' generation
+    dirs are unchanged (per-batch I/O is O(touched), not O(table))."""
+    import os
+
+    path = str(tmp_path / "sink")
+    sink = UpsertSink(path, keys=["k"], num_buckets=8)
+    rows = [(f"key{i}", i) for i in range(64)]
+    sink(spark.createDataFrame(rows, "k string, v long"), 0)
+    mf0 = sink._read_manifest()
+    assert len(mf0) > 1  # keys spread over several buckets
+    sink(spark.createDataFrame([("key0", 99)], "k string, v long"), 1)
+    mf1 = sink._read_manifest()
+    changed = [b for b in mf0 if mf1[b] != mf0[b]]
+    assert len(changed) == 1  # exactly the touched bucket advanced
+    unchanged = [b for b in mf0 if mf1[b] == mf0[b]]
+    for b in unchanged:  # untouched generations still on disk, readable
+        assert os.path.exists(os.path.join(path, mf1[b]))
+    got = {r["k"]: r["v"] for r in sink.result(spark).collect()}
+    assert got["key0"] == 99 and got["key1"] == 1 and len(got) == 64
 
 
 def test_dedupe_within_watermark(spark, tmp_path, pages_path):
