@@ -503,6 +503,22 @@ def q_ann_bruteforce(spark, sf):
     return ann_bruteforce_op(e, {"k": 10}, queries=queries).select("query_id", "rank", "vec_id")
 
 
+def q_ann_bruteforce_vec(spark, sf):
+    """Same exact top-k as ann_bruteforce, computed by the Arrow/numpy
+    matmul kernel (per-batch top-k pre-prune) — must reproduce the
+    identical ranking (riko has no ANN; this is the 100 TB scale path
+    for the brute-force kernel)."""
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    from riko_spark.operators.similarity import ann_bruteforce_op
+
+    return ann_bruteforce_op(
+        e, {"k": 10, "method": "vectorized"}, queries=queries
+    ).select("query_id", "rank", "vec_id")
+
+
 def q_ann_lsh(spark, sf):
     """ANN-LSH with a planted-ground-truth oracle: 5 near-identical
     copies are planted per query vector, so the true top-6 per query is
@@ -771,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_bruteforce_vec": q_ann_bruteforce_vec,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "token_count": q_token_count,
@@ -995,6 +1012,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "itembuilder": "SELECT 'region' AS title, r_name AS name FROM region",
         "ann_bruteforce": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos
+                FROM e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+        """,
+        # identical ranking required from the vectorized matmul kernel
+        "ann_bruteforce_vec": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
             scored AS (

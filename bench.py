@@ -102,6 +102,33 @@ def headline_queries(spark, sf_dir):
             d, {"num_hashes": 16, "bands": 4, "jaccard_threshold": 0.8}
         ).count()
 
+    # quality_stats / ann_bruteforce: the sf0.1 tables are tiny for
+    # these ops (5k docs / 2k vectors — sub-second, i.e. pure job
+    # overhead + VM stall noise), so bench them on a 20x-replicated
+    # input where the kernels dominate the measurement: 100k docs with
+    # ALL quality components forced (agg, no column pruning) and 40k
+    # vectors x 32 queries through the vectorized matmul kernel.
+    def quality_full():
+        from riko_spark.operators.textstats import quality_score_op
+
+        d = spark.read.parquet(*[f"{sf_dir}/documents.parquet"] * 20)
+        return quality_score_op(d).agg(
+            F.sum("quality"), F.sum("stop_ratio"), F.sum("alpha_ratio")
+        ).collect()
+
+    def ann_vec():
+        from riko_spark.operators.similarity import ann_bruteforce_op
+
+        e = spark.read.parquet(*[f"{sf_dir}/embeddings.parquet"] * 20)
+        q = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") < 32)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        return ann_bruteforce_op(
+            e, {"k": 10, "method": "vectorized"}, queries=q
+        ).count()
+
     return {
         "wordcount": wordcount,
         "sort_truncate": run("sort_truncate"),
@@ -110,9 +137,9 @@ def headline_queries(spark, sf_dir):
         "windowed_count": run("windowed_count"),
         "session_windows": run("session_windows"),
         "minhash_lsh": minhash_full,
-        "ann_bruteforce": run("ann_bruteforce"),
+        "ann_bruteforce": ann_vec,
         "exact_dedupe": run("exact_dedupe"),
-        "quality_stats": run("quality"),
+        "quality_stats": quality_full,
     }
 
 

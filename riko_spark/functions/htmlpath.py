@@ -18,6 +18,13 @@ doctests exercise:
 
 Not a general HTML5 tree builder: foster parenting, formatting-element
 adoption, and full template/table rules are out of scope (documented).
+Tail text is also dropped: ``handle_data`` keeps text only before the
+first child, so in ``<p>a<b>x</b> tail</p>`` the ``' tail'`` never
+enters the DOM.  This matches the reference's output surface — riko's
+``etree2dict`` (riko/parsers.py:509-528) reads only ``element.text``
+and never consults lxml's ``.tail``, so tail text is absent from its
+items too — but it means this DOM is lossy for consumers that would
+want tails; none exist in this engine today.
 """
 
 from __future__ import annotations

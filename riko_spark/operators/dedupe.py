@@ -36,7 +36,7 @@ from riko_spark.operators.textstats import words_col
 
 def cap_buckets(
     keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int | None,
-    log_dropped: bool = False, what: str = "lsh",
+    log_dropped: bool = True, what: str = "lsh",
 ) -> DataFrame:
     """Frequent-bucket guard for bucketed self-joins.
 
@@ -45,30 +45,59 @@ def cap_buckets(
     O(bucket²).  Buckets above ``max_bucket_size`` are excluded from
     candidate generation; a bucket that large at a sane band width is
     ~always a pathological collision, and its pairs are recoverable by
-    re-running with a salt.  Not silent: with ``log_dropped`` the
-    dropped row mass is counted and warned (costs one extra job — flip
-    it on for audits, off in the steady-state pipeline where the
-    bucket-size histogram is monitored from the metrics listener).
+    re-running with a salt.  Over-cap buckets are ALSO where the
+    biggest duplicate clusters live (identical boilerplate), so the
+    drop is never silent: ``log_dropped`` defaults to True and counts
+    the dropped bucket/row mass LAZILY via ``DataFrame.observe`` — the
+    metrics ride along with the candidate join's own execution (zero
+    extra jobs, nothing runs at plan-construction time); a daemon
+    watcher thread emits a ``warnings.warn`` the moment the first
+    action on the plan completes with drops observed.  The same
+    numbers are queryable programmatically from the returned frame's
+    ``Observation`` (registered in ``CAP_OBSERVATIONS[what]``).
     """
     if max_bucket_size is None:
         return keyed
     counts = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
     if log_dropped:
-        import warnings
-
-        big = counts.filter(F.col("__bn") > max_bucket_size)
-        dropped = big.agg(
-            F.coalesce(F.sum("__bn"), F.lit(0)).alias("rows"),
-            F.count(F.lit(1)).alias("buckets"),
-        ).first()
-        if dropped["buckets"]:
-            warnings.warn(
-                f"{what}: dropped {dropped['buckets']} bucket(s) / "
-                f"{dropped['rows']} rows over max_bucket_size={max_bucket_size}",
-                stacklevel=2,
-            )
+        counts = _observe_cap_drops(counts, max_bucket_size, what)
     ok = counts.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
     return keyed.join(ok, bucket_cols, "inner")
+
+
+#: most recent cap Observation per operator label — lets callers read the
+#: dropped-bucket accounting programmatically after running their action:
+#: ``CAP_OBSERVATIONS["minhash_lsh"].get`` → {"dropped_rows": .., "dropped_buckets": ..}
+CAP_OBSERVATIONS: dict[str, object] = {}
+
+
+def _observe_cap_drops(counts: DataFrame, max_bucket_size: int, what: str) -> DataFrame:
+    import threading
+    import warnings
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    over = F.col("__bn") > max_bucket_size
+    counts = counts.observe(
+        obs,
+        F.sum(F.when(over, F.col("__bn")).otherwise(F.lit(0))).alias("dropped_rows"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+    )
+    CAP_OBSERVATIONS[what] = obs
+
+    def watch():
+        got = obs.get  # blocks until the plan's first action completes
+        if got.get("dropped_buckets"):
+            warnings.warn(
+                f"{what}: dropped {got['dropped_buckets']} bucket(s) / "
+                f"{got['dropped_rows']} rows over max_bucket_size={max_bucket_size}; "
+                "their pairs are recoverable by re-running with a salt or a higher cap",
+                stacklevel=2,
+            )
+
+    threading.Thread(target=watch, daemon=True, name=f"cap-watch-{what}").start()
+    return counts
 
 
 def _norm(text: Column) -> Column:
@@ -167,7 +196,7 @@ def minhash_lsh_op(
         .select(id_col, F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
     )
     banded = cap_buckets(banded, ["__band", "__bh"], max_bucket_size,
-                         log_dropped=bool(conf.get("log_dropped")), what="minhash_lsh")
+                         log_dropped=bool(conf.get("log_dropped", True)), what="minhash_lsh")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -290,7 +319,7 @@ def simhash_neardup_op(
     ).select(id_col, "__sh64", F.col("__b.band").alias("__band"),
              F.col("__b.bits").alias("__bits"))
     banded = cap_buckets(banded, ["__band", "__bits"], max_bucket_size,
-                         log_dropped=bool(conf.get("log_dropped")), what="simhash_neardup")
+                         log_dropped=bool(conf.get("log_dropped", True)), what="simhash_neardup")
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, (F.col("l.__band") == F.col("r.__band"))
@@ -363,7 +392,7 @@ def embedding_neardup_op(
     )
     keyed = df.select(id_col, vec_col).withColumn("__bucket", bucket)
     keyed = cap_buckets(keyed, ["__bucket"], max_bucket_size,
-                        log_dropped=bool(conf.get("log_dropped")),
+                        log_dropped=bool(conf.get("log_dropped", True)),
                         what="embedding_neardup")
     left = keyed
     if probes:

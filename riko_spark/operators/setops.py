@@ -133,7 +133,12 @@ def _uniq_bounded(df: DataFrame, key: str, limit: int, order_by: list[str]) -> D
         seen: deque = deque(maxlen=limit)
         for pdf in batches:
             mask = []
-            for v in pdf[key]:
+            # normalize nulls first: numeric null arrives as NaN and
+            # NaN != NaN, so raw values would never dedupe a null key
+            # (each one eating a deque slot) — riko's dict-backed deque
+            # treats None like any other value (riko/modules/uniq.py)
+            keys = pdf[key].astype(object).where(pdf[key].notna(), None)
+            for v in keys:
                 if v in seen:
                     mask.append(False)
                 else:

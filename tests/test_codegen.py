@@ -138,3 +138,26 @@ def test_codegen_rejects_non_identifier_name():
         stringify_pipe(PIPE_DEF, "evil'); import os #")
     with pytest.raises(ValueError):
         stringify_pipe(PIPE_DEF, "class")
+
+
+def test_codegen_nonfinite_float_literals(spark):
+    """json.loads accepts Infinity/NaN; repr(float('inf')) is the bare
+    name `inf` (a NameError in generated source), so _lit must emit
+    float('inf')-style constructors.  The compiled module must both
+    import and execute."""
+    import json
+
+    pipe = json.loads(
+        '{"modules": [{"id": "f", "type": "filter",'
+        ' {"rule": [{"field": "x", "op": "atleast", "value": Infinity}]}}]}'
+        .replace('{"rule"', '"conf": {"rule"')
+    )
+    src = stringify_pipe(pipe, "p")
+    assert "inf" in src and "float('inf')" in src
+    fn, _ = compile_pipe(pipe, "p")
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    assert fn(spark, sources={"f": df}).count() == 0  # nothing >= inf
+
+    pipe2 = json.loads(json.dumps(pipe).replace("Infinity", "NaN"))
+    src2 = stringify_pipe(pipe2, "p")
+    assert "float('nan')" in src2

@@ -164,3 +164,40 @@ def test_ann_ivf_self_and_neighbor(spark):
     ranked = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert ranked[0] == 0          # self is always in its own cell
     assert ranked[1] == 1          # near-dup shares the cell
+
+
+def test_bucket_cap_drop_accounting_is_lazy_and_observed(spark):
+    """Over-cap buckets (the biggest duplicate clusters) must not be
+    dropped silently: the accounting is computed via observe() as part
+    of the candidate join itself — zero jobs at plan-construction time —
+    and is queryable from CAP_OBSERVATIONS after the action."""
+    from riko_spark.operators.dedupe import CAP_OBSERVATIONS, minhash_lsh_op
+
+    rows = [(i, "the same boilerplate text repeated exactly " * 3) for i in range(50)]
+    rows += [(100 + i, f"unique document number {i} with words {i*7} {i*13}")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = minhash_lsh_op(df, {"num_hashes": 8, "bands": 4,
+                              "jaccard_threshold": 0.8, "max_bucket_size": 10})
+    assert tracker.getJobIdsForGroup(None) == before  # lazy: no plan-time jobs
+    out.count()
+    got = CAP_OBSERVATIONS["minhash_lsh"].get
+    assert got["dropped_buckets"] > 0 and got["dropped_rows"] >= 50
+
+
+def test_ann_bruteforce_vectorized_matches_native(spark):
+    """The Arrow/numpy matmul kernel must reproduce the native JVM
+    ranking exactly (same ids, same ranks, cosines equal at 1e-9)."""
+    from riko_spark.operators.similarity import ann_bruteforce_op
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    nat = ann_bruteforce_op(e, {"k": 7}, queries=q)
+    vec = ann_bruteforce_op(e, {"k": 7, "method": "vectorized"}, queries=q)
+    a = sorted((r.query_id, r["rank"], r.vec_id, r.cosine) for r in nat.collect())
+    b = sorted((r.query_id, r["rank"], r.vec_id, r.cosine) for r in vec.collect())
+    assert [x[:3] for x in a] == [x[:3] for x in b]
+    assert all(abs(x[3] - y[3]) < 1e-9 for x, y in zip(a, b))

@@ -245,6 +245,18 @@ def test_uniq_bounded_limit_readmits_evicted_key(spark):
     assert sorted(r["event_seq"] for r in rows(out2.df)) == [1, 2, 3, 5]
 
 
+def test_uniq_bounded_null_keys_dedupe(spark):
+    """Null keys in a NUMERIC column arrive pandas-side as NaN, and
+    NaN != NaN — without normalization every null row would pass and
+    eat a deque slot.  riko's dict-backed deque dedupes None like any
+    value (riko/modules/uniq.py), so the second null must drop."""
+    seq = [(None, 1), (None, 2), (7, 3), (None, 4), (7, 5)]
+    df = spark.createDataFrame(seq, "k long, event_seq long")
+    out = flow(df).uniq({"uniq_key": "k", "limit": 3})
+    kept = sorted(r["event_seq"] for r in rows(out.df))
+    assert kept == [1, 3]
+
+
 def test_split(kv):
     branches = flow(kv).split({"splits": 3})
     assert len(branches) == 3
