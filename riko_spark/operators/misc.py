@@ -92,18 +92,44 @@ def currencyformat_op(
     sign before the symbol (``-$10.33``), and CLDR currency spacing
     (NBSP between an alphabetic symbol and the number: ``CHF 100.00``).
     """
-    currency = str((conf or {}).get("currency", "USD"))
-    symbol = _CLDR_EN_SYMBOLS.get(currency, currency)
-    digits = _CLDR_DIGITS.get(currency, 2)
-    # CLDR currencySpacing: insert U+00A0 when the symbol ends in a
-    # letter/digit (alphabetic codes), none for $/¥/£-style symbols
-    sep = " " if symbol[-1].isalnum() else ""
+    currency = (conf or {}).get("currency", "USD")
     amount = F.col(field).try_cast("decimal(38,6)")
-    formatted = F.concat(
-        F.when(amount < 0, F.lit("-")).otherwise(F.lit("")),
-        F.lit(symbol + sep),
-        F.format_number(F.abs(amount), digits),
-    )
+
+    def fmt(symbol: str, digits: int):
+        # CLDR currencySpacing: insert U+00A0 when the symbol ends in a
+        # letter/digit (alphabetic codes), none for $/¥/£-style symbols
+        sep = " " if symbol[-1].isalnum() else ""
+        return F.concat(
+            F.when(amount < 0, F.lit("-")).otherwise(F.lit("")),
+            F.lit(symbol + sep),
+            F.format_number(F.abs(amount), digits),
+        )
+
+    if isinstance(currency, dict) and "subkey" in currency:
+        # per-row currency code (riko DynamicConf subkey, e.g. kazeeki's
+        # {'currency': {'subkey': 'k:cur_code'}}): format_number needs a
+        # literal digit count, so the per-code formats become one CASE
+        # chain over the known CLDR codes (still codegen-friendly);
+        # unknown codes render as "CODE N.NN" like Babel does for
+        # symbol-less currencies
+        code = F.col(currency["subkey"]).cast("string")
+        formatted = F.concat(
+            F.when(amount < 0, F.lit("-")).otherwise(F.lit("")),
+            code, F.lit(" "), F.format_number(F.abs(amount), 2),
+        )
+        for c, sym in _CLDR_EN_SYMBOLS.items():
+            formatted = F.when(code == c, fmt(sym, _CLDR_DIGITS.get(c, 2))).otherwise(formatted)
+        for c, d in _CLDR_DIGITS.items():
+            if c not in _CLDR_EN_SYMBOLS:
+                formatted = F.when(
+                    code == c,
+                    F.concat(F.when(amount < 0, F.lit("-")).otherwise(F.lit("")),
+                             F.lit(c + " "), F.format_number(F.abs(amount), d)),
+                ).otherwise(formatted)
+    else:
+        currency = str(currency)
+        formatted = fmt(_CLDR_EN_SYMBOLS.get(currency, currency),
+                        _CLDR_DIGITS.get(currency, 2))
     result = F.when(amount.isNotNull(), formatted).otherwise(F.lit(None))
     return apply_scalar(df, result, assign=assign, emit=emit, skip_if=skip_if)
 

@@ -471,6 +471,18 @@ def tokenizer_op(
     token_key = conf.get("token_key", "content")
     delimiter = conf.get("delimiter", ",")
     dedupe, sort = bool(conf.get("dedupe")), bool(conf.get("sort"))
+    if conf.get("nest"):
+        # riko's assign-list semantics (riko/modules/_assignment.py:
+        # gen_assignments: `item | {assign: list(value)}`): with assign
+        # + emit=False on a non-empty item the token stream NESTS as a
+        # list of {token_key: token} dicts on the SAME row — no explode.
+        # Engine explode (one row per token, columns retained) stays the
+        # default because the distributed pipelines aggregate over it;
+        # pass nest=True for reference-shaped output.
+        toks = tokenize_col(F.col(field), delimiter=delimiter, dedupe=dedupe, sort=sort)
+        nested = F.transform(toks, lambda t: F.struct(t.alias(token_key)))
+        return apply_scalar(df, nested, assign=conf.get("assign", field),
+                            emit=False, skip_if=skip_if)
     if not dedupe and not sort and skip_if is None and count == "all":
         quoted = "\\Q" + delimiter + "\\E"
         py_ws = " \t\n\r\x0b\x0c"

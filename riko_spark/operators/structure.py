@@ -37,13 +37,27 @@ def _listize(rules) -> list[dict]:
 # ---------------------------------------------------------------- rename
 
 @register("rename")
-def rename_op(df: DataFrame, conf: dict) -> DataFrame:
-    """Per rule {field, newval, copy}: copy/rename/delete a column."""
+def rename_op(df: DataFrame, conf: dict, skip_if=None) -> DataFrame:
+    """Per rule {field, newval, copy}: copy/rename/delete a column.
+
+    ``skip_if`` (SQL boolean expr / Column) applies riko's option-layer
+    skip per ROW: where the predicate holds the copied value passes
+    through unchanged (existing target value, else NULL).  Because a
+    column can't be dropped for a subset of rows, ``skip_if`` is only
+    supported for copy rules — rename/delete rules with a skip
+    predicate raise.  A ``field`` absent from the frame copies as NULL,
+    matching riko's ``item.get`` semantics (DotDict: missing key →
+    None, e.g. kazeeki's ``y:published`` → ``k:posted``)."""
+    from riko_spark.operators.options import apply_scalar
+
     out = df
     for rule in _listize(conf.get("rule")):
         field, newval, copy = rule["field"], rule.get("newval"), rule.get("copy")
+        if skip_if is not None and not (copy and newval):
+            raise ValueError("rename: skip_if is only supported for copy rules")
+        src = F.col(field) if field in out.columns else F.lit(None)
         if newval:
-            out = out.withColumn(newval, F.col(field))
+            out = apply_scalar(out, src, assign=newval, skip_if=skip_if)
         if not copy and (newval or not rule.get("newval")):
             # riko removes the source key unless copy=True; a rule with
             # no newval is a pure delete
