@@ -78,6 +78,21 @@ _CLDR_DIGITS = {
     "BHD": 3, "IQD": 3, "JOD": 3, "KWD": 3, "LYD": 3, "OMR": 3, "TND": 3,
 }
 
+# Locale number-format data (engine EXTENSION: the reference hardcodes
+# locale='en_US' — riko/modules/currencyformat.py:63 — so only en_US is
+# reference-exercised; de_DE/fr_FR follow the public CLDR patterns:
+# suffix placement "#,##0.00 ¤", comma decimal, '.'-grouping for de_DE,
+# narrow-NBSP (U+202F) grouping for fr_FR, and the locales' own USD/JPY
+# display symbols).  Babel is not available in-container to cross-check;
+# values are CLDR-derived and pinned by unit goldens.
+_CLDR_LOCALES = {
+    "en_US": {"decimal": ".", "group": ",", "suffix": False, "symbols": {}},
+    "de_DE": {"decimal": ",", "group": ".", "suffix": True,
+              "symbols": {"$": "$", "¥": "¥"}},
+    "fr_FR": {"decimal": ",", "group": " ", "suffix": True,
+              "symbols": {"$": "$US", "¥": "JPY"}},
+}
+
 
 @register("currencyformat")
 def currencyformat_op(
@@ -92,18 +107,31 @@ def currencyformat_op(
     sign before the symbol (``-$10.33``), and CLDR currency spacing
     (NBSP between an alphabetic symbol and the number: ``CHF 100.00``).
     """
-    currency = (conf or {}).get("currency", "USD")
+    conf = conf or {}
+    currency = conf.get("currency", "USD")
+    locale = str(conf.get("locale", "en_US"))
+    if locale not in _CLDR_LOCALES:
+        raise ValueError(
+            f"unsupported locale {locale!r}; known: {sorted(_CLDR_LOCALES)}"
+        )
+    loc = _CLDR_LOCALES[locale]
     amount = F.col(field).try_cast("decimal(38,6)")
 
     def fmt(symbol: str, digits: int):
+        symbol = loc.get("symbols", {}).get(symbol, symbol)
+        number = F.format_number(F.abs(amount), digits)
+        if loc["decimal"] != "." or loc["group"] != ",":
+            # en grouping ("1,234.50") re-punctuated by simultaneous
+            # per-char translate: ','→group, '.'→decimal in one pass
+            number = F.translate(number, ",.", loc["group"] + loc["decimal"])
+        sign = F.when(amount < 0, F.lit("-")).otherwise(F.lit(""))
+        if loc["suffix"]:
+            # CLDR "#,##0.00 ¤" pattern (de_DE/fr_FR): NBSP + symbol after
+            return F.concat(sign, number, F.lit(" " + symbol))
         # CLDR currencySpacing: insert U+00A0 when the symbol ends in a
         # letter/digit (alphabetic codes), none for $/¥/£-style symbols
         sep = " " if symbol[-1].isalnum() else ""
-        return F.concat(
-            F.when(amount < 0, F.lit("-")).otherwise(F.lit("")),
-            F.lit(symbol + sep),
-            F.format_number(F.abs(amount), digits),
-        )
+        return F.concat(sign, F.lit(symbol + sep), number)
 
     if isinstance(currency, dict) and "subkey" in currency:
         # per-row currency code (riko DynamicConf subkey, e.g. kazeeki's

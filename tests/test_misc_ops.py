@@ -212,3 +212,34 @@ def test_fetchtext_doctest(spark):
     lines = [r[0] for r in out.collect()]
     assert lines[0] == "What is Lorem Ipsum?"
     assert all(s == s.strip() for s in lines)  # riko strips each line
+
+
+def test_currencyformat_locales_de_fr(spark):
+    """Engine extension beyond the reference's hardcoded en_US
+    (riko/modules/currencyformat.py:63): de_DE / fr_FR via the CLDR
+    suffix pattern "#,##0.00 ¤" — comma decimal, '.' (de) / narrow-NBSP
+    (fr) grouping, NBSP before the trailing symbol, locale display
+    symbols ($US for USD in fr)."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.operators.misc import currencyformat_op
+
+    df = spark.createDataFrame([(1234.5,), (-10.33,)], "amt double")
+
+    def got(loc, cur):
+        out = currencyformat_op(df, {"currency": cur, "locale": loc},
+                                field="amt", assign="x")
+        return [r.x for r in out.orderBy(F.desc("amt")).collect()]
+
+    assert got("de_DE", "EUR") == ["1.234,50 €", "-10,33 €"]
+    assert got("de_DE", "USD") == ["1.234,50 $", "-10,33 $"]
+    assert got("fr_FR", "EUR") == ["1 234,50 €", "-10,33 €"]
+    assert got("fr_FR", "USD") == ["1 234,50 $US", "-10,33 $US"]
+    assert got("de_DE", "JPY") == ["1.234 ¥", "-10 ¥"]
+    # en_US stays byte-identical to the reference's Babel goldens
+    assert got("en_US", "USD") == ["$1,234.50", "-$10.33"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        currencyformat_op(df, {"currency": "USD", "locale": "xx_XX"},
+                          field="amt", assign="x")
