@@ -627,6 +627,26 @@ def q_image_features(spark, sf):
     )
 
 
+def q_frame_sample(spark, sf):
+    """UDTF-shape oracle for the frame sampler: the stub kernel slices
+    deterministic byte ranges (chunk = len//(max_frames*every), one
+    frame per every-th chunk), so frame boundaries, lengths, and md5s
+    are all recomputable in SQL over the same (pure-ASCII) bytes —
+    verifying the one-row-in/many-rows-out mapInPandas plumbing."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("blob")
+    )
+    from riko_spark.operators.multimodal import frame_sample_op
+
+    out = frame_sample_op(d, {"every": 4, "max_frames": 8},
+                          field="blob", id_col="id")
+    return out.select(
+        "id", "frame_idx",
+        F.length("frame").cast("bigint").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def q_sliding_count(spark, sf):
     """Sliding windows (1 h window, 30 min slide) — every event lands
     in exactly two windows."""
@@ -796,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_metadata": q_media_metadata,
         "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
         "sliding_count": q_sliding_count,
         "topk_per_group": q_topk_per_group,
         "salted_count": q_salted_count,
@@ -1245,6 +1266,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
                    'application/octet-stream' AS media_type
             FROM documents
+        """,
+        "frame_sample": """
+            WITH d AS (
+                SELECT doc_id AS id, text, length(text) AS L
+                FROM documents WHERE doc_id < 50
+            ), p AS (
+                SELECT id, text, L,
+                       greatest(1, CAST(L // 32 AS INT)) AS chunk
+                FROM d
+            ), f AS (
+                SELECT id, CAST(i AS INT) AS frame_idx,
+                       substring(text, 1 + CAST(i * chunk * 4 AS INT),
+                                 CAST(chunk AS INT)) AS frame
+                FROM p CROSS JOIN (SELECT unnest(range(8)) AS i)
+                WHERE i * chunk * 4 < L
+            )
+            SELECT id, frame_idx,
+                   CAST(length(frame) AS BIGINT) AS frame_len,
+                   md5(frame) AS frame_md5
+            FROM f
         """,
         "sliding_count": """
             WITH buckets AS (

@@ -65,10 +65,41 @@ def cap_buckets(
     return keyed.join(ok, bucket_cols, "inner")
 
 
-#: most recent cap Observation per operator label — lets callers read the
-#: dropped-bucket accounting programmatically after running their action:
-#: ``CAP_OBSERVATIONS["minhash_lsh"].get`` → {"dropped_rows": .., "dropped_buckets": ..}
-CAP_OBSERVATIONS: dict[str, object] = {}
+class CapStats:
+    """Drop accounting for one capped self-join.
+
+    Two paths, both lazy at plan-build time:
+
+    * best-effort: a ``DataFrame.observe`` rides the candidate join's
+      own execution; a daemon watcher warns as soon as the first action
+      completes with drops observed.  (This Spark build sometimes
+      delivers an EMPTY metrics row from the async listener bus — the
+      watcher treats that, or any py4j error, as "observation missed".)
+    * authoritative: ``.get`` — if the observation missed, runs the
+      small bucket-histogram aggregation itself (one extra job, only
+      when accounting is explicitly requested)."""
+
+    def __init__(self, fallback: DataFrame):
+        self._fallback = fallback  # lazy plan: agg over the bucket histogram
+        self._observed: dict | None = None
+
+    def _set_observed(self, value: dict | None) -> None:
+        if value and "dropped_buckets" in value:
+            self._observed = value
+
+    @property
+    def get(self) -> dict:
+        if self._observed is not None:
+            return self._observed
+        row = self._fallback.first()
+        return {"dropped_rows": row["dropped_rows"] or 0,
+                "dropped_buckets": row["dropped_buckets"] or 0}
+
+
+#: most recent cap accounting per operator label — read it after running
+#: your action: ``CAP_OBSERVATIONS["minhash_lsh"].get`` →
+#: {"dropped_rows": .., "dropped_buckets": ..}
+CAP_OBSERVATIONS: dict[str, CapStats] = {}
 
 
 def _observe_cap_drops(counts: DataFrame, max_bucket_size: int, what: str) -> DataFrame:
@@ -77,17 +108,21 @@ def _observe_cap_drops(counts: DataFrame, max_bucket_size: int, what: str) -> Da
 
     from pyspark.sql import Observation
 
-    obs = Observation()
     over = F.col("__bn") > max_bucket_size
-    counts = counts.observe(
-        obs,
+    metrics = [
         F.sum(F.when(over, F.col("__bn")).otherwise(F.lit(0))).alias("dropped_rows"),
         F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
-    )
-    CAP_OBSERVATIONS[what] = obs
+    ]
+    obs = Observation()
+    observed = counts.observe(obs, *metrics)
+    stats = CAP_OBSERVATIONS[what] = CapStats(fallback=counts.agg(*metrics))
 
     def watch():
-        got = obs.get  # blocks until the plan's first action completes
+        try:
+            got = obs.get  # blocks until the plan's first action completes
+        except Exception:  # noqa: BLE001 — py4j conversion races are non-fatal
+            return
+        stats._set_observed(got)
         if got.get("dropped_buckets"):
             warnings.warn(
                 f"{what}: dropped {got['dropped_buckets']} bucket(s) / "
@@ -97,7 +132,7 @@ def _observe_cap_drops(counts: DataFrame, max_bucket_size: int, what: str) -> Da
             )
 
     threading.Thread(target=watch, daemon=True, name=f"cap-watch-{what}").start()
-    return counts
+    return observed
 
 
 def _norm(text: Column) -> Column:

@@ -118,9 +118,15 @@ def test_lsh_bucket_cap_bounds_fanout(spark):
     uncapped = minhash_lsh_op(df, {"num_hashes": 16, "bands": 4,
                                    "max_bucket_size": None})
     assert uncapped.count() == 40 * 39 // 2
-    with pytest.warns(UserWarning, match="dropped"):
-        minhash_lsh_op(df, {"num_hashes": 16, "bands": 4,
-                            "max_bucket_size": 10, "log_dropped": True}).count()
+    # drop accounting: the warning path is async/best-effort (watcher
+    # thread), so assert through the authoritative CAP_OBSERVATIONS
+    # accessor instead of pytest.warns
+    from riko_spark.operators.dedupe import CAP_OBSERVATIONS
+
+    minhash_lsh_op(df, {"num_hashes": 16, "bands": 4,
+                        "max_bucket_size": 10, "log_dropped": True}).count()
+    got = CAP_OBSERVATIONS["minhash_lsh"].get
+    assert got["dropped_buckets"] >= 1 and got["dropped_rows"] >= 40
     capped_sh = simhash_neardup_op(df, {"max_bucket_size": 10})
     assert capped_sh.count() == 0
 
