@@ -317,11 +317,20 @@ def cpu_probe() -> dict:
     eight = max(run(8, "0-7") for _ in range(2))
     full = max(run(32, None) for _ in range(2))
     ratio = full / eight
+    # 2x-overcommit variant: the extract stage runs a JVM task thread
+    # PLUS a Python UDF worker per core, so the realistic model is 16
+    # hot threads on pinned-8 vs 64 on the machine — this ratio/4 is
+    # the ceiling for ANY two-threads-per-slot workload here
+    e16 = max(run(16, "0-7") for _ in range(2))
+    f64 = max(run(64, None) for _ in range(2))
+    ratio2 = f64 / e16
     return {
         "pinned8_ops": eight,
         "machine32_ops": full,
         "hardware_ratio_8_to_32": round(ratio, 2),
         "hardware_ceiling_efficiency": round(ratio / 4, 3),
+        "overcommit2x_ratio_16_to_64": round(ratio2, 2),
+        "overcommit2x_ceiling_efficiency": round(ratio2 / 4, 3),
     }
 
 
