@@ -647,6 +647,17 @@ def q_frame_sample(spark, sf):
     )
 
 
+def q_sequence_match(spark, sf):
+    """CEP sequence detection (view → click → purchase per user within
+    2 days, earliest-completion-per-anchor semantics) — the
+    beyond-reference pattern operator; one window pass + one keyed
+    equi-join, never a range join (riko_spark/streaming/cep.py)."""
+    ev = _t(spark, sf, "events")
+    from riko_spark.streaming.cep import sequence_match
+
+    return sequence_match(ev, ["view", "click", "purchase"], within="2 days")
+
+
 def q_sliding_count(spark, sf):
     """Sliding windows (1 h window, 30 min slide) — every event lands
     in exactly two windows."""
@@ -817,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
+        "sequence_match": q_sequence_match,
         "sliding_count": q_sliding_count,
         "topk_per_group": q_topk_per_group,
         "salted_count": q_salted_count,
@@ -1266,6 +1278,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
                    'application/octet-stream' AS media_type
             FROM documents
+        """,
+        "sequence_match": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                       lpad(CAST(event_id AS VARCHAR), 10, '0') AS comp
+                FROM events
+            ), nx AS (
+                SELECT *,
+                    min(CASE WHEN event_type = 'click' THEN comp END) OVER w AS nxt1,
+                    min(CASE WHEN event_type = 'purchase' THEN comp END) OVER w AS nxt2
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY comp DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), anchors AS (
+                SELECT user_id, event_id AS step0_id, ts AS step0_ts,
+                       nxt1 AS chain
+                FROM nx WHERE event_type = 'view'
+            ), s1 AS (
+                SELECT a.user_id, a.step0_id, a.step0_ts,
+                       CAST(substring(a.chain, 21, 10) AS BIGINT) AS step1_id,
+                       make_timestamp(CAST(substring(a.chain, 1, 20) AS BIGINT)) AS step1_ts,
+                       b.nxt2 AS chain2
+                FROM anchors a
+                JOIN nx b ON b.user_id = a.user_id AND b.comp = a.chain
+                WHERE a.chain IS NOT NULL
+            ), s2 AS (
+                SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
+                       CAST(substring(chain2, 21, 10) AS BIGINT) AS step2_id,
+                       make_timestamp(CAST(substring(chain2, 1, 20) AS BIGINT)) AS step2_ts
+                FROM s1 WHERE chain2 IS NOT NULL
+            )
+            SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
+                   step2_id, step2_ts
+            FROM s2 WHERE step2_ts <= step0_ts + INTERVAL 2 DAY
         """,
         "frame_sample": """
             WITH d AS (

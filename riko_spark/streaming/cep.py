@@ -1,0 +1,262 @@
+"""CEP sequence matching: detect ordered event-type sequences per key.
+
+The north-star architecture calls this engine "a Structured Streaming /
+CEP layer"; riko itself has no sequence primitive (its pipes are
+per-item), so this is a beyond-reference operator in the Flink-CEP
+``A followedBy B followedBy C within T`` family.
+
+Semantics — *earliest-completion per anchor* (deterministic, oracle-able):
+for every event of ``steps[0]`` (the anchor), step ``i`` matches the
+EARLIEST event of type ``steps[i]`` strictly after the matched step
+``i-1`` (order = (ts, event_id), so ties are deterministic); the match
+completes iff the last step's ts is within ``within`` of the anchor ts.
+Anchors match independently (matches may share non-anchor events) —
+Flink's ``skip-till-next-match`` relaxed to per-anchor, which keeps the
+result expressible in ANSI SQL for the oracle gate.
+
+Batch plan shape (100 TB-ready): ONE sort per key partition computes,
+for every row, the earliest strictly-later event of each step type
+(running ``min`` over a descending ROWS frame — whole-stage codegen,
+no self-join explosion); each extra step beyond the second resolves
+through ONE keyed equi-join against the same frame.  N-step match =
+1 window pass + (N-2) equi-joins, never a range join.
+
+Streaming: ``applyInPandasWithState`` per key with event-time timeouts;
+state holds only the event buffer inside the active horizon
+(``watermark - within``), so state is bounded by rate x within.  A
+match is emitted exactly once, when every matched step is older than
+the watermark (late data beyond the watermark is impossible by
+contract, so the decision is final); its anchor is then evicted.
+Expired anchors evict without output.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _parse_duration_ms(within: str | int | float) -> int:
+    if isinstance(within, (int, float)):
+        return int(within)
+    parts = str(within).split()
+    n = float(parts[0])
+    unit = parts[1].rstrip("s") if len(parts) > 1 else "second"
+    mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000}[unit]
+    return int(n * mult)
+
+
+def _comp_col(ts_col: str, event_id_col: str):
+    # sortable composite identity: zero-padded micros then event id —
+    # lexicographic order == (ts, event_id) order, min() == earliest
+    # cast covers TIMESTAMP_NTZ sources (session tz is UTC, so the
+    # instant is unchanged); unix_micros requires TIMESTAMP
+    return F.format_string(
+        "%020d%010d", F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(event_id_col),
+    )
+
+
+def sequence_match(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str = "30 minutes",
+    event_id_col: str = "event_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Match the ordered ``steps`` sequence per ``key``; one output row
+    per completed match with ``step{i}_id`` / ``step{i}_ts`` columns.
+
+    Batch and streaming frames give identical results for the same
+    input once every event is older than the stream's watermark.
+    """
+    if len(steps) < 2:
+        raise ValueError("sequence_match needs at least 2 steps")
+    if df.isStreaming:
+        return _sequence_match_stream(
+            df, steps, key, ts_col, type_col, within, event_id_col,
+            watermark or "0 seconds",
+        )
+    return _sequence_match_batch(
+        df, steps, key, ts_col, type_col, within, event_id_col
+    )
+
+
+def _sequence_match_batch(
+    df: DataFrame, steps: list[str], key: str, ts_col: str,
+    type_col: str, within: str, event_id_col: str,
+) -> DataFrame:
+    n = len(steps)
+    within_ms = _parse_duration_ms(within)
+    ev = df.select(
+        F.col(key), F.col(ts_col), F.col(event_id_col), F.col(type_col)
+    ).withColumn("__comp", _comp_col(ts_col, event_id_col))
+
+    # one descending sort per key: for every row, the earliest strictly
+    # LATER event of each needed step type (ROWS frame excludes self)
+    w_later = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__comp").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt_cols = {
+        f"__nxt{i}": F.min(
+            F.when(F.col(type_col) == steps[i], F.col("__comp"))
+        ).over(w_later)
+        for i in range(1, n)
+    }
+    ev = ev.withColumns(nxt_cols)
+
+    cur = ev.filter(F.col(type_col) == steps[0]).select(
+        F.col(key),
+        F.col(event_id_col).alias("step0_id"),
+        F.col(ts_col).cast("timestamp").alias("step0_ts"),
+        F.col("__nxt1").alias("__chain"),
+    )
+    for i in range(1, n):
+        # the matched step's identity DECODES from the composite itself
+        # (fixed-width micros + id), so no join is needed to resolve it
+        cur = cur.filter(F.col("__chain").isNotNull()).withColumns({
+            f"step{i}_ts": F.timestamp_micros(
+                F.substring("__chain", 1, 20).cast("bigint")
+            ),
+            f"step{i}_id": F.substring("__chain", 21, 10).cast("bigint"),
+        })
+        if i + 1 < n:
+            # one keyed equi-join fetches the NEXT pointer stored on the
+            # matched step's row — (N-2) joins total for an N-step match
+            right = ev.filter(F.col(type_col) == steps[i]).select(
+                F.col(key).alias("__rk"),
+                F.col("__comp").alias("__match_comp"),
+                F.col(f"__nxt{i+1}").alias("__chain_next"),
+            )
+            cur = (
+                cur.join(
+                    right,
+                    (F.col(key) == F.col("__rk"))
+                    & (F.col("__chain") == F.col("__match_comp")),
+                    "inner",
+                )
+                .drop("__rk", "__chain", "__match_comp")
+                .withColumnRenamed("__chain_next", "__chain")
+            )
+        else:
+            cur = cur.drop("__chain")
+    last = f"step{n-1}_ts"
+    return cur.filter(
+        F.col(last) <= F.col("step0_ts") + F.expr(f"INTERVAL {within_ms} MILLISECONDS")
+    )
+
+
+# ------------------------------------------------------------- streaming
+
+def _match_buffer(
+    events: list[tuple[int, int, str]], steps: list[str], within_ms: int,
+):
+    """Pure-python earliest-after chain matcher over one key's buffer.
+
+    ``events``: (ts_micros, event_id, type), any order.  Returns
+    completed matches as lists of (ts_micros, event_id) per step.
+    """
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for ts, eid, et in events:
+        by_type.setdefault(et, []).append((ts, eid))
+    for lst in by_type.values():
+        lst.sort()
+    matches = []
+    for anchor in by_type.get(steps[0], []):
+        chain = [anchor]
+        ok = True
+        for st in steps[1:]:
+            lst = by_type.get(st, [])
+            j = bisect_right(lst, chain[-1])
+            if j >= len(lst):
+                ok = False
+                break
+            chain.append(lst[j])
+        if ok and chain[-1][0] <= anchor[0] + within_ms * 1000:
+            matches.append(chain)
+    return matches
+
+
+def _sequence_match_stream(
+    df: DataFrame, steps: list[str], key: str, ts_col: str,
+    type_col: str, within: str, event_id_col: str, watermark: str,
+) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(steps)
+    within_ms = _parse_duration_ms(within)
+    out_schema = ", ".join(
+        [f"{key} bigint"]
+        + [f"step{i}_id bigint, step{i}_ts timestamp" for i in range(n)]
+    )
+    state_schema = "ts array<bigint>, eid array<bigint>, et array<string>"
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        buf: list[tuple[int, int, str]] = []
+        if state.exists:
+            ts_l, eid_l, et_l = state.get
+            buf = list(zip(ts_l, eid_l, et_l))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                micros = pdf[ts_col].astype("int64") // 1000  # ns -> µs
+                buf.extend(zip(micros, pdf[event_id_col], pdf[type_col]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        matches = _match_buffer(buf, steps, within_ms)
+        stable = [m for m in matches if m[-1][0] <= wm_us]
+        emitted_anchor_eids = {m[0][1] for m in stable}
+
+        # evict: emitted anchors, dead anchors (window closed unmatched),
+        # and non-anchor events outside the active horizon
+        horizon = wm_us - within_ms * 1000
+        keep = []
+        for ts, eid, et in buf:
+            if et == steps[0]:
+                if eid in emitted_anchor_eids:
+                    continue
+                if ts + within_ms * 1000 <= wm_us:
+                    continue  # dead anchor: all possible steps are past
+                keep.append((ts, eid, et))
+            elif ts >= horizon:
+                keep.append((ts, eid, et))
+        if keep:
+            ks = sorted(keep)
+            state.update((
+                [int(t) for t, _, _ in ks],
+                [int(e) for _, e, _ in ks],
+                [str(x) for _, _, x in ks],
+            ))
+            # wake this key when the watermark passes the next decision
+            # point, even with no new data: earliest pending-anchor
+            # deadline or earliest pending event, whichever first
+            deadlines = [t + within_ms * 1000 for t, _, x in ks if x == steps[0]]
+            wake_us = min(deadlines) if deadlines else min(t for t, _, _ in ks)
+            state.setTimeoutTimestamp(max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+
+        if stable:
+            rows = {key: [key_tuple[0]] * len(stable)}
+            for i in range(n):
+                rows[f"step{i}_id"] = [m[i][1] for m in stable]
+                rows[f"step{i}_ts"] = [pd.Timestamp(m[i][0], unit="us") for m in stable]
+            yield pd.DataFrame(rows)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

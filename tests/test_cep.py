@@ -1,0 +1,146 @@
+"""CEP sequence_match: batch correctness vs a brute-force reference,
+batch plan shape, and stream ≡ batch parity through the state store."""
+
+import datetime as dt
+from bisect import bisect_right
+
+import pyspark.sql.functions as F
+import pytest
+
+from riko_spark.streaming.cep import sequence_match
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(eid, minute, user, et):
+    return (eid, T0 + dt.timedelta(minutes=minute), user, et)
+
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _brute(rows, steps, within_min):
+    """Independent earliest-after reference matcher."""
+    by_user = {}
+    for eid, ts, user, et in rows:
+        by_user.setdefault(user, []).append((ts, eid, et))
+    out = []
+    for user, evs in by_user.items():
+        by_type = {}
+        for ts, eid, et in sorted(evs):
+            by_type.setdefault(et, []).append((ts, eid))
+        for anchor in by_type.get(steps[0], []):
+            chain = [anchor]
+            ok = True
+            for st in steps[1:]:
+                lst = by_type.get(st, [])
+                j = bisect_right(lst, chain[-1])
+                if j >= len(lst):
+                    ok = False
+                    break
+                chain.append(lst[j])
+            if ok and chain[-1][0] <= anchor[0] + dt.timedelta(minutes=within_min):
+                out.append((user,) + tuple(x for c in chain for x in (c[1], c[0])))
+    return sorted(out)
+
+
+def _collect(df, n_steps):
+    cols = ["user_id"]
+    for i in range(n_steps):
+        cols += [f"step{i}_id", f"step{i}_ts"]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+ROWS = [
+    # user 1: A B C in window -> match; second A later with reused B? no
+    _ev(1, 0, 1, "view"), _ev(2, 5, 1, "click"), _ev(3, 8, 1, "purchase"),
+    # user 1 second anchor: its earliest later click is at 40, purchase at 45
+    _ev(4, 30, 1, "view"), _ev(5, 40, 1, "click"), _ev(6, 45, 1, "purchase"),
+    # user 2: steps out of order -> no match
+    _ev(7, 0, 2, "click"), _ev(8, 5, 2, "view"), _ev(9, 3, 2, "purchase"),
+    # user 3: complete but too slow (within 30) -> no match
+    _ev(10, 0, 3, "view"), _ev(11, 20, 3, "click"), _ev(12, 35, 3, "purchase"),
+    # user 4: anchor chooses EARLIEST click after it, not the one
+    # right before the purchase
+    _ev(13, 0, 4, "view"), _ev(14, 2, 4, "click"), _ev(15, 10, 4, "click"),
+    _ev(16, 12, 4, "purchase"),
+    # user 5: noise types interleaved
+    _ev(17, 0, 5, "view"), _ev(18, 1, 5, "error"), _ev(19, 2, 5, "click"),
+    _ev(20, 3, 5, "signup"), _ev(21, 4, 5, "purchase"),
+]
+STEPS = ["view", "click", "purchase"]
+
+
+def test_sequence_match_batch_vs_brute(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = _collect(sequence_match(df, STEPS, within="30 minutes"), 3)
+    assert got == _brute(ROWS, STEPS, 30)
+    assert len(got) == 4  # users 1(x2), 4, 5
+
+
+def test_sequence_match_two_step_no_join(spark):
+    """A 2-step pattern compiles to the window pass alone — the plan
+    must contain no join at all."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = sequence_match(df, ["view", "click"], within="30 minutes")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert _collect(out, 2) == _brute(ROWS, ["view", "click"], 30)
+
+
+def test_sequence_match_events_table(spark):
+    """Larger corpus: engine result equals the brute-force reference on
+    the sf0.001 events table."""
+    path = "/root/testdata/sf0.001/events.parquet"
+    df = spark.read.parquet(path)
+    rows = [(r.event_id, r.ts, r.user_id, r.event_type)
+            for r in df.select("event_id", "ts", "user_id", "event_type").collect()]
+    got = _collect(sequence_match(df, STEPS, within="4 days"), 3)
+    assert got == _brute(rows, STEPS, 4 * 24 * 60)
+    assert len(got) > 0
+
+
+def test_sequence_match_stream_batch_parity(spark, tmp_path):
+    """File-stream drain through applyInPandasWithState equals the batch
+    matcher.  A per-user flush event (noise type, far in the future)
+    pushes the watermark past every real event so all pending matches
+    finalize — the standard CEP end-of-stream technique."""
+    import time
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "error") for u in range(1, 6)]
+    df = spark.createDataFrame(list(ROWS) + flush, SCHEMA)
+    expected = _collect(sequence_match(df, STEPS, within="30 minutes"), 3)
+
+    src = str(tmp_path / "src")
+    # several files so the drain takes multiple micro-batches and the
+    # watermark actually advances between them; the flush file must be
+    # ingested LAST (file source orders by mtime) or its day-2 events
+    # race the watermark ahead and real events get dropped as late
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = sequence_match(stream, STEPS, within="30 minutes", watermark="0 seconds")
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(
+            tuple(r)
+            for r in batch.select(
+                "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+                "step2_id", "step2_ts").collect()
+        )
+
+    q = (
+        out.writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert sorted(sink) == expected
+    assert len(set(sink)) == len(sink)  # exactly-once: no duplicate matches
