@@ -658,6 +658,15 @@ def q_sequence_match(spark, sf):
     return sequence_match(ev, ["view", "click", "purchase"], within="2 days")
 
 
+def q_absence_match(spark, sf):
+    """Negative CEP pattern: views never followed by a purchase within
+    1 day (the timeout-alert shape) — zero-join window plan."""
+    ev = _t(spark, sf, "events")
+    from riko_spark.streaming.cep import absence_match
+
+    return absence_match(ev, ["view", "purchase"], within="1 day")
+
+
 def q_sliding_count(spark, sf):
     """Sliding windows (1 h window, 30 min slide) — every event lands
     in exactly two windows."""
@@ -829,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
         "sequence_match": q_sequence_match,
+        "absence_match": q_absence_match,
         "sliding_count": q_sliding_count,
         "topk_per_group": q_topk_per_group,
         "salted_count": q_salted_count,
@@ -1313,6 +1323,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
                    step2_id, step2_ts
             FROM s2 WHERE step2_ts <= step0_ts + INTERVAL 2 DAY
+        """,
+        "absence_match": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                       lpad(CAST(event_id AS VARCHAR), 10, '0') AS comp
+                FROM events
+            ), nx AS (
+                SELECT *,
+                    min(CASE WHEN event_type = 'purchase' THEN comp END) OVER w AS nxt
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY comp DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id AS anchor_id, ts AS anchor_ts
+            FROM nx
+            WHERE event_type = 'view'
+              AND (nxt IS NULL OR
+                   make_timestamp(CAST(substring(nxt, 1, 20) AS BIGINT))
+                     > ts + INTERVAL 1 DAY)
         """,
         "frame_sample": """
             WITH d AS (

@@ -60,6 +60,7 @@ def _load_all() -> None:
     # populate the registry; import order is irrelevant
     from riko_spark.operators import (  # noqa: F401
         aggregates,
+        cepops,
         dedupe,
         filters,
         limits,

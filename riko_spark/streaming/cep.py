@@ -260,3 +260,140 @@ def _sequence_match_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def absence_match(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str = "30 minutes",
+    event_id_col: str = "event_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Negative pattern (the classic CEP timeout alert): emit every
+    ``steps[0]`` event NOT followed by a ``steps[1]`` event within
+    ``within`` — e.g. 'signup with no purchase inside 7 days'.
+
+    Batch: the same one-sort window frame as :func:`sequence_match` —
+    an anchor alerts iff its earliest strictly-later ``steps[1]`` is
+    absent or outside the window.  Zero joins.
+
+    Streaming: the sequence machinery inverted — an anchor's alert is
+    decidable exactly when the watermark passes ``anchor_ts + within``
+    (no qualifying event can arrive after that); event-time timeouts
+    wake quiescent keys so alerts fire without new data.
+    """
+    if len(steps) != 2:
+        raise ValueError("absence_match takes exactly [anchor, expected] steps")
+    if df.isStreaming:
+        return _absence_match_stream(
+            df, steps, key, ts_col, type_col, within, event_id_col,
+            watermark or "0 seconds",
+        )
+    within_ms = _parse_duration_ms(within)
+    ev = df.select(
+        F.col(key), F.col(ts_col), F.col(event_id_col), F.col(type_col)
+    ).withColumn("__comp", _comp_col(ts_col, event_id_col))
+    w_later = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__comp").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.min(
+        F.when(F.col(type_col) == steps[1], F.col("__comp"))
+    ).over(w_later)
+    out = (
+        ev.withColumn("__nxt", nxt)
+        .filter(F.col(type_col) == steps[0])
+        .withColumn(
+            "__nxt_ts",
+            F.timestamp_micros(F.substring("__nxt", 1, 20).cast("bigint")),
+        )
+    )
+    deadline = F.col(ts_col).cast("timestamp") + F.expr(
+        f"INTERVAL {within_ms} MILLISECONDS"
+    )
+    return (
+        out.filter(F.col("__nxt").isNull() | (F.col("__nxt_ts") > deadline))
+        .select(
+            F.col(key),
+            F.col(event_id_col).alias("anchor_id"),
+            F.col(ts_col).cast("timestamp").alias("anchor_ts"),
+        )
+    )
+
+
+def _absence_match_stream(
+    df: DataFrame, steps: list[str], key: str, ts_col: str,
+    type_col: str, within: str, event_id_col: str, watermark: str,
+) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    within_ms = _parse_duration_ms(within)
+    out_schema = f"{key} bigint, anchor_id bigint, anchor_ts timestamp"
+    state_schema = "ts array<bigint>, eid array<bigint>, et array<string>"
+    anchor_t, expect_t = steps
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        buf: list[tuple[int, int, str]] = []
+        if state.exists:
+            ts_l, eid_l, et_l = state.get
+            buf = list(zip(ts_l, eid_l, et_l))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                micros = pdf[ts_col].astype("int64") // 1000
+                mask = pdf[type_col].isin([anchor_t, expect_t])
+                buf.extend(zip(micros[mask], pdf[event_id_col][mask], pdf[type_col][mask]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        horizon_us = within_ms * 1000
+
+        expects = sorted((t, e) for t, e, x in buf if x == expect_t)
+        alerts, keep = [], []
+        from bisect import bisect_right as _br
+
+        for ts, eid, et in buf:
+            if et != anchor_t:
+                # expected-type event: keep while it can still clear an
+                # undecided anchor (anchors older are already decided)
+                if ts > wm_us - horizon_us:
+                    keep.append((ts, eid, et))
+                continue
+            j = _br(expects, (ts, eid))
+            cleared = j < len(expects) and expects[j][0] <= ts + horizon_us
+            if cleared:
+                continue  # followed in time: no alert, anchor done
+            if ts + horizon_us <= wm_us:
+                alerts.append((ts, eid))  # window closed, never followed
+            else:
+                keep.append((ts, eid, et))  # undecided: keep waiting
+        if keep:
+            ks = sorted(keep)
+            state.update((
+                [int(t) for t, _, _ in ks],
+                [int(e) for _, e, _ in ks],
+                [str(x) for _, _, x in ks],
+            ))
+            deadlines = [t + horizon_us for t, _, x in ks if x == anchor_t]
+            wake_us = min(deadlines) if deadlines else min(t for t, _, _ in ks)
+            state.setTimeoutTimestamp(
+                max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+        if alerts:
+            yield pd.DataFrame({
+                key: [key_tuple[0]] * len(alerts),
+                "anchor_id": [e for _, e in alerts],
+                "anchor_ts": [pd.Timestamp(t, unit="us") for t, _ in alerts],
+            })
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -144,3 +144,86 @@ def test_sequence_match_stream_batch_parity(spark, tmp_path):
     q.awaitTermination(240)
     assert sorted(sink) == expected
     assert len(set(sink)) == len(sink)  # exactly-once: no duplicate matches
+
+
+def _brute_absence(rows, steps, within_min):
+    by_user = {}
+    for eid, ts, user, et in rows:
+        by_user.setdefault(user, []).append((ts, eid, et))
+    out = []
+    for user, evs in by_user.items():
+        expects = sorted((ts, eid) for ts, eid, et in evs if et == steps[1])
+        for ts, eid, et in sorted(evs):
+            if et != steps[0]:
+                continue
+            j = bisect_right(expects, (ts, eid))
+            followed = (j < len(expects)
+                        and expects[j][0] <= ts + dt.timedelta(minutes=within_min))
+            if not followed:
+                out.append((user, eid, ts))
+    return sorted(out)
+
+
+def test_absence_match_batch(spark):
+    from riko_spark.streaming.cep import absence_match
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = absence_match(df, ["view", "purchase"], within="10 minutes")
+    got = sorted(tuple(r) for r in out.select("user_id", "anchor_id", "anchor_ts").collect())
+    assert got == _brute_absence(ROWS, ["view", "purchase"], 10)
+    # zero joins: the alert resolves inside the single window pass
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_absence_match_stream_batch_parity(spark, tmp_path):
+    import time
+
+    from riko_spark.streaming.cep import absence_match
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "error") for u in range(1, 6)]
+    df = spark.createDataFrame(list(ROWS) + flush, SCHEMA)
+    expected = sorted(
+        tuple(r) for r in absence_match(df, ["view", "purchase"], within="10 minutes")
+        .select("user_id", "anchor_id", "anchor_ts").collect()
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = absence_match(stream, ["view", "purchase"], within="10 minutes",
+                        watermark="0 seconds")
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in
+                    batch.select("user_id", "anchor_id", "anchor_ts").collect())
+
+    q = (
+        out.writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert sorted(sink) == expected
+    assert len(set(sink)) == len(sink)
+
+
+def test_cep_ops_registered(spark):
+    """The pattern operators resolve through the pipe-module registry
+    like any riko module."""
+    from riko_spark.operators import get_operator
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    seq = get_operator("sequence_match")(df, {"steps": STEPS, "within": "30 minutes"})
+    assert seq.count() == 4
+    ab = get_operator("absence_match")(
+        df, {"steps": ["view", "purchase"], "within": "10 minutes"})
+    assert ab.count() == len(_brute_absence(ROWS, ["view", "purchase"], 10))
