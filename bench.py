@@ -144,21 +144,14 @@ def headline_queries(spark, sf_dir):
 
 
 def _stream_conf(spark):
-    """Stream-sized tuning, set per-query (captured at stream start):
+    """Stream-sized tuning via the library helper (riko_spark/streaming/
+    tuning.py): shuffle width 8 — the stateful stream's state-partition
+    count must be sized to STATE volume (a few hundred window x domain
+    rows), not the batch suite's 32; HDFS-backed provider for the tiny
+    windowed state (RocksDB, the session default, is for state that
+    exceeds memory).  Returned dict restores via _restore_conf."""
+    from riko_spark.streaming.tuning import HDFS_PROVIDER
 
-    - shuffle width 8, not the batch suite's 32: a stateful stream's
-      shuffle width fixes its state-store partition count for the
-      query's lifetime, so it must be sized to STATE volume (here a few
-      hundred (window × domain) rows — 32 partitions is pure per-batch
-      task/commit overhead).  Scan/extract parallelism is unaffected
-      (file splits govern the map side).  On a real cluster this is
-      sized to executor count at query creation.
-    - HDFS-backed state store: for small-per-partition state the
-      HDFSBackedStateStoreProvider's in-memory map beats RocksDB's
-      per-instance open/compaction overhead.  RocksDB (the session
-      default) is the right provider when per-partition state exceeds
-      executor memory — at 10^12 docs you'd keep it.
-    """
     old = {
         "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "spark.sql.streaming.stateStore.providerClass": spark.conf.get(
@@ -166,16 +159,8 @@ def _stream_conf(spark):
         ),
     }
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER)
     return old
-
-
-def _restore_conf(spark, old):
-    for k, v in old.items():
-        spark.conf.set(k, v)
 
 
 def bench_stream(spark, path, tmp, files_per_trigger=11):

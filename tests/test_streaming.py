@@ -308,3 +308,19 @@ def test_declared_pipe_graph_stream_batch_parity(spark, tmp_path, pages_path):
     q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
     q.awaitTermination(240)
     assert _bag(sink.result(spark)) == _bag(expected)
+
+
+def test_stream_conf_context(spark):
+    """stream_conf sets state-sizing confs inside the block and restores
+    them after (running queries keep their captured values)."""
+    from riko_spark.streaming.tuning import HDFS_PROVIDER, stream_conf
+
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    before_prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    with stream_conf(spark, shuffle_partitions=5, small_state=True):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass") == HDFS_PROVIDER
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_sp
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass") == before_prov
