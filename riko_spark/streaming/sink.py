@@ -9,18 +9,19 @@ at-least-once ``foreachBatch``.
 Production target is Iceberg ``MERGE INTO`` on a table partitioned by
 ``days(warc_ts), bucket(64, url)``; this container has no Iceberg
 catalog jars, so the same contract is implemented over parquet with a
-**bucketed manifest-pointer commit**:
+**partitioned manifest-pointer commit** mirroring that exact spec:
 
-- the table is hash-bucketed on the merge keys into ``num_buckets``
-  sub-tables (the analog of Iceberg's ``bucket(N, key)`` partition
-  transform);
-- a micro-batch rewrites ONLY the buckets its keys touch — per-batch
-  I/O is O(touched buckets), not O(table), the same pruning MERGE
-  INTO gets from its partition spec;
-- all touched buckets commit atomically through one manifest file
+- the table is partitioned by an optional DAY transform of a
+  timestamp column times a hash-bucket of the merge keys — the same
+  ``days(ts), bucket(N, key)`` layout the Iceberg table would use;
+- a micro-batch rewrites ONLY the (day, bucket) partitions its keys
+  touch — per-batch I/O is O(touched partitions), not O(table).  In a
+  streaming upsert the touched days are the recent ones, so a
+  10^12-row table with years of history rewrites a sliver per batch;
+- all touched partitions commit atomically through one manifest file
   (write ``MANIFEST.tmp`` → ``os.rename``): a crash at any earlier
-  instant leaves the previous manifest — and therefore every bucket's
-  previous generation — fully readable.
+  instant leaves the previous manifest — and therefore every
+  partition's previous generation — fully readable.
 
 Single-writer assumption: exactly one UpsertSink instance may write a
 given path at a time (Structured Streaming guarantees this per query
@@ -45,49 +46,64 @@ from pyspark.sql import DataFrame, SparkSession
 
 class UpsertSink:
     """foreachBatch handler: MERGE micro-batch rows into a keyed,
-    hash-bucketed table.
+    (day x hash-bucket)-partitioned table.
 
     Latest-wins per key (ties broken by batch id), so replaying a batch
     is a no-op — the exactly-once contract the north rule requires.
 
     ``num_buckets`` sizes the bucket fan-out: a micro-batch rewrites
-    only the buckets containing its keys, so at scale (keys ≫ buckets,
-    batches touching a key subset) per-batch I/O stays proportional to
-    the batch, not the table.  Lineage: every committed generation dir
-    name embeds the batch id that produced it.
+    only the partitions containing its keys, so at scale (keys ≫
+    buckets, batches touching a key subset) per-batch I/O stays
+    proportional to the batch, not the table.
+
+    ``day_col`` adds the ``days(ts)`` partition dimension (the north
+    rule's Iceberg spec).  It must be functionally dependent on the
+    merge keys (e.g. the window-start key itself) so each logical key
+    lives in exactly one partition; typical use:
+    ``UpsertSink(path, keys=["window_start", "domain"],
+    day_col="window_start")``.
+
+    Lineage: every committed generation dir name embeds the batch id
+    that produced it.
     """
 
     def __init__(self, path: str, keys: list[str], order_col: str | None = None,
-                 num_buckets: int = 8):
+                 num_buckets: int = 8, day_col: str | None = None):
         self.path = path
         self.keys = keys
         self.order_col = order_col  # optional recency column for latest-wins
         self.num_buckets = int(num_buckets)
+        self.day_col = day_col
         os.makedirs(path, exist_ok=True)
 
     @property
     def _manifest(self) -> str:
         return os.path.join(self.path, "MANIFEST")
 
-    def _read_manifest(self) -> dict[int, str]:
-        """bucket -> relative dir of its current generation."""
+    def _read_manifest(self) -> dict:
+        """partition id -> relative dir of its current generation.
+        Partition id: int bucket, or "YYYY-MM-DD/bucket" with day_col."""
         try:
             with open(self._manifest) as fh:
                 raw = json.load(fh)
         except FileNotFoundError:
             return {}
-        return {int(k): v for k, v in raw.get("buckets", {}).items()}
+        parts = raw.get("buckets", {})
+        if self.day_col:
+            return dict(parts)
+        return {int(k): v for k, v in parts.items()}
 
-    def _commit_manifest(self, mf: dict[int, str]) -> None:
+    def _commit_manifest(self, mf: dict) -> None:
         mtmp = self._manifest + f".{uuid.uuid4().hex}"
         with open(mtmp, "w") as fh:
             json.dump({"buckets": {str(k): v for k, v in mf.items()}}, fh)
         os.rename(mtmp, self._manifest)  # atomic on POSIX — the commit point
 
-    def _gc(self, mf: dict[int, str]) -> None:
-        """Drop generation dirs no manifest bucket references and stale
-        manifest tmps — leftovers of a crash between write and commit.
-        Called only from ``_merge_batch`` (single-writer ownership)."""
+    def _gc(self, mf: dict) -> None:
+        """Drop generation dirs no manifest partition references and
+        stale manifest tmps — leftovers of a crash between write and
+        commit.  Called only from ``_merge_batch`` (single-writer
+        ownership)."""
         live = {rel.split("/", 1)[0] for rel in mf.values()}
         for name in os.listdir(self.path):
             p = os.path.join(self.path, name)
@@ -96,9 +112,30 @@ class UpsertSink:
             elif os.path.isfile(p) and name.startswith("MANIFEST."):
                 os.remove(p)  # uncommitted manifest tmp from a crash
 
-    def _bucket_expr(self):
-        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
-                      F.lit(self.num_buckets)).cast("int")
+    def _part_cols(self) -> list[str]:
+        return (["__day"] if self.day_col else []) + ["__bucket"]
+
+    def _with_partitions(self, df: DataFrame) -> DataFrame:
+        out = df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
+                   F.lit(self.num_buckets)).cast("int"),
+        )
+        if self.day_col:
+            out = out.withColumn(
+                "__day",
+                F.date_format(F.col(self.day_col).cast("timestamp"), "yyyy-MM-dd"),
+            )
+        return out
+
+    def _part_id(self, row) -> int | str:
+        return f"{row['__day']}/{row['__bucket']}" if self.day_col else row["__bucket"]
+
+    def _part_rel(self, gen_name: str, part_id) -> str:
+        if self.day_col:
+            day, bucket = str(part_id).rsplit("/", 1)
+            return f"{gen_name}/__day={day}/__bucket={bucket}"
+        return f"{gen_name}/__bucket={part_id}"
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         mf = self._read_manifest()
@@ -109,25 +146,23 @@ class UpsertSink:
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        new = (
+        pcols = self._part_cols()
+        new = self._with_partitions(
             batch.withColumn("__batch_id", F.lit(batch_id))
-            .withColumn("__bucket", self._bucket_expr())
-            .persist()  # two actions below must not re-run the stateful plan
-        )
+        ).persist()  # two actions below must not re-run the stateful plan
         try:
-            touched = sorted(r[0] for r in new.select("__bucket").distinct().collect())
+            touched = sorted(
+                self._part_id(r) for r in new.select(*pcols).distinct().collect()
+            )
             if not touched:
                 return  # empty batch: nothing to merge, manifest unchanged
             mf = self._read_manifest()
-            cur_paths = [os.path.join(self.path, mf[b]) for b in touched if b in mf]
+            cur_paths = [os.path.join(self.path, mf[p]) for p in touched if p in mf]
             if cur_paths:
-                # only the touched buckets are read back — per-batch I/O
-                # is O(touched), the parquet analog of MERGE INTO with
-                # bucket-partition pruning
-                current = (
-                    spark.read.parquet(*cur_paths)
-                    .withColumn("__bucket", self._bucket_expr())
-                )
+                # only the touched partitions are read back — per-batch
+                # I/O is O(touched), the parquet analog of MERGE INTO
+                # with (days x bucket) partition pruning
+                current = self._with_partitions(spark.read.parquet(*cur_paths))
                 merged = current.unionByName(new, allowMissingColumns=True)
             else:
                 merged = new
@@ -148,12 +183,12 @@ class UpsertSink:
             # _-prefixed names as hidden
             gen_name = f"gen_{batch_id}_{uuid.uuid4().hex}"
             (
-                deduped.repartition(len(touched), "__bucket")
-                .write.partitionBy("__bucket")
+                deduped.repartition(len(touched), *pcols)
+                .write.partitionBy(*pcols)
                 .parquet(os.path.join(self.path, gen_name))
             )
-            for b in touched:
-                mf[b] = f"{gen_name}/__bucket={b}"
+            for p in touched:
+                mf[p] = self._part_rel(gen_name, p)
             self._commit_manifest(mf)
             self._gc(mf)
         finally:

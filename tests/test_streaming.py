@@ -324,3 +324,59 @@ def test_stream_conf_context(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before_sp
     assert spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass") == before_prov
+
+
+def test_sink_day_partition_pruning(spark, tmp_path):
+    """With day_col the layout mirrors the north rule's Iceberg spec
+    (days(ts) x bucket(N, key)): a batch touching only day 2 leaves
+    every day-1 partition's generation untouched, and the streaming
+    upsert through the partitioned sink still matches the batch agg."""
+    import datetime as dt
+    import os
+
+    path = str(tmp_path / "sink")
+    sink = UpsertSink(path, keys=["window_start", "domain"],
+                      num_buckets=4, day_col="window_start")
+    d1 = dt.datetime(2024, 1, 1, 10, 0)
+    d2 = dt.datetime(2024, 1, 2, 10, 0)
+    schema = "window_start timestamp, domain string, n long"
+    rows1 = [(d1, f"site{i}.com", i) for i in range(12)]
+    sink(spark.createDataFrame(rows1, schema), 0)
+    mf0 = sink._read_manifest()
+    assert all("/" in str(k) for k in mf0)          # day/bucket ids
+    assert {str(k).split("/")[0] for k in mf0} == {"2024-01-01"}
+
+    rows2 = [(d2, f"site{i}.com", 100 + i) for i in range(12)]
+    sink(spark.createDataFrame(rows2, schema), 1)
+    mf1 = sink._read_manifest()
+    day1 = {k: v for k, v in mf1.items() if str(k).startswith("2024-01-01")}
+    assert day1 == {k: v for k, v in mf0.items()}   # day-1 gens untouched
+    for rel in day1.values():
+        assert os.path.exists(os.path.join(path, rel))
+
+    # update one key on day 2: only that (day, bucket) advances
+    sink(spark.createDataFrame([(d2, "site0.com", 999)], schema), 2)
+    mf2 = sink._read_manifest()
+    changed = [k for k in mf1 if mf2[k] != mf1[k]]
+    assert len(changed) == 1 and str(changed[0]).startswith("2024-01-02")
+
+    got = {(r["window_start"], r["domain"]): r["n"]
+           for r in sink.result(spark).collect()}
+    assert got[(d2, "site0.com")] == 999
+    assert got[(d1, "site0.com")] == 0
+    assert len(got) == 24
+
+
+def test_sink_day_partition_stream_parity(spark, tmp_path, pages_path):
+    """Full windowed stream drained through the day-partitioned sink
+    equals the batch aggregate (exactly-once + partition layout)."""
+    batch = spark.read.parquet(pages_path)
+    expected = tumbling_agg(batch, window="10 minutes", keys=["lang"])
+
+    stream = _read_stream(spark, pages_path)
+    agg = tumbling_agg(stream, window="10 minutes", watermark="2 hours", keys=["lang"])
+    sink = UpsertSink(str(tmp_path / "sink"), keys=["window_start", "lang"],
+                      num_buckets=4, day_col="window_start")
+    q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _bag(sink.result(spark)) == _bag(expected)
