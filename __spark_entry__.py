@@ -667,6 +667,16 @@ def q_absence_match(spark, sf):
     return absence_match(ev, ["view", "purchase"], within="1 day")
 
 
+def q_threshold_match(spark, sf):
+    """Frequency CEP pattern: the 3rd error within a trailing 1-day
+    window per user (monitoring-alert shape) — RANGE-frame count, zero
+    joins."""
+    ev = _t(spark, sf, "events")
+    from riko_spark.streaming.cep import threshold_match
+
+    return threshold_match(ev, "error", 3, within="1 day")
+
+
 def q_sliding_count(spark, sf):
     """Sliding windows (1 h window, 30 min slide) — every event lands
     in exactly two windows."""
@@ -839,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "sequence_match": q_sequence_match,
         "absence_match": q_absence_match,
+        "threshold_match": q_threshold_match,
         "sliding_count": q_sliding_count,
         "topk_per_group": q_topk_per_group,
         "salted_count": q_salted_count,
@@ -1343,6 +1354,20 @@ def oracle_sql() -> dict[str, str]:
               AND (nxt IS NULL OR
                    make_timestamp(CAST(substring(nxt, 1, 20) AS BIGINT))
                      > ts + INTERVAL 1 DAY)
+        """,
+        "threshold_match": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS us
+                FROM events WHERE event_type = 'error'
+            ), c AS (
+                SELECT user_id, event_id, ts,
+                       count(*) OVER (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 86399999999 PRECEDING
+                                     AND CURRENT ROW) AS cnt
+                FROM ev
+            )
+            SELECT user_id, event_id AS anchor_id, ts AS anchor_ts
+            FROM c WHERE cnt = 3
         """,
         "frame_sample": """
             WITH d AS (

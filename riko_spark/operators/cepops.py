@@ -40,3 +40,20 @@ def absence_match_op(df: DataFrame, conf: dict, **_kwargs) -> DataFrame:
         event_id_col=conf.get("event_id_col", "event_id"),
         watermark=conf.get("watermark"),
     )
+
+
+@register("threshold_match", kind="operator", sub_kind="aggregator")
+def threshold_match_op(df: DataFrame, conf: dict, **_kwargs) -> DataFrame:
+    from riko_spark.streaming.cep import threshold_match
+
+    return threshold_match(
+        df,
+        conf["event_type"],
+        int(conf["n"]),
+        key=conf.get("key", "user_id"),
+        ts_col=conf.get("ts_col", "ts"),
+        type_col=conf.get("type_col", "event_type"),
+        within=conf.get("within", "30 minutes"),
+        event_id_col=conf.get("event_id_col", "event_id"),
+        watermark=conf.get("watermark"),
+    )

@@ -397,3 +397,127 @@ def _absence_match_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def threshold_match(
+    df: DataFrame,
+    event_type: str,
+    n: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str = "30 minutes",
+    event_id_col: str = "event_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Frequency pattern (the monitoring-alert shape): emit every
+    ``event_type`` event that is the ``n``-th occurrence of that type
+    for its key inside the trailing ``within`` window — e.g. '3 errors
+    within 5 minutes'.  A sustained burst re-alerts each time the
+    trailing count re-crosses exactly ``n`` (alert re-arming),
+    deterministically.
+
+    Batch: one sort per key and a RANGE frame count over event-time
+    micros — zero joins, whole-stage codegen.  Streaming: per-key
+    buffer bounded by the window, each event decided exactly once when
+    the watermark passes it (its trailing window is then complete).
+    """
+    if n < 1:
+        raise ValueError("threshold_match needs n >= 1")
+    if df.isStreaming:
+        return _threshold_match_stream(
+            df, event_type, n, key, ts_col, type_col, within, event_id_col,
+            watermark or "0 seconds",
+        )
+    within_ms = _parse_duration_ms(within)
+    ev = (
+        df.filter(F.col(type_col) == event_type)
+        .select(F.col(key), F.col(ts_col), F.col(event_id_col))
+        .withColumn("__us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__us")
+        .rangeBetween(-(within_ms * 1000) + 1, 0)
+    )
+    return (
+        ev.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("__cnt") == n)
+        .select(
+            F.col(key),
+            F.col(event_id_col).alias("anchor_id"),
+            F.col(ts_col).cast("timestamp").alias("anchor_ts"),
+        )
+    )
+
+
+def _threshold_match_stream(
+    df: DataFrame, event_type: str, n: int, key: str, ts_col: str,
+    type_col: str, within: str, event_id_col: str, watermark: str,
+) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    within_ms = _parse_duration_ms(within)
+    out_schema = f"{key} bigint, anchor_id bigint, anchor_ts timestamp"
+    # frontier: decisions are made once, for events in (frontier, wm]
+    state_schema = "ts array<bigint>, eid array<bigint>, frontier bigint"
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        buf: list[tuple[int, int]] = []
+        frontier = -1
+        if state.exists:
+            ts_l, eid_l, frontier = state.get
+            buf = list(zip(ts_l, eid_l))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                mask = pdf[type_col] == event_type
+                micros = pdf[ts_col].astype("int64") // 1000
+                buf.extend(zip(micros[mask], pdf[event_id_col][mask]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        horizon_us = within_ms * 1000
+
+        buf.sort()
+        alerts = []
+        times = [t for t, _ in buf]
+        from bisect import bisect_left as _bl, bisect_right as _br2
+
+        for idx, (ts, eid) in enumerate(buf):
+            if ts <= frontier or ts > wm_us:
+                continue  # already decided / not yet stable
+            lo = _bl(times, ts - horizon_us + 1)
+            # trailing count = all events in (ts-within, ts], INCLUDING
+            # equal-ts peers — matching the batch RANGE frame, where
+            # peers are in every tied row's frame
+            cnt = _br2(times, ts) - lo
+            if cnt == n:
+                alerts.append((ts, eid))
+        frontier = max(frontier, wm_us)
+        keep = [(t, e) for t, e in buf if t > wm_us - horizon_us]
+        if keep:
+            state.update((
+                [int(t) for t, _ in keep],
+                [int(e) for _, e in keep],
+                int(frontier),
+            ))
+            undecided = [t for t, _ in keep if t > frontier]
+            wake_us = min(undecided) if undecided else keep[0][0] + horizon_us
+            state.setTimeoutTimestamp(
+                max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+        if alerts:
+            yield pd.DataFrame({
+                key: [key_tuple[0]] * len(alerts),
+                "anchor_id": [e for _, e in alerts],
+                "anchor_ts": [pd.Timestamp(t, unit="us") for t, _ in alerts],
+            })
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

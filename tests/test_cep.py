@@ -227,3 +227,99 @@ def test_cep_ops_registered(spark):
     ab = get_operator("absence_match")(
         df, {"steps": ["view", "purchase"], "within": "10 minutes"})
     assert ab.count() == len(_brute_absence(ROWS, ["view", "purchase"], 10))
+
+
+def _brute_threshold(rows, event_type, n, within_min):
+    by_user = {}
+    for eid, ts, user, et in rows:
+        if et == event_type:
+            by_user.setdefault(user, []).append((ts, eid))
+    out = []
+    for user, evs in by_user.items():
+        evs.sort()
+        times = [t for t, _ in evs]
+        for ts, eid in evs:
+            lo = bisect_right(times, ts - dt.timedelta(minutes=within_min))
+            cnt = bisect_right(times, ts) - lo
+            if cnt == n:
+                out.append((user, eid, ts))
+    return sorted(out)
+
+
+THRESH_ROWS = [
+    # user 1: burst of 4 errors in 6 min -> alert fires at the 3rd
+    _ev(1, 0, 1, "error"), _ev(2, 2, 1, "error"), _ev(3, 4, 1, "error"),
+    _ev(4, 6, 1, "error"),
+    # user 1 much later: re-armed burst -> fires again at its 3rd
+    _ev(5, 100, 1, "error"), _ev(6, 101, 1, "error"), _ev(7, 102, 1, "error"),
+    # user 2: only 2 errors in window -> silent
+    _ev(8, 0, 2, "error"), _ev(9, 3, 2, "error"), _ev(10, 40, 2, "error"),
+    # user 3: 3 errors but spread beyond the window -> silent
+    _ev(11, 0, 3, "error"), _ev(12, 8, 3, "error"), _ev(13, 16, 3, "error"),
+    # noise
+    _ev(14, 1, 1, "view"), _ev(15, 2, 2, "click"),
+]
+
+
+def test_threshold_match_batch(spark):
+    from riko_spark.streaming.cep import threshold_match
+
+    df = spark.createDataFrame(THRESH_ROWS, SCHEMA)
+    out = threshold_match(df, "error", 3, within="10 minutes")
+    got = sorted(tuple(r) for r in out.select("user_id", "anchor_id", "anchor_ts").collect())
+    assert got == _brute_threshold(THRESH_ROWS, "error", 3, 10)
+    assert len(got) == 2  # user 1 fires twice (re-armed)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_threshold_match_events_table(spark):
+    from riko_spark.streaming.cep import threshold_match
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = [(r.event_id, r.ts, r.user_id, r.event_type)
+            for r in df.select("event_id", "ts", "user_id", "event_type").collect()]
+    out = threshold_match(df, "click", 2, within="4 days")
+    got = sorted(tuple(r) for r in out.select("user_id", "anchor_id", "anchor_ts").collect())
+    assert got == _brute_threshold(rows, "click", 2, 4 * 24 * 60)
+    assert len(got) > 0
+
+
+def test_threshold_match_stream_batch_parity(spark, tmp_path):
+    import time
+
+    from riko_spark.streaming.cep import threshold_match
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "signup") for u in range(1, 4)]
+    df = spark.createDataFrame(list(THRESH_ROWS) + flush, SCHEMA)
+    expected = sorted(
+        tuple(r) for r in threshold_match(df, "error", 3, within="10 minutes")
+        .select("user_id", "anchor_id", "anchor_ts").collect()
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(THRESH_ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = threshold_match(stream, "error", 3, within="10 minutes",
+                          watermark="0 seconds")
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in
+                    batch.select("user_id", "anchor_id", "anchor_ts").collect())
+
+    q = (
+        out.writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert sorted(sink) == expected
+    assert len(set(sink)) == len(sink)
