@@ -323,3 +323,26 @@ def test_threshold_match_stream_batch_parity(spark, tmp_path):
     q.awaitTermination(240)
     assert sorted(sink) == expected
     assert len(set(sink)) == len(sink)
+
+
+def test_cep_in_declared_pipe_and_codegen(spark):
+    """A declared pipe def using sequence_match compiles through both
+    the DAG interpreter and the code generator with identical rows."""
+    from riko_spark.plans.codegen import compile_pipe
+    from riko_spark.plans.dag import build_pipeline
+
+    pipe = {
+        "modules": [
+            {"id": "src", "type": "filter", "conf": {}},
+            {"id": "seq", "type": "sequence_match",
+             "conf": {"steps": ["view", "click", "purchase"],
+                      "within": "30 minutes"}},
+        ],
+    }
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    interp = build_pipeline(spark, pipe, sources={"src": df})
+    fn, _src = compile_pipe(pipe, "cep_pipe")
+    gen = fn(spark, sources={"src": df})
+    a = sorted(tuple(r) for r in interp.collect())
+    b = sorted(tuple(r) for r in gen.collect())
+    assert a == b and len(a) == 4
