@@ -163,6 +163,11 @@ def _stream_conf(spark):
     return old
 
 
+def _restore_conf(spark, old):
+    for k, v in old.items():
+        spark.conf.set(k, v)
+
+
 def bench_stream(spark, path, tmp, files_per_trigger=11):
     """Streaming run of the SAME declared pipe graph (extract → filter →
     regex → tokenizer → fused windowed token count, watermark 30 s):
