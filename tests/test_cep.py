@@ -346,3 +346,44 @@ def test_cep_in_declared_pipe_and_codegen(spark):
     a = sorted(tuple(r) for r in interp.collect())
     b = sorted(tuple(r) for r in gen.collect())
     assert a == b and len(a) == 4
+
+
+def test_cep_property_fuzz(spark):
+    """Property test: on randomized event streams (seeded), the engine's
+    batch matchers equal the brute-force references for all three
+    patterns.  Catches frame/tie/window-boundary edge cases the crafted
+    fixtures miss."""
+    import random
+
+    rng = random.Random(20240817)
+    types = ["view", "click", "purchase", "error", "noise"]
+    for trial in range(4):
+        rows = []
+        eid = 0
+        for user in range(1, 9):
+            t = 0.0
+            for _ in range(rng.randint(0, 25)):
+                t += rng.choice([0.0, 0.5, 1.0, 3.0, 9.0])  # ties included
+                rows.append((eid, T0 + dt.timedelta(minutes=t), user,
+                             rng.choice(types)))
+                eid += 1
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, SCHEMA)
+
+        got = _collect(sequence_match(df, STEPS, within="10 minutes"), 3)
+        assert got == _brute(rows, STEPS, 10), f"sequence trial {trial}"
+
+        from riko_spark.streaming.cep import absence_match, threshold_match
+
+        ab = absence_match(df, ["view", "purchase"], within="10 minutes")
+        got_a = sorted(tuple(r) for r in
+                       ab.select("user_id", "anchor_id", "anchor_ts").collect())
+        assert got_a == _brute_absence(rows, ["view", "purchase"], 10), \
+            f"absence trial {trial}"
+
+        th = threshold_match(df, "error", 2, within="10 minutes")
+        got_t = sorted(tuple(r) for r in
+                       th.select("user_id", "anchor_id", "anchor_ts").collect())
+        assert got_t == _brute_threshold(rows, "error", 2, 10), \
+            f"threshold trial {trial}"
