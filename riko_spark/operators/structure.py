@@ -55,7 +55,12 @@ def rename_op(df: DataFrame, conf: dict, skip_if=None) -> DataFrame:
         field, newval, copy = rule["field"], rule.get("newval"), rule.get("copy")
         if skip_if is not None and not (copy and newval):
             raise ValueError("rename: skip_if is only supported for copy rules")
-        src = F.col(field) if field in out.columns else F.lit(None)
+        # a dotted field is a struct path (riko DotDict nesting) — it
+        # "exists" when its root column does; F.col resolves the path
+        present = field in out.columns or (
+            "." in field and field.split(".", 1)[0] in out.columns
+        )
+        src = F.col(field) if present else F.lit(None)
         if newval:
             out = apply_scalar(out, src, assign=newval, skip_if=skip_if)
         if not copy and (newval or not rule.get("newval")):

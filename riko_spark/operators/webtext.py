@@ -44,9 +44,13 @@ def _resolve(url: str) -> str:
     path = url.removeprefix("file://")
     if not os.path.isabs(path) and not os.path.exists(path):
         root = os.environ.get("RIKO_SPARK_DATA_ROOT", "")
-        cand = os.path.join(root, path)
-        if root and os.path.exists(cand):
-            return cand
+        if root:
+            # bare data-file names resolve like riko's get_path
+            # (riko/__init__.py: <pkg>/data/<name>)
+            for cand in (os.path.join(root, path),
+                         os.path.join(root, "riko", "data", path)):
+                if os.path.exists(cand):
+                    return cand
     return path
 
 
@@ -356,3 +360,56 @@ def xpath_op(
     else:
         exploded = df.withColumn(assign, F.explode(F.xpath(col, F.lit(xpath))))
     return exploded.select(assign) if emit else exploded
+
+
+_MAX_FETCH_URLS = 10_000
+
+
+@register("fetch_join")
+def fetch_join_op(df: DataFrame, conf: dict, spark: SparkSession | None = None) -> DataFrame:
+    """Data-parallel rewrite of riko's per-item ``loop(embed=fetchdata)``
+    (e.g. tests/pypipelines/pipe_125e9fe8... sw_142: fetchdata called
+    once PER ROW with ``url={'subkey': 'api'}`` — riko/modules/loop.py
+    drives the embedded pipe per item, an IO-per-item pattern).
+
+    Here each DISTINCT url is fetched exactly once into a small
+    dimension table which broadcast-joins back on the url column — the
+    canonical scale-out shape: N rows sharing a url cost one fetch, the
+    join is broadcast (no shuffle of the fact side), and the fetch set
+    is bounded (``_MAX_FETCH_URLS``) like any broadcast dim.
+
+    conf: ``url_field`` (column holding the url), ``path`` (fetchdata
+    descend path), ``assign`` (struct column for the fetched payload),
+    ``count`` ('first' → first fetched item per url, riko loop default
+    here; 'all' → explode one row per fetched item).
+    """
+    from functools import reduce
+
+    spark = spark or df.sparkSession
+    url_field = conf.get("url_field", "url")
+    assign = conf.get("assign", "fetch_join")
+    count = conf.get("count", "first")
+    urls = [r[0] for r in
+            df.select(url_field).distinct().limit(_MAX_FETCH_URLS + 1).collect()]
+    if len(urls) > _MAX_FETCH_URLS:
+        raise ValueError(
+            f"fetch_join: more than {_MAX_FETCH_URLS} distinct urls — at that "
+            "volume ingest the fetched corpus as a table and join it instead"
+        )
+    frames = []
+    for u in urls:
+        if u is None:
+            continue
+        fd = fetchdata_op(None, {"url": u, "path": conf.get("path")}, spark)
+        if count == "first":
+            fd = fd.limit(1)
+        frames.append(fd.withColumn("__fetch_url", F.lit(u)))
+    if not frames:
+        return df.withColumn(assign, F.lit(None))
+    dim = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+    payload = F.struct(*[F.col(c) for c in dim.columns if c != "__fetch_url"])
+    dim = dim.select("__fetch_url", payload.alias(assign))
+    return (
+        df.join(F.broadcast(dim), F.col(url_field) == F.col("__fetch_url"), "left")
+        .drop("__fetch_url")
+    )

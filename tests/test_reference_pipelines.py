@@ -165,3 +165,41 @@ def test_reference_pipelines_through_codegen(spark):
         got = sorted(map(str, (r.asDict(recursive=True) for r in gen.collect())))
         want = sorted(map(str, (r.asDict(recursive=True) for r in interp.collect())))
         assert len(got) == n_rows and got == want, name
+
+
+def test_loops_fetchdata_per_row_as_fetch_join(spark):
+    """The reference's test_loops_1 (pipe_125e9fe8...: itembuilder →
+    loop(urlbuilder) → loop(fetchdata PER ROW, count=first, assign
+    'info') → rename info.user_view_type → description; goldens at
+    tests/functional/test_basics.py:134-143) re-expressed in the
+    canonical data-parallel shape: each DISTINCT url fetched once into
+    a broadcast dimension, joined back on the url column (fetch_join).
+    Same rows, IO per distinct url instead of per item."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.operators.structure import itembuilder_op, rename_op, urlbuilder_op
+    from riko_spark.operators.webtext import fetch_join_op
+
+    src = itembuilder_op(None, {"attrs": [{"key": "title", "value": "defunkt"}]},
+                         spark=spark)
+    with_url = urlbuilder_op(
+        src,
+        {"base": "api.github.com_search_users",
+         "param": [{"key": "q", "subkey": "title"}],
+         "ext": "json"},
+        assign="api",
+    )
+    assert with_url.first()["api"] == "api.github.com_search_users_q=defunkt.json"
+    fetched = fetch_join_op(
+        with_url, {"url_field": "api", "path": "items",
+                   "assign": "info", "count": "first"},
+    )
+    out = rename_op(fetched, {"rule": [
+        {"field": "info.user_view_type", "newval": "description", "copy": True},
+    ]})
+    rows = out.collect()
+    assert len(rows) == 1  # test_basics.py:138 expects 1 item
+    item = rows[0]
+    assert item["info"]["login"] == "defunkt"
+    assert item["info"]["user_view_type"] == "public"
+    assert item["description"] == "public"
