@@ -368,6 +368,12 @@ def main():
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skip-stream", action="store_true")
+    # sustained-volume stream check: drain N x the input (hardlinked
+    # shards) through the same graph + sink; per-doc cost should
+    # IMPROVE with volume (per-batch overheads amortize) and batch
+    # latency stay flat — the streaming-tier scale property
+    ap.add_argument("--stream-volume", type=int, default=0,
+                    metavar="N", help="also drain an N x hardlinked input")
     ap.add_argument("--_scale-leg", dest="scale_leg", type=int, default=None)
     ap.add_argument("--pages-path", default=None)
     # 16x input (1.6M docs): runs long enough that single VM stalls
@@ -441,6 +447,17 @@ def main():
             with tempfile.TemporaryDirectory() as tmp:
                 runs.append(bench_stream(spark, pages_path, tmp))
         out["stream"] = max(runs, key=lambda r: r["docs_per_sec"])
+        if args.stream_volume > 1:
+            import glob as _glob
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as big:
+                for i in range(args.stream_volume):
+                    for f in _glob.glob(os.path.join(pages_path, "*.parquet")):
+                        os.link(f, os.path.join(big, f"c{i}_" + os.path.basename(f)))
+                with tempfile.TemporaryDirectory() as tmp:
+                    out[f"stream_{args.stream_volume}x"] = bench_stream(
+                        spark, big, tmp, files_per_trigger=32)
     spark.stop()
 
     if args.scaling:
