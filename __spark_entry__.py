@@ -1304,7 +1304,7 @@ def oracle_sql() -> dict[str, str]:
             WITH ev AS (
                 SELECT user_id, event_id, ts, event_type,
                        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-                       lpad(CAST(event_id AS VARCHAR), 10, '0') AS comp
+                       lpad(CAST(event_id AS VARCHAR), 19, '0') AS comp
                 FROM events
             ), nx AS (
                 SELECT *,
@@ -1319,7 +1319,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM nx WHERE event_type = 'view'
             ), s1 AS (
                 SELECT a.user_id, a.step0_id, a.step0_ts,
-                       CAST(substring(a.chain, 21, 10) AS BIGINT) AS step1_id,
+                       CAST(substring(a.chain, 21, 19) AS BIGINT) AS step1_id,
                        make_timestamp(CAST(substring(a.chain, 1, 20) AS BIGINT)) AS step1_ts,
                        b.nxt2 AS chain2
                 FROM anchors a
@@ -1327,7 +1327,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.chain IS NOT NULL
             ), s2 AS (
                 SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
-                       CAST(substring(chain2, 21, 10) AS BIGINT) AS step2_id,
+                       CAST(substring(chain2, 21, 19) AS BIGINT) AS step2_id,
                        make_timestamp(CAST(substring(chain2, 1, 20) AS BIGINT)) AS step2_ts
                 FROM s1 WHERE chain2 IS NOT NULL
             )
@@ -1339,7 +1339,7 @@ def oracle_sql() -> dict[str, str]:
             WITH ev AS (
                 SELECT user_id, event_id, ts, event_type,
                        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-                       lpad(CAST(event_id AS VARCHAR), 10, '0') AS comp
+                       lpad(CAST(event_id AS VARCHAR), 19, '0') AS comp
                 FROM events
             ), nx AS (
                 SELECT *,

@@ -99,6 +99,15 @@ class CapStats:
 #: most recent cap accounting per operator label — read it after running
 #: your action: ``CAP_OBSERVATIONS["minhash_lsh"].get`` →
 #: {"dropped_rows": .., "dropped_buckets": ..}
+#:
+#: Lifecycle notes: the slot holds the MOST RECENT plan per label — two
+#: concurrently built pipelines of the same op share it, so capture the
+#: CapStats reference right after building the plan if you need
+#: per-pipeline accounting.  Each capped plan also parks one daemon
+#: watcher thread on its Observation until the plan's first action; a
+#: plan that is built but never executed leaves that (idle, daemon)
+#: thread behind — pass ``log_dropped=False`` in plan-inspection loops
+#: that construct many plans without running them.
 CAP_OBSERVATIONS: dict[str, CapStats] = {}
 
 

@@ -137,20 +137,24 @@ def _bruteforce_scores_vectorized(
             mnorm = np.linalg.norm(M, axis=1)
             mnorm[mnorm == 0] = 1.0
             S = (M @ Q.T) / mnorm[:, None] / qnorm[None, :]  # rows x queries
+            Sr = np.round(S, 6)  # the comparison domain of the final window
             ids = pdf[id_col].to_numpy()
             kk = min(k, S.shape[0])
-            # per-query top-k within this batch: argpartition then exact sort
-            part = np.argpartition(-S, kk - 1, axis=0)[:kk]  # kk x queries
             rows, qcols, cos = [], [], []
             for j in range(S.shape[1]):
-                sel = part[:, j]
+                # per-query top-k within this batch under the FINAL
+                # ordering (rounded cosine desc, id asc): a plain
+                # argpartition on raw scores could drop the lowest-id
+                # member of a rounded tie group and diverge from the
+                # native path's ranking
+                sel = np.lexsort((ids, -Sr[:, j]))[:kk]
                 rows.append(ids[sel])
                 qcols.append(np.full(kk, qids[j]))
-                cos.append(S[sel, j])
+                cos.append(Sr[sel, j])
             yield pd.DataFrame({
                 query_id_col: np.concatenate(qcols),
                 id_col: np.concatenate(rows),
-                "cosine": np.round(np.concatenate(cos), 6),
+                "cosine": np.concatenate(cos),  # already rounded to the window domain
             })
 
     return df.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)

@@ -50,17 +50,30 @@ def rename_op(df: DataFrame, conf: dict, skip_if=None) -> DataFrame:
     None, e.g. kazeeki's ``y:published`` → ``k:posted``)."""
     from riko_spark.operators.options import apply_scalar
 
+    def resolve(frame: DataFrame, field: str):
+        """riko ``item.get`` semantics: exact column (backtick-quoted —
+        a flat column literally named 'a.b' wins over path resolution,
+        like DotDict's exact-key check), else a struct path WALKED
+        against the schema (a missing leaf under an existing struct is
+        None, never an AnalysisException), else NULL."""
+        from pyspark.sql.types import StructType
+
+        if field in frame.columns:
+            return F.col(f"`{field}`")
+        parts = field.split(".")
+        dtype = frame.schema
+        for p in parts:
+            if not isinstance(dtype, StructType) or p not in dtype.names:
+                return F.lit(None)
+            dtype = dtype[p].dataType
+        return F.col(field)
+
     out = df
     for rule in _listize(conf.get("rule")):
         field, newval, copy = rule["field"], rule.get("newval"), rule.get("copy")
         if skip_if is not None and not (copy and newval):
             raise ValueError("rename: skip_if is only supported for copy rules")
-        # a dotted field is a struct path (riko DotDict nesting) — it
-        # "exists" when its root column does; F.col resolves the path
-        present = field in out.columns or (
-            "." in field and field.split(".", 1)[0] in out.columns
-        )
-        src = F.col(field) if present else F.lit(None)
+        src = resolve(out, field)
         if newval:
             out = apply_scalar(out, src, assign=newval, skip_if=skip_if)
         if not copy and (newval or not rule.get("newval")):

@@ -362,7 +362,7 @@ def xpath_op(
     return exploded.select(assign) if emit else exploded
 
 
-_MAX_FETCH_URLS = 10_000
+_MAX_FETCH_URLS = 100_000
 
 
 @register("fetch_join")
@@ -372,23 +372,28 @@ def fetch_join_op(df: DataFrame, conf: dict, spark: SparkSession | None = None) 
     once PER ROW with ``url={'subkey': 'api'}`` — riko/modules/loop.py
     drives the embedded pipe per item, an IO-per-item pattern).
 
-    Here each DISTINCT url is fetched exactly once into a small
-    dimension table which broadcast-joins back on the url column — the
-    canonical scale-out shape: N rows sharing a url cost one fetch, the
-    join is broadcast (no shuffle of the fact side), and the fetch set
-    is bounded (``_MAX_FETCH_URLS``) like any broadcast dim.
+    Each DISTINCT url is fetched exactly once into a small dimension
+    table which broadcast-joins back on the url column — the canonical
+    scale-out shape.  The fetch itself is ONE distributed
+    ``spark.read.json`` over every resolved file (no per-url driver
+    read, no N-way union plan): ``input_file_name()`` recovers which
+    url produced each row, and ``posexplode`` of the descend path makes
+    ``count='first'`` the array's literal first element (riko loop's
+    first item), deterministically.  The distinct-url set is bounded
+    (``_MAX_FETCH_URLS``) like any broadcast dim.
 
     conf: ``url_field`` (column holding the url), ``path`` (fetchdata
     descend path), ``assign`` (struct column for the fetched payload),
-    ``count`` ('first' → first fetched item per url, riko loop default
-    here; 'all' → explode one row per fetched item).
+    ``count`` ('first' → first fetched item per url; 'all' → one row
+    per fetched item).
     """
-    from functools import reduce
+    import os
 
     spark = spark or df.sparkSession
     url_field = conf.get("url_field", "url")
     assign = conf.get("assign", "fetch_join")
     count = conf.get("count", "first")
+    path = conf.get("path")
     urls = [r[0] for r in
             df.select(url_field).distinct().limit(_MAX_FETCH_URLS + 1).collect()]
     if len(urls) > _MAX_FETCH_URLS:
@@ -396,19 +401,38 @@ def fetch_join_op(df: DataFrame, conf: dict, spark: SparkSession | None = None) 
             f"fetch_join: more than {_MAX_FETCH_URLS} distinct urls — at that "
             "volume ingest the fetched corpus as a table and join it instead"
         )
-    frames = []
-    for u in urls:
-        if u is None:
-            continue
-        fd = fetchdata_op(None, {"url": u, "path": conf.get("path")}, spark)
-        if count == "first":
-            fd = fd.limit(1)
-        frames.append(fd.withColumn("__fetch_url", F.lit(u)))
-    if not frames:
+    resolved = {u: os.path.abspath(_resolve(u)) for u in urls if u is not None}
+    if not resolved:
         return df.withColumn(assign, F.lit(None))
-    dim = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
-    payload = F.struct(*[F.col(c) for c in dim.columns if c != "__fetch_url"])
-    dim = dim.select("__fetch_url", payload.alias(assign))
+
+    raw = (
+        spark.read.option("multiLine", "true")
+        .json(sorted(set(resolved.values())))
+        .withColumn("__file", F.input_file_name())
+    )
+    if path:
+        col = F.col(path)
+        dtype = raw.select(col.alias("__x")).schema[0].dataType.simpleString()
+        if dtype.startswith("array"):
+            items = raw.select(
+                "__file", F.posexplode(col).alias("__pos", "__row")
+            ).select("__file", "__pos", "__row.*")
+        else:
+            items = raw.select("__file", F.lit(0).alias("__pos"),
+                               F.col(f"{path}.*"))
+    else:
+        items = raw.withColumn("__pos", F.lit(0))
+    if count == "first":
+        items = items.filter(F.col("__pos") == 0)
+    payload_cols = [c for c in items.columns if c not in ("__file", "__pos")]
+    payload = F.struct(*[F.col(f"`{c}`") for c in payload_cols])
+    dim = items.select(F.col("__file"), payload.alias(assign))
+    # map file URIs back to the original url strings
+    url_map = spark.createDataFrame(
+        [(u, "file://" + p) for u, p in resolved.items()],
+        f"`{url_field}__u` string, __uri string",
+    )
+    dim = dim.join(F.broadcast(url_map), F.col("__file") == F.col("__uri"))              .select(F.col(f"{url_field}__u").alias("__fetch_url"), assign)
     return (
         df.join(F.broadcast(dim), F.col(url_field) == F.col("__fetch_url"), "left")
         .drop("__fetch_url")

@@ -53,11 +53,14 @@ def _parse_duration_ms(within: str | int | float) -> int:
 
 def _comp_col(ts_col: str, event_id_col: str):
     # sortable composite identity: zero-padded micros then event id —
-    # lexicographic order == (ts, event_id) order, min() == earliest
-    # cast covers TIMESTAMP_NTZ sources (session tz is UTC, so the
-    # instant is unchanged); unix_micros requires TIMESTAMP
+    # lexicographic order == (ts, event_id) order, min() == earliest.
+    # 19 id digits cover the full NON-NEGATIVE bigint range (snowflake
+    # ids included); negative ids would break the fixed width and are
+    # rejected by the decode contract (documented).  The timestamp cast
+    # covers TIMESTAMP_NTZ sources (session tz is UTC, instant
+    # unchanged); unix_micros requires TIMESTAMP.
     return F.format_string(
-        "%020d%010d", F.unix_micros(F.col(ts_col).cast("timestamp")),
+        "%020d%019d", F.unix_micros(F.col(ts_col).cast("timestamp")),
         F.col(event_id_col),
     )
 
@@ -128,7 +131,7 @@ def _sequence_match_batch(
             f"step{i}_ts": F.timestamp_micros(
                 F.substring("__chain", 1, 20).cast("bigint")
             ),
-            f"step{i}_id": F.substring("__chain", 21, 10).cast("bigint"),
+            f"step{i}_id": F.substring("__chain", 21, 19).cast("bigint"),
         })
         if i + 1 < n:
             # one keyed equi-join fetches the NEXT pointer stored on the
@@ -187,6 +190,24 @@ def _match_buffer(
     return matches
 
 
+_STREAM_ID_TYPES = {"bigint", "int", "smallint", "tinyint", "string"}
+
+
+def _stream_types(df: DataFrame, key: str, event_id_col: str) -> tuple[str, str]:
+    """SQL type names for the key and event-id columns, so the typed
+    pandas state/output schemas follow the frame instead of assuming
+    bigint (string domains/ids are common at web scale)."""
+    key_t = df.schema[key].dataType.simpleString()
+    id_t = df.schema[event_id_col].dataType.simpleString()
+    for name, t in ((key, key_t), (event_id_col, id_t)):
+        if t not in _STREAM_ID_TYPES:
+            raise ValueError(
+                f"streaming CEP supports integer/string key and id columns; "
+                f"{name!r} is {t}"
+            )
+    return key_t, id_t
+
+
 def _sequence_match_stream(
     df: DataFrame, steps: list[str], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
@@ -195,52 +216,60 @@ def _sequence_match_stream(
 
     n = len(steps)
     within_ms = _parse_duration_ms(within)
+    key_t, id_t = _stream_types(df, key, event_id_col)
+    ecast = str if id_t == "string" else int
     out_schema = ", ".join(
-        [f"{key} bigint"]
-        + [f"step{i}_id bigint, step{i}_ts timestamp" for i in range(n)]
+        [f"{key} {key_t}"]
+        + [f"step{i}_id {id_t}, step{i}_ts timestamp" for i in range(n)]
     )
-    state_schema = "ts array<bigint>, eid array<bigint>, et array<string>"
+    # `done`: anchors already decided (emitted or expired) — the anchor
+    # EVENT stays in the buffer while inside the horizon because it can
+    # still serve as a later STEP when steps[0]'s type recurs in
+    # steps[1:] (e.g. ['click','click','buy'])
+    state_schema = (
+        f"ts array<bigint>, eid array<{id_t}>, et array<string>, "
+        f"done array<{id_t}>"
+    )
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         buf: list[tuple[int, int, str]] = []
+        done: set = set()
         if state.exists:
-            ts_l, eid_l, et_l = state.get
+            ts_l, eid_l, et_l, done_l = state.get
             buf = list(zip(ts_l, eid_l, et_l))
+            done = set(done_l or [])
         if not state.hasTimedOut:
             for pdf in pdfs:
                 micros = pdf[ts_col].astype("int64") // 1000  # ns -> µs
                 buf.extend(zip(micros, pdf[event_id_col], pdf[type_col]))
         wm_us = state.getCurrentWatermarkMs() * 1000
 
-        matches = _match_buffer(buf, steps, within_ms)
+        matches = [m for m in _match_buffer(buf, steps, within_ms)
+                   if m[0][1] not in done]
         stable = [m for m in matches if m[-1][0] <= wm_us]
-        emitted_anchor_eids = {m[0][1] for m in stable}
+        done |= {m[0][1] for m in stable}
+        # anchors whose window closed unmatched are decided too
+        done |= {eid for ts, eid, et in buf
+                 if et == steps[0] and ts + within_ms * 1000 <= wm_us}
 
-        # evict: emitted anchors, dead anchors (window closed unmatched),
-        # and non-anchor events outside the active horizon
+        # evict by horizon only: undecided anchors are always inside it,
+        # decided anchors may still be later-step material
         horizon = wm_us - within_ms * 1000
-        keep = []
-        for ts, eid, et in buf:
-            if et == steps[0]:
-                if eid in emitted_anchor_eids:
-                    continue
-                if ts + within_ms * 1000 <= wm_us:
-                    continue  # dead anchor: all possible steps are past
-                keep.append((ts, eid, et))
-            elif ts >= horizon:
-                keep.append((ts, eid, et))
+        keep = sorted((e for e in buf if e[0] >= horizon))
+        done &= {eid for _, eid, et in keep if et == steps[0]}
         if keep:
-            ks = sorted(keep)
             state.update((
-                [int(t) for t, _, _ in ks],
-                [int(e) for _, e, _ in ks],
-                [str(x) for _, _, x in ks],
+                [int(t) for t, _, _ in keep],
+                [ecast(e) for _, e, _ in keep],
+                [str(x) for _, _, x in keep],
+                [ecast(e) for e in done],
             ))
             # wake this key when the watermark passes the next decision
-            # point, even with no new data: earliest pending-anchor
+            # point, even with no new data: earliest UNdecided-anchor
             # deadline or earliest pending event, whichever first
-            deadlines = [t + within_ms * 1000 for t, _, x in ks if x == steps[0]]
-            wake_us = min(deadlines) if deadlines else min(t for t, _, _ in ks)
+            deadlines = [t + within_ms * 1000 for t, e, x in keep
+                         if x == steps[0] and e not in done]
+            wake_us = min(deadlines) if deadlines else min(t for t, _, _ in keep)
             state.setTimeoutTimestamp(max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1))
         else:
             state.remove()
@@ -332,15 +361,25 @@ def _absence_match_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     within_ms = _parse_duration_ms(within)
-    out_schema = f"{key} bigint, anchor_id bigint, anchor_ts timestamp"
-    state_schema = "ts array<bigint>, eid array<bigint>, et array<string>"
+    key_t, id_t = _stream_types(df, key, event_id_col)
+    ecast = str if id_t == "string" else int
+    out_schema = f"{key} {key_t}, anchor_id {id_t}, anchor_ts timestamp"
+    # `done` tracks decided (cleared or alerted) anchors; their events
+    # stay buffered inside the horizon because with anchor type ==
+    # expected type an anchor event is also clearing material
+    state_schema = (
+        f"ts array<bigint>, eid array<{id_t}>, et array<string>, "
+        f"done array<{id_t}>"
+    )
     anchor_t, expect_t = steps
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         buf: list[tuple[int, int, str]] = []
+        done: set = set()
         if state.exists:
-            ts_l, eid_l, et_l = state.get
+            ts_l, eid_l, et_l, done_l = state.get
             buf = list(zip(ts_l, eid_l, et_l))
+            done = set(done_l or [])
         if not state.hasTimedOut:
             for pdf in pdfs:
                 micros = pdf[ts_col].astype("int64") // 1000
@@ -350,33 +389,32 @@ def _absence_match_stream(
         horizon_us = within_ms * 1000
 
         expects = sorted((t, e) for t, e, x in buf if x == expect_t)
-        alerts, keep = [], []
+        alerts = []
         from bisect import bisect_right as _br
 
         for ts, eid, et in buf:
-            if et != anchor_t:
-                # expected-type event: keep while it can still clear an
-                # undecided anchor (anchors older are already decided)
-                if ts > wm_us - horizon_us:
-                    keep.append((ts, eid, et))
+            if et != anchor_t or eid in done:
                 continue
             j = _br(expects, (ts, eid))
             cleared = j < len(expects) and expects[j][0] <= ts + horizon_us
             if cleared:
-                continue  # followed in time: no alert, anchor done
-            if ts + horizon_us <= wm_us:
+                done.add(eid)  # followed in time: decided, no alert
+            elif ts + horizon_us <= wm_us:
                 alerts.append((ts, eid))  # window closed, never followed
-            else:
-                keep.append((ts, eid, et))  # undecided: keep waiting
+                done.add(eid)
+            # else: undecided, keep waiting
+        keep = sorted(e for e in buf if e[0] > wm_us - horizon_us)
+        done &= {eid for _, eid, et in keep if et == anchor_t}
         if keep:
-            ks = sorted(keep)
             state.update((
-                [int(t) for t, _, _ in ks],
-                [int(e) for _, e, _ in ks],
-                [str(x) for _, _, x in ks],
+                [int(t) for t, _, _ in keep],
+                [ecast(e) for _, e, _ in keep],
+                [str(x) for _, _, x in keep],
+                [ecast(e) for e in done],
             ))
-            deadlines = [t + horizon_us for t, _, x in ks if x == anchor_t]
-            wake_us = min(deadlines) if deadlines else min(t for t, _, _ in ks)
+            deadlines = [t + horizon_us for t, e, x in keep
+                         if x == anchor_t and e not in done]
+            wake_us = min(deadlines) if deadlines else min(t for t, _, _ in keep)
             state.setTimeoutTimestamp(
                 max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
             )
@@ -458,9 +496,11 @@ def _threshold_match_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     within_ms = _parse_duration_ms(within)
-    out_schema = f"{key} bigint, anchor_id bigint, anchor_ts timestamp"
+    key_t, id_t = _stream_types(df, key, event_id_col)
+    ecast = str if id_t == "string" else int
+    out_schema = f"{key} {key_t}, anchor_id {id_t}, anchor_ts timestamp"
     # frontier: decisions are made once, for events in (frontier, wm]
-    state_schema = "ts array<bigint>, eid array<bigint>, frontier bigint"
+    state_schema = f"ts array<bigint>, eid array<{id_t}>, frontier bigint"
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         buf: list[tuple[int, int]] = []
@@ -496,7 +536,7 @@ def _threshold_match_stream(
         if keep:
             state.update((
                 [int(t) for t, _ in keep],
-                [int(e) for _, e in keep],
+                [ecast(e) for _, e in keep],
                 int(frontier),
             ))
             undecided = [t for t, _ in keep if t > frontier]

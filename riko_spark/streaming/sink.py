@@ -122,9 +122,15 @@ class UpsertSink:
                    F.lit(self.num_buckets)).cast("int"),
         )
         if self.day_col:
+            # null day values must land in the SAME directory name Spark's
+            # partitionBy writes for nulls, or the manifest would record a
+            # path ('__day=None') that never exists on disk
             out = out.withColumn(
                 "__day",
-                F.date_format(F.col(self.day_col).cast("timestamp"), "yyyy-MM-dd"),
+                F.coalesce(
+                    F.date_format(F.col(self.day_col).cast("timestamp"), "yyyy-MM-dd"),
+                    F.lit("__HIVE_DEFAULT_PARTITION__"),
+                ),
             )
         return out
 

@@ -387,3 +387,93 @@ def test_cep_property_fuzz(spark):
                        th.select("user_id", "anchor_id", "anchor_ts").collect())
         assert got_t == _brute_threshold(rows, "error", 2, 10), \
             f"threshold trial {trial}"
+
+
+def test_sequence_match_recurring_anchor_type(spark, tmp_path):
+    """steps[0] recurring later in the pattern (['click','click',
+    'purchase']): an anchor event is ALSO later-step material, so
+    emitting/expiring one anchor must not remove it from other anchors'
+    chains.  Stream must still equal batch."""
+    import time
+
+    rows = [
+        _ev(1, 0, 1, "click"), _ev(2, 4, 1, "click"), _ev(3, 6, 1, "purchase"),
+        _ev(4, 20, 1, "click"), _ev(5, 22, 1, "click"), _ev(6, 23, 1, "purchase"),
+        _ev(7, 0, 2, "click"), _ev(8, 40, 2, "click"), _ev(9, 41, 2, "purchase"),
+    ]
+    steps = ["click", "click", "purchase"]
+    flush = [(900 + u, T0 + dt.timedelta(days=2), u, "error") for u in (1, 2)]
+    df = spark.createDataFrame(rows + flush, SCHEMA)
+    expected = _collect(sequence_match(df, steps, within="10 minutes"), 3)
+    assert expected == _brute(rows + flush, steps, 10)
+    assert len(expected) >= 2  # overlapping anchors both complete
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, SCHEMA).repartition(3).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # files are ingested in arbitrary order, so give the stream a
+    # watermark delay covering the intra-stream disorder (the day-2
+    # flush still pushes the watermark past every real decision point)
+    out = sequence_match(stream, steps, within="10 minutes", watermark="1 day")
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in batch.select(
+            "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+            "step2_id", "step2_ts").collect())
+
+    q = (out.writeStream.foreachBatch(grab).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert sorted(sink) == expected
+
+
+def test_sequence_match_snowflake_ids(spark):
+    """Event ids beyond 10 digits (snowflake-style bigints) must encode
+    and decode exactly through the fixed-width composite."""
+    big = 1234567890123456789  # 19 digits, near bigint max
+    rows = [(big, T0, 1, "view"), (big + 1, T0 + dt.timedelta(minutes=1), 1, "click")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sequence_match(df, ["view", "click"], within="10 minutes")
+    r = out.collect()[0]
+    assert r["step0_id"] == big and r["step1_id"] == big + 1
+
+
+def test_cep_stream_string_key(spark, tmp_path):
+    """Streaming CEP with a STRING key column (web-scale domains):
+    typed schemas must follow the frame instead of assuming bigint."""
+    import time
+
+    schema = "event_id long, ts timestamp, domain string, event_type string"
+    rows = [(1, T0, "a.com", "view"), (2, T0 + dt.timedelta(minutes=2), "a.com", "click"),
+            (3, T0, "b.com", "view")]
+    flush = [(91, T0 + dt.timedelta(days=2), "a.com", "error"),
+             (92, T0 + dt.timedelta(days=2), "b.com", "error")]
+    df = spark.createDataFrame(rows + flush, schema)
+    expected = sorted(tuple(r) for r in sequence_match(
+        df, ["view", "click"], key="domain", within="10 minutes"
+    ).select("domain", "step0_id", "step1_id").collect())
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = sequence_match(stream, ["view", "click"], key="domain",
+                         within="10 minutes", watermark="0 seconds")
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in
+                    batch.select("domain", "step0_id", "step1_id").collect())
+
+    q = (out.writeStream.foreachBatch(grab).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert sorted(sink) == expected and len(sink) == 1

@@ -201,3 +201,22 @@ def test_ann_bruteforce_vectorized_matches_native(spark):
     b = sorted((r.query_id, r["rank"], r.vec_id, r.cosine) for r in vec.collect())
     assert [x[:3] for x in a] == [x[:3] for x in b]
     assert all(abs(x[3] - y[3]) < 1e-9 for x, y in zip(a, b))
+
+
+def test_ann_vectorized_tie_break_ids(spark):
+    """Rounded-cosine ties must resolve to the LOWEST ids, even when the
+    tie group spans the per-batch pre-prune boundary: duplicate vectors
+    with high ids must not displace lower-id duplicates from top-k."""
+    from riko_spark.operators.similarity import ann_bruteforce_op
+
+    base = [float(i) for i in range(8)]
+    other = [1.0] + [0.0] * 7
+    # 30 identical copies of `base` (ids 0..29) + some distinct vectors
+    rows = [(i, base) for i in range(30)] + [(100 + i, other) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, base)], "query_id long, embedding array<double>")
+    for method in ("native", "vectorized"):
+        out = ann_bruteforce_op(df.repartition(6), {"k": 10, "method": method},
+                                queries=q)
+        got = [r.vec_id for r in out.orderBy("rank").collect()]
+        assert got == list(range(10)), f"{method}: {got}"

@@ -243,3 +243,27 @@ def test_currencyformat_locales_de_fr(spark):
     with pytest.raises(ValueError):
         currencyformat_op(df, {"currency": "USD", "locale": "xx_XX"},
                           field="amt", assign="x")
+
+
+def test_rename_struct_leaf_and_literal_dot(spark):
+    """riko item.get semantics for dotted fields: a missing leaf under
+    an existing struct copies as NULL (no AnalysisException); a flat
+    column literally named 'a.b' resolves exactly, not as a path."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.operators.structure import rename_op
+
+    df = spark.createDataFrame([(1,)], "x long").select(
+        "x",
+        F.struct(F.lit("alice").alias("name")).alias("meta"),
+        F.lit("flat").alias("a.b"),
+    )
+    out = rename_op(df, {"rule": [
+        {"field": "meta.name", "newval": "author", "copy": True},
+        {"field": "meta.missing", "newval": "ghost", "copy": True},
+        {"field": "a.b", "newval": "fromflat", "copy": True},
+    ]})
+    r = out.collect()[0]
+    assert r["author"] == "alice"
+    assert r["ghost"] is None
+    assert r["fromflat"] == "flat"

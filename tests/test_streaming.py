@@ -380,3 +380,23 @@ def test_sink_day_partition_stream_parity(spark, tmp_path, pages_path):
     q = write_stream_upsert(agg, sink, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert _bag(sink.result(spark)) == _bag(expected)
+
+
+def test_sink_day_partition_null_ts(spark, tmp_path):
+    """Null day_col values must merge and read back: the manifest path
+    and the physically written partition dir must agree (nulls land in
+    Spark's default-partition dir name)."""
+    path = str(tmp_path / "sink")
+    sink = UpsertSink(path, keys=["k"], num_buckets=2, day_col="ts")
+    schema = "k string, ts timestamp, v long"
+    import datetime as dt
+
+    d = dt.datetime(2024, 3, 1)
+    sink(spark.createDataFrame([("a", d, 1), ("b", None, 2)], schema), 0)
+    got = {r["k"]: r["v"] for r in sink.result(spark).collect()}
+    assert got == {"a": 1, "b": 2}
+    # second batch touching the null-day key still merges (reads the
+    # previously committed null-day partition back)
+    sink(spark.createDataFrame([("b", None, 9)], schema), 1)
+    got = {r["k"]: r["v"] for r in sink.result(spark).collect()}
+    assert got == {"a": 1, "b": 9}
