@@ -71,24 +71,48 @@ class CapStats:
     Two paths, both lazy at plan-build time:
 
     * best-effort: a ``DataFrame.observe`` rides the candidate join's
-      own execution; a daemon watcher warns as soon as the first action
-      completes with drops observed.  (This Spark build sometimes
-      delivers an EMPTY metrics row from the async listener bus — the
-      watcher treats that, or any py4j error, as "observation missed".)
-    * authoritative: ``.get`` — if the observation missed, runs the
-      small bucket-histogram aggregation itself (one extra job, only
-      when accounting is explicitly requested)."""
+      own execution; ONE shared daemon poller (not a thread per plan)
+      checks readiness non-blockingly and warns as soon as the first
+      action completes with drops observed.  (This Spark build
+      sometimes delivers an EMPTY metrics row from the async listener
+      bus — that, or any py4j error, counts as "observation missed".)
+    * authoritative: ``.get`` — first drains the observation
+      non-blockingly if the plan has since run; if the observation
+      missed, runs the small bucket-histogram aggregation itself (one
+      extra job, only when accounting is explicitly requested)."""
 
-    def __init__(self, fallback: DataFrame):
+    def __init__(self, fallback: DataFrame, obs=None,
+                 max_bucket_size: int | None = None, what: str = ""):
         self._fallback = fallback  # lazy plan: agg over the bucket histogram
         self._observed: dict | None = None
+        self._obs = obs  # pyspark Observation riding the capped plan
+        self._cap = max_bucket_size
+        self._what = what
 
     def _set_observed(self, value: dict | None) -> None:
         if value and "dropped_buckets" in value:
             self._observed = value
 
+    def _try_drain(self) -> bool:
+        """Non-blocking: if the observed plan's first action has
+        completed, record the metrics.  True once drained (or the
+        observation is unusable) — i.e. the poller can retire it."""
+        if self._observed is not None:
+            return True
+        if self._obs is None:
+            return True
+        try:
+            jo = self._obs._jo
+            if jo is None or jo.getRowOrEmpty().isEmpty():
+                return False  # plan not executed yet — keep polling
+            self._set_observed(self._obs.get)  # ready: returns immediately
+        except Exception:  # noqa: BLE001 — py4j races / stopped session
+            return True  # unusable: retire, .get falls back to the agg
+        return True
+
     @property
     def get(self) -> dict:
+        self._try_drain()
         if self._observed is not None:
             return self._observed
         row = self._fallback.first()
@@ -103,18 +127,68 @@ class CapStats:
 #: Lifecycle notes: the slot holds the MOST RECENT plan per label — two
 #: concurrently built pipelines of the same op share it, so capture the
 #: CapStats reference right after building the plan if you need
-#: per-pipeline accounting.  Each capped plan also parks one daemon
-#: watcher thread on its Observation until the plan's first action; a
-#: plan that is built but never executed leaves that (idle, daemon)
-#: thread behind — pass ``log_dropped=False`` in plan-inspection loops
-#: that construct many plans without running them.
+#: per-pipeline accounting.  Warning delivery rides ONE shared daemon
+#: poller (non-blocking ``getRowOrEmpty`` checks, 0.5 s → 5 s backoff)
+#: that exits when nothing is pending; a plan that is built but never
+#: executed costs only its weakref'd queue entry, which drops when the
+#: CapStats slot is overwritten or collected — no parked threads.
 CAP_OBSERVATIONS: dict[str, CapStats] = {}
+
+_PENDING_LOCK = __import__("threading").Lock()
+_PENDING: list = []  # weakref.ref(CapStats) awaiting their plan's first action
+_POLLER: list = []  # singleton slot for the live poller thread
+
+
+def _warn_drops(stats: CapStats) -> None:
+    import warnings
+
+    got = stats._observed or {}
+    if got.get("dropped_buckets"):
+        warnings.warn(
+            f"{stats._what}: dropped {got['dropped_buckets']} bucket(s) / "
+            f"{got['dropped_rows']} rows over max_bucket_size={stats._cap}; "
+            "their pairs are recoverable by re-running with a salt or a higher cap",
+            stacklevel=2,
+        )
+
+
+def _poll_pending() -> None:
+    import time
+
+    delay = 0.5
+    while True:
+        with _PENDING_LOCK:
+            still = []
+            for ref in _PENDING:
+                stats = ref()
+                if stats is None:
+                    continue  # slot overwritten / collected: retire silently
+                if stats._try_drain():
+                    _warn_drops(stats)
+                else:
+                    still.append(ref)
+            _PENDING[:] = still
+            if not _PENDING:
+                _POLLER.clear()
+                return
+        time.sleep(delay)
+        delay = min(delay * 1.5, 5.0)
+
+
+def _enqueue_watch(stats: CapStats) -> None:
+    import threading
+    import weakref
+
+    with _PENDING_LOCK:
+        _PENDING.append(weakref.ref(stats))
+        if not _POLLER:
+            t = threading.Thread(target=_poll_pending, daemon=True,
+                                 name="riko-spark-cap-watch")
+            _POLLER.append(t)
+            t.start()
 
 
 def _observe_cap_drops(counts: DataFrame, max_bucket_size: int, what: str) -> DataFrame:
-    import threading
-    import warnings
-
     from pyspark.sql import Observation
 
     over = F.col("__bn") > max_bucket_size
@@ -124,23 +198,11 @@ def _observe_cap_drops(counts: DataFrame, max_bucket_size: int, what: str) -> Da
     ]
     obs = Observation()
     observed = counts.observe(obs, *metrics)
-    stats = CAP_OBSERVATIONS[what] = CapStats(fallback=counts.agg(*metrics))
-
-    def watch():
-        try:
-            got = obs.get  # blocks until the plan's first action completes
-        except Exception:  # noqa: BLE001 — py4j conversion races are non-fatal
-            return
-        stats._set_observed(got)
-        if got.get("dropped_buckets"):
-            warnings.warn(
-                f"{what}: dropped {got['dropped_buckets']} bucket(s) / "
-                f"{got['dropped_rows']} rows over max_bucket_size={max_bucket_size}; "
-                "their pairs are recoverable by re-running with a salt or a higher cap",
-                stacklevel=2,
-            )
-
-    threading.Thread(target=watch, daemon=True, name=f"cap-watch-{what}").start()
+    stats = CAP_OBSERVATIONS[what] = CapStats(
+        fallback=counts.agg(*metrics), obs=obs,
+        max_bucket_size=max_bucket_size, what=what,
+    )
+    _enqueue_watch(stats)
     return observed
 
 
@@ -379,11 +441,26 @@ def simhash_neardup_op(
     )
 
 
+def with_dim_metadata(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Stamp the vector column's dimensionality into its column
+    metadata so every downstream embedding op resolves ``dim`` at plan
+    time with zero jobs (parquet/Arrow don't carry array lengths).
+    Loaders should call this once at the read site."""
+    return df.withMetadata(vec_col, {**(df.schema[vec_col].metadata or {}),
+                                     "dim": int(dim)})
+
+
 def embedding_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
-    """Vector dimensionality: prefer the caller-supplied value (a plan
-    builder must not launch jobs); fall back to sniffing one row."""
+    """Vector dimensionality: prefer the caller-supplied value, then
+    the column metadata stamped by :func:`with_dim_metadata` (a plan
+    builder must not launch jobs); LAST resort is sniffing one row —
+    a plan-time Spark job, kept only for ad-hoc exploration."""
     if dim is not None:
         return int(dim)
+    if vec_col in df.columns:
+        meta = df.schema[vec_col].metadata or {}
+        if "dim" in meta:
+            return int(meta["dim"])
     row = df.select(vec_col).first()
     if row is None or row[0] is None:
         raise ValueError(

@@ -80,17 +80,29 @@ _CLDR_DIGITS = {
 
 # Locale number-format data (engine EXTENSION: the reference hardcodes
 # locale='en_US' — riko/modules/currencyformat.py:63 — so only en_US is
-# reference-exercised; de_DE/fr_FR follow the public CLDR patterns:
-# suffix placement "#,##0.00 ¤", comma decimal, '.'-grouping for de_DE,
-# narrow-NBSP (U+202F) grouping for fr_FR, and the locales' own USD/JPY
-# display symbols).  Babel is not available in-container to cross-check;
-# values are CLDR-derived and pinned by unit goldens.
+# reference-exercised; the rest follow the public CLDR patterns).
+# Adding a locale is DATA, not code — every key is declarative:
+#   decimal/group   the locale's number punctuation
+#   suffix          True = CLDR "#,##0.00 ¤" (symbol after, NBSP-joined)
+#   symbols         en-symbol → locale display override (e.g. $ → $US)
+#   min_group       CLDR minimumGroupingDigits (es: 2 — no separator
+#                   until the integer part exceeds group-size+1 digits:
+#                   1234,50 but 12.345,00)
+# de_DE: '.'-grouping; fr_FR: narrow-NBSP (U+202F) grouping; es_ES:
+# '.'-grouping with min_group 2, USD shown as US$; ja_JP: en-like
+# punctuation, prefix symbol, full-width yen (U+FFE5) for JPY.  Babel
+# is not available in-container to cross-check; values are
+# CLDR-derived and pinned by unit goldens (tests/test_misc_ops.py).
 _CLDR_LOCALES = {
     "en_US": {"decimal": ".", "group": ",", "suffix": False, "symbols": {}},
     "de_DE": {"decimal": ",", "group": ".", "suffix": True,
               "symbols": {"$": "$", "¥": "¥"}},
     "fr_FR": {"decimal": ",", "group": " ", "suffix": True,
               "symbols": {"$": "$US", "¥": "JPY"}},
+    "es_ES": {"decimal": ",", "group": ".", "suffix": True, "min_group": 2,
+              "symbols": {"$": "US$", "¥": "JPY"}},
+    "ja_JP": {"decimal": ".", "group": ",", "suffix": False,
+              "symbols": {"¥": "￥"}},
 }
 
 
@@ -120,6 +132,13 @@ def currencyformat_op(
     def fmt(symbol: str, digits: int):
         symbol = loc.get("symbols", {}).get(symbol, symbol)
         number = F.format_number(F.abs(amount), digits)
+        if loc.get("min_group", 1) > 1:
+            # CLDR minimumGroupingDigits (es_ES: 2): separators appear
+            # only once the integer part has group-size + min_group
+            # digits — min_group=2 → from 10 000 up (1234,50 / 12.345,00)
+            threshold = 10 ** (2 + loc["min_group"])
+            number = F.when(F.abs(amount) < threshold,
+                            F.translate(number, ",", "")).otherwise(number)
         if loc["decimal"] != "." or loc["group"] != ",":
             # en grouping ("1,234.50") re-punctuated by simultaneous
             # per-char translate: ','→group, '.'→decimal in one pass

@@ -68,6 +68,34 @@ def rename_op(df: DataFrame, conf: dict, skip_if=None) -> DataFrame:
             dtype = dtype[p].dataType
         return F.col(field)
 
+    def drop_path(frame: DataFrame, field: str) -> DataFrame:
+        """riko key-removal semantics for the delete half: exact column
+        first (a flat column literally named 'a.b'), else a struct path
+        removed via dropFields so nested renames/deletes actually drop
+        the source subfield.  A parent struct whose LAST field is being
+        removed is dropped whole (Spark has no empty struct; riko would
+        leave ``{}`` — divergence documented).  Absent paths no-op,
+        matching ``DotDict.pop(key, None)``."""
+        from pyspark.sql.types import StructType
+
+        if field in frame.columns:
+            return frame.drop(field)
+        parts = field.split(".")
+        if len(parts) == 1:
+            return frame
+        dtype: object = frame.schema
+        for p in parts:
+            if not isinstance(dtype, StructType) or p not in dtype.names:
+                return frame  # path absent: nothing to remove
+            dtype = dtype[p].dataType
+        parent_t = frame.schema
+        for p in parts[:-1]:
+            parent_t = parent_t[p].dataType
+        if len(parent_t.names) == 1:
+            return drop_path(frame, ".".join(parts[:-1]))
+        top, rest = parts[0], ".".join(parts[1:])
+        return frame.withColumn(top, F.col(f"`{top}`").dropFields(rest))
+
     out = df
     for rule in _listize(conf.get("rule")):
         field, newval, copy = rule["field"], rule.get("newval"), rule.get("copy")
@@ -79,7 +107,7 @@ def rename_op(df: DataFrame, conf: dict, skip_if=None) -> DataFrame:
         if not copy and (newval or not rule.get("newval")):
             # riko removes the source key unless copy=True; a rule with
             # no newval is a pure delete
-            out = out.drop(field) if (newval != field) else out
+            out = drop_path(out, field) if (newval != field) else out
     return out
 
 

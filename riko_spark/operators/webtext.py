@@ -151,25 +151,26 @@ def csv_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) 
 def fetchtable_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
     """Tabular fetch (riko/modules/fetchtable.py:102-138 reads
     csv/xls/json via meza): csv/json/parquet by extension; .xlsx via
-    the dependency-free SpreadsheetML reader (functions/xlsx.py —
-    driver-side parse, tables riko fetches this way are small dims);
-    legacy binary .xls genuinely needs a BIFF library and raises."""
+    the dependency-free SpreadsheetML reader (functions/xlsx.py) and
+    legacy binary .xls via the BIFF8/CFB reader (functions/xls.py) —
+    driver-side parse, tables riko fetches this way are small dims."""
     spark = spark or SparkSession.getActiveSession()
     url = _resolve(conf["url"])
     ext = url.rsplit(".", 1)[-1].lower()
-    if ext == "xlsx":
-        from riko_spark.functions.xlsx import read_xlsx
+    if ext in ("xlsx", "xls"):
+        if ext == "xlsx":
+            from riko_spark.functions.xlsx import read_xlsx as read_sheet
+        else:
+            from riko_spark.functions.xls import read_xls as read_sheet
 
-        rows = read_xlsx(url, sheet=int(conf.get("sheet", 1)),
-                         header=bool(conf.get("has_header", True)))
+        rows = read_sheet(url, sheet=int(conf.get("sheet", 1)),
+                          header=bool(conf.get("has_header", True)))
         if not rows:
             return spark.createDataFrame([], "col0 string")
         keys = list(rows[0])
         data = [tuple(None if r.get(k) is None else str(r.get(k)) for k in keys)
                 for r in rows]
         return spark.createDataFrame(data, ", ".join(f"`{k}` string" for k in keys))
-    if ext == "xls":
-        raise NotImplementedError("legacy binary .xls requires a BIFF reader library")
     if ext == "json":
         return spark.read.option("multiLine", "true").json(url)
     if ext == "parquet":
@@ -427,12 +428,21 @@ def fetch_join_op(df: DataFrame, conf: dict, spark: SparkSession | None = None) 
     payload_cols = [c for c in items.columns if c not in ("__file", "__pos")]
     payload = F.struct(*[F.col(f"`{c}`") for c in payload_cols])
     dim = items.select(F.col("__file"), payload.alias(assign))
-    # map file URIs back to the original url strings
-    url_map = spark.createDataFrame(
-        [(u, "file://" + p) for u, p in resolved.items()],
-        f"`{url_field}__u` string, __uri string",
+    # map file URIs back to the original url strings.  input_file_name()
+    # returns a PERCENT-ENCODED URI (spaces → %20 etc), so decode it
+    # before comparing against the raw abspath; '+' is pre-escaped to
+    # %2B because url_decode is form-decoding ('+' → space) and literal
+    # pluses in paths must survive.  The scheme prefix is normalized
+    # ('file:/', 'file://', 'file:///' all → '/').
+    file_norm = F.regexp_replace(
+        F.url_decode(F.regexp_replace(F.col("__file"), r"\+", "%2B")),
+        "^file:/+", "/",
     )
-    dim = dim.join(F.broadcast(url_map), F.col("__file") == F.col("__uri"))              .select(F.col(f"{url_field}__u").alias("__fetch_url"), assign)
+    url_map = spark.createDataFrame(
+        [(u, p) for u, p in resolved.items()],
+        f"`{url_field}__u` string, __path string",
+    )
+    dim = dim.join(F.broadcast(url_map), file_norm == F.col("__path"))              .select(F.col(f"{url_field}__u").alias("__fetch_url"), assign)
     return (
         df.join(F.broadcast(dim), F.col(url_field) == F.col("__fetch_url"), "left")
         .drop("__fetch_url")

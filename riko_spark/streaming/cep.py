@@ -55,13 +55,31 @@ def _comp_col(ts_col: str, event_id_col: str):
     # sortable composite identity: zero-padded micros then event id —
     # lexicographic order == (ts, event_id) order, min() == earliest.
     # 19 id digits cover the full NON-NEGATIVE bigint range (snowflake
-    # ids included); negative ids would break the fixed width and are
-    # rejected by the decode contract (documented).  The timestamp cast
-    # covers TIMESTAMP_NTZ sources (session tz is UTC, instant
-    # unchanged); unix_micros requires TIMESTAMP.
+    # ids included); a negative id's '-' would sort before digits and
+    # reverse the order among negatives, so ids are VALIDATED per row:
+    # null / negative / non-castable-to-bigint ids raise at execution
+    # instead of silently mis-matching (the streaming path enforces the
+    # same contract via _stream_types + its decode).  assert_true is a
+    # throwing expression, so Catalyst cannot fold the check away; cost
+    # is one codegen branch per row.  The timestamp cast covers
+    # TIMESTAMP_NTZ sources (session tz is UTC, instant unchanged);
+    # unix_micros requires TIMESTAMP.  A null timestamp yields a null
+    # composite, i.e. the event is unorderable and ignored by min().
+    eid = F.col(event_id_col).cast("bigint")
+    checked = F.when(
+        F.assert_true(
+            eid.isNotNull() & (eid >= 0),
+            F.concat(
+                F.lit(f"cep: {event_id_col} must be a non-negative bigint "
+                      "for composite ordering, got "),
+                F.coalesce(F.col(event_id_col).cast("string"), F.lit("NULL")),
+            ),
+        ).isNull(),
+        eid,
+    )
     return F.format_string(
         "%020d%019d", F.unix_micros(F.col(ts_col).cast("timestamp")),
-        F.col(event_id_col),
+        checked,
     )
 
 

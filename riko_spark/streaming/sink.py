@@ -148,7 +148,11 @@ class UpsertSink:
         if not mf:
             return None
         paths = [os.path.join(self.path, rel) for rel in mf.values()]
-        return spark.read.parquet(*paths)
+        # generations can be frozen at different batches; _merge_batch
+        # supports schema evolution (unionByName allowMissingColumns), so
+        # partitions may span divergent schemas — without mergeSchema a
+        # single footer would win and silently drop later-added columns
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -167,8 +171,12 @@ class UpsertSink:
             if cur_paths:
                 # only the touched partitions are read back — per-batch
                 # I/O is O(touched), the parquet analog of MERGE INTO
-                # with (days x bucket) partition pruning
-                current = self._with_partitions(spark.read.parquet(*cur_paths))
+                # with (days x bucket) partition pruning.  mergeSchema:
+                # touched partitions may be frozen at generations with
+                # divergent (evolved) schemas
+                current = self._with_partitions(
+                    spark.read.option("mergeSchema", "true").parquet(*cur_paths)
+                )
                 merged = current.unionByName(new, allowMissingColumns=True)
             else:
                 merged = new

@@ -245,6 +245,38 @@ def test_currencyformat_locales_de_fr(spark):
                           field="amt", assign="x")
 
 
+def test_currencyformat_locales_es_ja(spark):
+    """Round-4 locales, pure table additions to _CLDR_LOCALES (adding a
+    locale is data, not code).  es_ES exercises CLDR
+    minimumGroupingDigits=2 — 1234,50 € ungrouped but 1.234.567,89 €
+    grouped — plus the US$ display symbol; ja_JP is prefix-symbol with
+    en punctuation and the full-width yen (U+FFE5) for JPY."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.operators.misc import currencyformat_op
+
+    df = spark.createDataFrame(
+        [(1234.5,), (-10.33,), (1234567.89,)], "amt double"
+    )
+
+    def got(loc, cur):
+        out = currencyformat_op(df, {"currency": cur, "locale": loc},
+                                field="amt", assign="x")
+        return [r.x for r in out.orderBy(F.desc("amt")).collect()]
+
+    assert got("es_ES", "EUR") == ["1.234.567,89 €", "1234,50 €",
+                                   "-10,33 €"]
+    assert got("es_ES", "USD") == ["1.234.567,89 US$", "1234,50 US$",
+                                   "-10,33 US$"]
+    assert got("es_ES", "JPY") == ["1.234.568 JPY", "1234 JPY",
+                                   "-10 JPY"]
+    assert got("ja_JP", "JPY") == ["￥1,234,568", "￥1,234", "-￥10"]
+    assert got("ja_JP", "USD") == ["$1,234,567.89", "$1,234.50", "-$10.33"]
+    # alphabetic symbol keeps the NBSP currency-spacing rule in ja too
+    assert got("ja_JP", "CHF") == ["CHF 1,234,567.89", "CHF 1,234.50",
+                                   "-CHF 10.33"]
+
+
 def test_rename_struct_leaf_and_literal_dot(spark):
     """riko item.get semantics for dotted fields: a missing leaf under
     an existing struct copies as NULL (no AnalysisException); a flat
