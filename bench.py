@@ -229,6 +229,8 @@ def bench_stream_cep(spark, sf_dir, tmp):
     availableNow drain into a counting foreachBatch sink.  Reports
     events/sec, per-batch latency, and state rows from the lineage
     listener (riko_spark/streaming/metrics.py)."""
+    import pyspark.sql.functions as F
+
     from riko_spark.streaming.cep import sequence_match
     from riko_spark.streaming.metrics import LineageListener
 
@@ -242,6 +244,9 @@ def bench_stream_cep(spark, sf_dir, tmp):
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 2).parquet(src)
+        # events.parquet stores TIMESTAMP_NTZ; withWatermark requires
+        # TIMESTAMP (session tz UTC, instant unchanged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     out = sequence_match(stream, ["view", "click", "purchase"],
                          within="2 days", watermark="1 hour")
@@ -312,14 +317,20 @@ def _scale_leg(path, cores: int, multiplier: int) -> float:
         df = spark.read.parquet(*([path] * multiplier))
         return build_pipeline(spark, _pipe_graph_def(), sources={"ext": df})
 
+    # sweepable per-leg overrides (scripts/scale_sweep.py): a JSON dict
+    # of spark confs; "__shuffle_partitions" overrides the cores default
+    leg_conf = json.loads(os.environ.get("SPARK_GRAFT_LEG_CONF", "{}"))
+    shuffle = int(leg_conf.pop("__shuffle_partitions", cores))
+    conf = {"spark.sql.files.maxPartitionBytes": "32m"}
+    conf.update(leg_conf)
     spark = get_spark(
         app_name=f"bench-scale-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=cores,
+        shuffle_partitions=shuffle,
         # CPU-bound extraction tasks: finer input splits (~4/core) let
         # the scheduler balance stragglers — 128m packs the 256 small
         # files into ~1/core fat partitions and the slowest one gates
         # the stage (measured 8.6s -> 3.1s at 32 cores)
-        extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
+        extra_conf=conf,
     )
     graph(spark).count()
     # best-of-7: the 32-wide leg is the one the VM's sporadic CPU

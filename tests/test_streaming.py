@@ -400,3 +400,89 @@ def test_sink_day_partition_null_ts(spark, tmp_path):
     sink(spark.createDataFrame([("b", None, 9)], schema), 1)
     got = {r["k"]: r["v"] for r in sink.result(spark).collect()}
     assert got == {"a": 1, "b": 9}
+
+
+# ------------------------------------------------------ Iceberg production path
+
+_ICEBERG_DRIVER = r"""
+import sys
+from pyspark.sql import SparkSession
+
+jar, warehouse = sys.argv[1], sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.jars", jar)
+    .config("spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+    .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.local.type", "hadoop")
+    .config("spark.sql.catalog.local.warehouse", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from riko_spark.streaming.sink import IcebergUpsertSink
+
+sink = IcebergUpsertSink("local.db.t", keys=["k"], order_col="v")
+b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+sink.create_from(b0, bucket_key="k", num_buckets=4)
+sink(b0, 0)
+sink(b0, 0)  # replay of the same micro-batch must be a no-op
+got = {r["k"]: r["v"] for r in sink.result(spark).collect()}
+assert got == {"a": 1, "b": 2}, got
+# later batch updates the key (latest wins), replayed twice
+b1 = spark.createDataFrame([("a", 9), ("a", 7)], "k string, v long")
+sink(b1, 1)
+sink(b1, 1)
+got = {r["k"]: r["v"] for r in sink.result(spark).collect()}
+assert got == {"a": 9, "b": 2}, got
+print("ICEBERG-CONTRACT-OK")
+spark.stop()
+"""
+
+
+def _iceberg_jar_scan():
+    """Offline probe for an iceberg-spark-runtime jar (no network in
+    this sandbox — pip/maven downloads are unavailable)."""
+    import glob
+
+    import pyspark
+
+    locations = [
+        os.path.join(os.path.dirname(pyspark.__file__), "jars"),
+        os.path.expanduser("~/.ivy2/jars"),
+        os.path.expanduser("~/.ivy2/cache/org.apache.iceberg"),
+        "/opt/spark/jars",
+        "/usr/share/java",
+    ]
+    hits: list[str] = []
+    for d in locations:
+        hits += glob.glob(os.path.join(d, "**", "*iceberg-spark-runtime*.jar"),
+                          recursive=True)
+    return (hits[0] if hits else None), locations
+
+
+def test_iceberg_upsert_replay_latest_wins(tmp_path):
+    """Production MERGE INTO path of IcebergUpsertSink: replay
+    idempotence + latest-wins, run in a subprocess session with the
+    Iceberg extensions when the runtime jar is available offline."""
+    import subprocess
+    import sys
+
+    jar, scanned = _iceberg_jar_scan()
+    if jar is None:
+        pytest.skip(
+            "iceberg-spark-runtime jar not found offline; scanned "
+            + ", ".join(scanned)
+            + " and found no *iceberg-spark-runtime*.jar (container has no "
+            "network for maven/ivy).  The identical merge contract is "
+            "proven against UpsertSink in test_sink_replay_idempotent / "
+            "test_exactly_once_restart_from_checkpoint."
+        )
+    script = tmp_path / "iceberg_driver.py"
+    script.write_text(_ICEBERG_DRIVER)
+    out = subprocess.run(
+        [sys.executable, str(script), jar, str(tmp_path / "wh")],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "ICEBERG-CONTRACT-OK" in out.stdout, out.stderr[-2000:]
