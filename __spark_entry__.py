@@ -27,7 +27,11 @@ SF001 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from riko_spark.sources.tables import read_table
+
+    # read_table stamps embedding-dim column metadata so ANN/near-dup
+    # plan builders never launch a sniff job
+    return read_table(spark, name, sf_dir)
 
 
 def _flow(df, order_by=None):
@@ -602,6 +606,49 @@ def q_fingerprint(spark, sf):
     return fingerprint_op(d).select("doc_id", "fingerprint")
 
 
+_PII_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN ' mail a' || CAST(doc_id AS STRING) || "
+    "'@ex' || CAST(doc_id % 5 AS STRING) || '.com from 10.0.' || "
+    "CAST(doc_id % 256 AS STRING) || '.7 call +1 555-000-1234' "
+    "ELSE '' END"
+)
+
+
+def _planted_pii(spark, sf):
+    """Documents with deterministic PII planted on every 7th doc (the
+    synthetic corpus contains none) — identical expression in the SQL
+    oracle (_PII_SUFFIX_SQL), so redaction recall is value-checked."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return d.withColumn(
+        "text",
+        F.concat(F.col("text"), F.expr(_PII_SUFFIX_SQL)),
+    )
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction (email/ipv4/phone → typed placeholders) with
+    per-type audit counts; md5 of the scrubbed text keeps the oracle
+    compare compact."""
+    from riko_spark.operators.textstats import pii_scrub_op
+
+    out = pii_scrub_op(_planted_pii(spark, sf))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("scrubbed").alias("scrub_md5"),
+    )
+
+
+def q_repetition(spark, sf):
+    """Gopher-style within-document repetition signals (dup line/word
+    fraction, top-bigram coverage) — native array fold, no explode."""
+    from riko_spark.operators.textstats import repetition_stats_op
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return repetition_stats_op(d).select(
+        "doc_id", "dup_line_frac", "dup_word_frac", "top_bigram_frac"
+    )
+
+
 def q_media_metadata(spark, sf):
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("blob")
@@ -656,6 +703,17 @@ def q_sequence_match(spark, sf):
     from riko_spark.streaming.cep import sequence_match
 
     return sequence_match(ev, ["view", "click", "purchase"], within="2 days")
+
+
+def q_sequence_match_alt(spark, sf):
+    """CEP sequence with step ALTERNATION: view → (click OR signup) →
+    purchase within 2 days — same window+join plan, widened step
+    predicate (riko_spark/streaming/cep.py sequence_match)."""
+    ev = _t(spark, sf, "events")
+    from riko_spark.streaming.cep import sequence_match
+
+    return sequence_match(ev, ["view", ["click", "signup"], "purchase"],
+                          within="2 days")
 
 
 def q_absence_match(spark, sf):
@@ -817,6 +875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_ragged": q_union_ragged,
         "strfind_last": q_strfind_last,
         "regex_casematch": q_regex_casematch,
+        # -- new in round 4 (first driver verification) --
+        "repetition_stats": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "sequence_match_alt": q_sequence_match_alt,
         # -- heavyweight LLM-pipeline / streaming ops --
         "exact_dedupe": q_exact_dedupe,
         "minhash_lsh": q_minhash_lsh,
@@ -841,8 +903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_or_block": q_filter_or_block,
         "sort_truncate": q_sort_truncate,
         "truncate": q_truncate,
-        "tail": q_tail,
-        "reverse_head": q_reverse_head,
         "count": q_count,
         "count_group": q_count_group,
         "sum_group": q_sum_group,
@@ -850,10 +910,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniq": q_uniq,
         "join": q_join,
         "join_lower": q_join_lower,
-        "tokenizer_wordcount": q_tokenizer_wordcount,
         "regex": q_regex,
         "rename": q_rename,  # in-gate: nested-delete behavior changed this round
         # -- past position 50: driver-green in r01-r03, unchanged --
+        "tokenizer_wordcount": q_tokenizer_wordcount,
+        "tail": q_tail,
+        "reverse_head": q_reverse_head,
         "strreplace": q_strreplace,
         "strtransform": q_strtransform,
         "strconcat": q_strconcat,
@@ -1306,6 +1368,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
+        "repetition_stats": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)), x -> x <> '') AS lns,
+                       list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2
+            ), m AS (
+                SELECT doc_id, max(cnt) AS top FROM (
+                    SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg
+                ) GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   ROUND(CASE WHEN len(lns) > 0
+                         THEN (len(lns) - len(list_distinct(lns))) / CAST(len(lns) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN len(toks) > 0
+                         THEN (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_word_frac,
+                   ROUND(CASE WHEN len(toks) >= 2
+                         THEN LEAST(2.0 * m.top / len(toks), 1.0)
+                         ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+        """,
+        "pii_scrub": (
+            r"""
+            WITH t AS (
+                SELECT doc_id, text || """ + _PII_SUFFIX_SQL + r""" AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS INT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                       '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g')) AS scrub_md5
+            FROM t
+        """),
         "media_metadata": """
             SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
                    'application/octet-stream' AS media_type
@@ -1320,6 +1426,41 @@ def oracle_sql() -> dict[str, str]:
             ), nx AS (
                 SELECT *,
                     min(CASE WHEN event_type = 'click' THEN comp END) OVER w AS nxt1,
+                    min(CASE WHEN event_type = 'purchase' THEN comp END) OVER w AS nxt2
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY comp DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), anchors AS (
+                SELECT user_id, event_id AS step0_id, ts AS step0_ts,
+                       nxt1 AS chain
+                FROM nx WHERE event_type = 'view'
+            ), s1 AS (
+                SELECT a.user_id, a.step0_id, a.step0_ts,
+                       CAST(substring(a.chain, 21, 19) AS BIGINT) AS step1_id,
+                       make_timestamp(CAST(substring(a.chain, 1, 20) AS BIGINT)) AS step1_ts,
+                       b.nxt2 AS chain2
+                FROM anchors a
+                JOIN nx b ON b.user_id = a.user_id AND b.comp = a.chain
+                WHERE a.chain IS NOT NULL
+            ), s2 AS (
+                SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
+                       CAST(substring(chain2, 21, 19) AS BIGINT) AS step2_id,
+                       make_timestamp(CAST(substring(chain2, 1, 20) AS BIGINT)) AS step2_ts
+                FROM s1 WHERE chain2 IS NOT NULL
+            )
+            SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
+                   step2_id, step2_ts
+            FROM s2 WHERE step2_ts <= step0_ts + INTERVAL 2 DAY
+        """,
+        "sequence_match_alt": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                       lpad(CAST(event_id AS VARCHAR), 19, '0') AS comp
+                FROM events
+            ), nx AS (
+                SELECT *,
+                    min(CASE WHEN event_type IN ('click', 'signup') THEN comp END) OVER w AS nxt1,
                     min(CASE WHEN event_type = 'purchase' THEN comp END) OVER w AS nxt2
                 FROM ev
                 WINDOW w AS (PARTITION BY user_id ORDER BY comp DESC

@@ -333,10 +333,13 @@ def _scale_leg(path, cores: int, multiplier: int) -> float:
         extra_conf=conf,
     )
     graph(spark).count()
-    # best-of-7: the 32-wide leg is the one the VM's sporadic CPU
-    # stalls hit hardest (every core busy => a stall lands on the
-    # critical path); more retries = better odds of one clean window
-    wall = min(_timed(lambda: graph(spark).count())[0] for _ in range(7))
+    # best-of-7 default: the 32-wide leg is the one the VM's sporadic
+    # CPU stalls hit hardest (every core busy => a stall lands on the
+    # critical path); more retries = better odds of one clean window.
+    # At large multipliers (long legs) stalls average out — fewer runs
+    # via SPARK_GRAFT_LEG_RUNS keeps wall time sane.
+    leg_runs = int(os.environ.get("SPARK_GRAFT_LEG_RUNS", "7"))
+    wall = min(_timed(lambda: graph(spark).count())[0] for _ in range(leg_runs))
     spark.stop()
     return wall
 
@@ -353,6 +356,58 @@ def _burn(q):
             x = x * 1.000001 % 10
         n += 100_000
     q.put(n)
+
+
+def _memburn(q):
+    """4-second streaming-copy burn: repeatedly copy a 64 MB numpy
+    buffer (pure DRAM bandwidth, no ALU pressure)."""
+    import time as _t
+
+    import numpy as np
+
+    src = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)
+    dst = np.empty_like(src)
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < 4:
+        np.copyto(dst, src)
+        n += src.nbytes
+    q.put(n)
+
+
+def mem_probe() -> dict:
+    """Memory-BANDWIDTH ceiling for the N-vs-4N criterion: aggregate
+    copy throughput of 8 pinned workers vs 32 machine-wide.  A parquet
+    scan + whole-stage-codegen projection is bandwidth-bound, and a
+    single-socket VM does not multiply DRAM channels with cores — this
+    ratio/4 is the scaling ceiling for the scan-dominated fraction of
+    any stage, independent of the hypervisor's CPU delivery (which
+    cpu_probe measures)."""
+    import subprocess
+
+    def run(k, pin):
+        code = (
+            "import sys; sys.path.insert(0, %r); from bench import _memburn; "
+            "import multiprocessing as mp; q = mp.Queue(); "
+            "ps = [mp.Process(target=_memburn, args=(q,)) for _ in range(%d)]; "
+            "[p.start() for p in ps]; print(sum(q.get() for _ in ps))"
+            % (os.path.dirname(os.path.abspath(__file__)), k)
+        )
+        cmd = [sys.executable, "-c", code]
+        if pin:
+            cmd = ["taskset", "-c", pin] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        return int(out.stdout.strip().splitlines()[-1])
+
+    eight = max(run(8, "0-7") for _ in range(2))
+    full = max(run(32, None) for _ in range(2))
+    ratio = full / eight
+    return {
+        "pinned8_gb_per_s": round(eight / 4 / 1e9, 1),
+        "machine32_gb_per_s": round(full / 4 / 1e9, 1),
+        "bandwidth_ratio_8_to_32": round(ratio, 2),
+        "bandwidth_ceiling_efficiency": round(ratio / 4, 3),
+    }
 
 
 def cpu_probe() -> dict:

@@ -137,6 +137,7 @@ CAP_OBSERVATIONS: dict[str, CapStats] = {}
 _PENDING_LOCK = __import__("threading").Lock()
 _PENDING: list = []  # weakref.ref(CapStats) awaiting their plan's first action
 _POLLER: list = []  # singleton slot for the live poller thread
+_POLL_DELAY: list = [0.5]  # current backoff; reset on every new enqueue
 
 
 def _warn_drops(stats: CapStats) -> None:
@@ -155,7 +156,6 @@ def _warn_drops(stats: CapStats) -> None:
 def _poll_pending() -> None:
     import time
 
-    delay = 0.5
     while True:
         with _PENDING_LOCK:
             still = []
@@ -171,8 +171,11 @@ def _poll_pending() -> None:
             if not _PENDING:
                 _POLLER.clear()
                 return
-        time.sleep(delay)
-        delay = min(delay * 1.5, 5.0)
+        time.sleep(_POLL_DELAY[0])
+        # back off while only long-idle (built-but-unexecuted) plans
+        # remain; a fresh enqueue resets to 0.5 s so a NEW plan's first
+        # action is noticed promptly even when old plans linger
+        _POLL_DELAY[0] = min(_POLL_DELAY[0] * 1.5, 5.0)
 
 
 def _enqueue_watch(stats: CapStats) -> None:
@@ -181,6 +184,7 @@ def _enqueue_watch(stats: CapStats) -> None:
 
     with _PENDING_LOCK:
         _PENDING.append(weakref.ref(stats))
+        _POLL_DELAY[0] = 0.5
         if not _POLLER:
             t = threading.Thread(target=_poll_pending, daemon=True,
                                  name="riko-spark-cap-watch")

@@ -128,6 +128,95 @@ def quality_score_op(df: DataFrame, conf: dict | None = None, field: str = "text
     )
 
 
+@register("repetition_stats")
+def repetition_stats_op(df: DataFrame, conf: dict | None = None,
+                        field: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText rules
+    used to filter boilerplate and degenerate generations):
+
+    * ``dup_line_frac`` — fraction of lines that repeat an earlier line
+    * ``dup_word_frac`` — fraction of words that repeat an earlier word
+    * ``top_bigram_frac`` — fraction of words covered by the single
+      most frequent word 2-gram
+
+    All native array expressions — no explode, no Python: the per-row
+    mode of the bigram multiset is a sort + one linear run-length fold
+    (``aggregate`` with a (prev, run, best) struct accumulator), so the
+    whole thing stays in whole-stage codegen and scan-scales at 100 TB.
+    Ratios are rounded to 6 dp for cross-engine value comparison."""
+    text = F.col(field)
+    lines = F.filter(F.split(text, "\n"), lambda x: x != F.lit(""))
+    toks = words_col(text)
+    n_lines = F.size(lines).cast("double")
+    n_words = F.size(toks).cast("double")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # most-frequent-element count of a SORTED array: linear fold keeping
+    # (previous element, current run length, best run length)
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+    top_bigram_n = F.aggregate(
+        F.array_sort(bigrams), acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    ).cast("double")
+
+    def dup_frac(arr: Column, n: Column) -> Column:
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(arr)).cast("double")) / n
+        ).otherwise(F.lit(0.0))
+
+    top_frac = F.when(
+        n_words >= 2, F.least(top_bigram_n * 2 / n_words, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    return df.withColumns({
+        "dup_line_frac": F.round(dup_frac(lines, n_lines), 6),
+        "dup_word_frac": F.round(dup_frac(toks, n_words), 6),
+        "top_bigram_frac": F.round(top_frac, 6),
+    })
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+@register("pii_scrub")
+def pii_scrub_op(df: DataFrame, conf: dict | None = None,
+                 field: str = "text", assign: str = "scrubbed") -> DataFrame:
+    """Training-data PII redaction: emails, IPv4 addresses, and
+    international-format phone numbers replaced with typed placeholders
+    (``<EMAIL>``/``<IP>``/``<PHONE>``), with a per-type match count for
+    audit.  Pure ``regexp_replace``/``regexp_count`` chain — JVM regex,
+    zero Python, scan-parallel.  conf['kinds'] selects a subset."""
+    kinds = (conf or {}).get("kinds", list(PII_PATTERNS))
+    out = df
+    scrubbed = F.col(field)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(f"n_{kind}",
+                             F.regexp_count(F.col(field), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn(assign, scrubbed)
+
+
 @register("fingerprint")
 def fingerprint_op(df: DataFrame, conf: dict | None = None, field: str = "text",
                    assign: str = "fingerprint") -> DataFrame:

@@ -14,8 +14,19 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: embedding dimensionality of the driver-generated embeddings table —
+#: stamped into column metadata at the read site so downstream ANN /
+#: near-dup ops resolve ``dim`` at plan time with zero jobs
+EMBEDDING_DIM = int(os.environ.get("SPARK_GRAFT_EMBEDDING_DIM", "64"))
+
+
 def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "embeddings" and "embedding" in df.columns:
+        from riko_spark.operators.dedupe import with_dim_metadata
+
+        df = with_dim_metadata(df, "embedding", EMBEDDING_DIM)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -85,26 +85,35 @@ def _comp_col(ts_col: str, event_id_col: str):
 
 def sequence_match(
     df: DataFrame,
-    steps: list[str],
+    steps: list,
     key: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
     within: str = "30 minutes",
     event_id_col: str = "event_id",
     watermark: str | None = None,
+    filter_types: bool = False,
 ) -> DataFrame:
     """Match the ordered ``steps`` sequence per ``key``; one output row
     per completed match with ``step{i}_id`` / ``step{i}_ts`` columns.
+
+    A step may be a single event type or a LIST of alternatives
+    (Flink-pattern-style alternation): ``["view", ["click", "signup"],
+    "purchase"]`` matches view → (click OR signup) → purchase, still
+    with earliest-completion-per-anchor semantics — alternation only
+    widens the predicate a step's window/bisect lookup uses, so the
+    plan shape (one window pass + (N-2) keyed equi-joins) is unchanged.
 
     Batch and streaming frames give identical results for the same
     input once every event is older than the stream's watermark.
     """
     if len(steps) < 2:
         raise ValueError("sequence_match needs at least 2 steps")
+    steps = [[s] if isinstance(s, str) else list(s) for s in steps]
     if df.isStreaming:
         return _sequence_match_stream(
             df, steps, key, ts_col, type_col, within, event_id_col,
-            watermark or "0 seconds",
+            watermark or "0 seconds", filter_types,
         )
     return _sequence_match_batch(
         df, steps, key, ts_col, type_col, within, event_id_col
@@ -112,7 +121,7 @@ def sequence_match(
 
 
 def _sequence_match_batch(
-    df: DataFrame, steps: list[str], key: str, ts_col: str,
+    df: DataFrame, steps: list[list[str]], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str,
 ) -> DataFrame:
     n = len(steps)
@@ -130,13 +139,13 @@ def _sequence_match_batch(
     )
     nxt_cols = {
         f"__nxt{i}": F.min(
-            F.when(F.col(type_col) == steps[i], F.col("__comp"))
+            F.when(F.col(type_col).isin(steps[i]), F.col("__comp"))
         ).over(w_later)
         for i in range(1, n)
     }
     ev = ev.withColumns(nxt_cols)
 
-    cur = ev.filter(F.col(type_col) == steps[0]).select(
+    cur = ev.filter(F.col(type_col).isin(steps[0])).select(
         F.col(key),
         F.col(event_id_col).alias("step0_id"),
         F.col(ts_col).cast("timestamp").alias("step0_ts"),
@@ -154,7 +163,7 @@ def _sequence_match_batch(
         if i + 1 < n:
             # one keyed equi-join fetches the NEXT pointer stored on the
             # matched step's row — (N-2) joins total for an N-step match
-            right = ev.filter(F.col(type_col) == steps[i]).select(
+            right = ev.filter(F.col(type_col).isin(steps[i])).select(
                 F.col(key).alias("__rk"),
                 F.col("__comp").alias("__match_comp"),
                 F.col(f"__nxt{i+1}").alias("__chain_next"),
@@ -180,24 +189,27 @@ def _sequence_match_batch(
 # ------------------------------------------------------------- streaming
 
 def _match_buffer(
-    events: list[tuple[int, int, str]], steps: list[str], within_ms: int,
+    events: list[tuple[int, int, str]], steps: list[list[str]], within_ms: int,
 ):
     """Pure-python earliest-after chain matcher over one key's buffer.
 
-    ``events``: (ts_micros, event_id, type), any order.  Returns
+    ``events``: (ts_micros, event_id, type), any order; each step is a
+    list of alternative types (singleton for the common case).  Returns
     completed matches as lists of (ts_micros, event_id) per step.
     """
     by_type: dict[str, list[tuple[int, int]]] = {}
     for ts, eid, et in events:
         by_type.setdefault(et, []).append((ts, eid))
-    for lst in by_type.values():
-        lst.sort()
+    cands = []  # per step: merged sorted candidates over its alternatives
+    for alts in steps:
+        merged = [e for t in alts for e in by_type.get(t, [])]
+        merged.sort()
+        cands.append(merged)
     matches = []
-    for anchor in by_type.get(steps[0], []):
+    for anchor in cands[0]:
         chain = [anchor]
         ok = True
-        for st in steps[1:]:
-            lst = by_type.get(st, [])
+        for lst in cands[1:]:
             j = bisect_right(lst, chain[-1])
             if j >= len(lst):
                 ok = False
@@ -227,8 +239,9 @@ def _stream_types(df: DataFrame, key: str, event_id_col: str) -> tuple[str, str]
 
 
 def _sequence_match_stream(
-    df: DataFrame, steps: list[str], key: str, ts_col: str,
+    df: DataFrame, steps: list[list[str]], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
+    filter_types: bool = False,
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -268,13 +281,13 @@ def _sequence_match_stream(
         done |= {m[0][1] for m in stable}
         # anchors whose window closed unmatched are decided too
         done |= {eid for ts, eid, et in buf
-                 if et == steps[0] and ts + within_ms * 1000 <= wm_us}
+                 if et in steps[0] and ts + within_ms * 1000 <= wm_us}
 
         # evict by horizon only: undecided anchors are always inside it,
         # decided anchors may still be later-step material
         horizon = wm_us - within_ms * 1000
         keep = sorted((e for e in buf if e[0] >= horizon))
-        done &= {eid for _, eid, et in keep if et == steps[0]}
+        done &= {eid for _, eid, et in keep if et in steps[0]}
         if keep:
             state.update((
                 [int(t) for t, _, _ in keep],
@@ -286,7 +299,7 @@ def _sequence_match_stream(
             # point, even with no new data: earliest UNdecided-anchor
             # deadline or earliest pending event, whichever first
             deadlines = [t + within_ms * 1000 for t, e, x in keep
-                         if x == steps[0] and e not in done]
+                         if x in steps[0] and e not in done]
             wake_us = min(deadlines) if deadlines else min(t for t, _, _ in keep)
             state.setTimeoutTimestamp(max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1))
         else:
@@ -299,8 +312,20 @@ def _sequence_match_stream(
                 rows[f"step{i}_ts"] = [pd.Timestamp(m[i][0], unit="us") for m in stable]
             yield pd.DataFrame(rows)
 
+    src = df
+    if filter_types:
+        # OPT-IN relevant-type pre-filter: cuts shuffle + state to
+        # rate(step types) x within.  Not the default because Catalyst
+        # pushes the predicate below the EventTimeWatermark node, so
+        # non-step events then no longer advance the watermark — with
+        # sparse step types (or flush events of a noise type) match
+        # finalization would stall.  Enable on high-volume streams
+        # where step-relevant events are dense enough to carry the
+        # watermark themselves.
+        relevant = sorted({t for alts in steps for t in alts})
+        src = df.filter(F.col(type_col).isin(relevant))
     return (
-        df.withWatermark(ts_col, watermark)
+        src.withWatermark(ts_col, watermark)
         .groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",
@@ -318,6 +343,7 @@ def absence_match(
     within: str = "30 minutes",
     event_id_col: str = "event_id",
     watermark: str | None = None,
+    filter_types: bool = False,
 ) -> DataFrame:
     """Negative pattern (the classic CEP timeout alert): emit every
     ``steps[0]`` event NOT followed by a ``steps[1]`` event within
@@ -337,7 +363,7 @@ def absence_match(
     if df.isStreaming:
         return _absence_match_stream(
             df, steps, key, ts_col, type_col, within, event_id_col,
-            watermark or "0 seconds",
+            watermark or "0 seconds", filter_types,
         )
     within_ms = _parse_duration_ms(within)
     ev = df.select(
@@ -375,6 +401,7 @@ def absence_match(
 def _absence_match_stream(
     df: DataFrame, steps: list[str], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
+    filter_types: bool = False,
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -445,8 +472,9 @@ def _absence_match_stream(
                 "anchor_ts": [pd.Timestamp(t, unit="us") for t, _ in alerts],
             })
 
+    src = df.filter(F.col(type_col).isin([anchor_t, expect_t])) if filter_types else df
     return (
-        df.withWatermark(ts_col, watermark)
+        src.withWatermark(ts_col, watermark)
         .groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",
@@ -465,6 +493,7 @@ def threshold_match(
     within: str = "30 minutes",
     event_id_col: str = "event_id",
     watermark: str | None = None,
+    filter_types: bool = False,
 ) -> DataFrame:
     """Frequency pattern (the monitoring-alert shape): emit every
     ``event_type`` event that is the ``n``-th occurrence of that type
@@ -483,7 +512,7 @@ def threshold_match(
     if df.isStreaming:
         return _threshold_match_stream(
             df, event_type, n, key, ts_col, type_col, within, event_id_col,
-            watermark or "0 seconds",
+            watermark or "0 seconds", filter_types,
         )
     within_ms = _parse_duration_ms(within)
     ev = (
@@ -510,6 +539,7 @@ def threshold_match(
 def _threshold_match_stream(
     df: DataFrame, event_type: str, n: int, key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
+    filter_types: bool = False,
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -571,8 +601,9 @@ def _threshold_match_stream(
                 "anchor_ts": [pd.Timestamp(t, unit="us") for t, _ in alerts],
             })
 
+    src = df.filter(F.col(type_col) == event_type) if filter_types else df
     return (
-        df.withWatermark(ts_col, watermark)
+        src.withWatermark(ts_col, watermark)
         .groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",

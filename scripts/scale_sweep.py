@@ -30,7 +30,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MULTIPLIER = 16  # 1.6M docs — long enough that single VM stalls don't gate
+MULTIPLIER = int(os.environ.get("SCALE_MULTIPLIER", "16"))  # x100k docs
 
 
 def _leg(path: str, cores: int, pin: str | None, conf: dict | None) -> float:
@@ -79,11 +79,12 @@ def sweep(path: str) -> dict:
 
 
 def paired_sets(path: str, n: int, conf: dict) -> dict:
-    from bench import cpu_probe
+    from bench import cpu_probe, mem_probe
 
     sets = []
     for i in range(n):
         probe = cpu_probe()  # same-invocation ceilings (1x and 2x models)
+        mem = mem_probe()    # DRAM-bandwidth ceiling (scan-bound model)
         w8 = _leg(path, 8, "0-7", None)
         w32 = _leg(path, 32, None, conf)
         eff = (w8 / w32) / 4
@@ -96,6 +97,9 @@ def paired_sets(path: str, n: int, conf: dict) -> dict:
             "ceiling_2x": probe["overcommit2x_ceiling_efficiency"],
             "eff_vs_1x": round(eff / probe["hardware_ceiling_efficiency"], 3),
             "eff_vs_2x": round(eff / probe["overcommit2x_ceiling_efficiency"], 3),
+            "ceiling_mem": mem["bandwidth_ceiling_efficiency"],
+            "mem_gb_s_8": mem["pinned8_gb_per_s"],
+            "mem_gb_s_32": mem["machine32_gb_per_s"],
         }
         sets.append(rec)
         print(json.dumps(rec), flush=True)

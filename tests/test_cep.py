@@ -477,3 +477,139 @@ def test_cep_stream_string_key(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(240)
     assert sorted(sink) == expected and len(sink) == 1
+
+
+def _brute_alt(rows, steps, within_min):
+    """Brute matcher generalized to per-step alternative type lists."""
+    steps = [[st] if isinstance(st, str) else list(st) for st in steps]
+    by_user = {}
+    for eid, ts, user, et in rows:
+        by_user.setdefault(user, []).append((ts, eid, et))
+    out = []
+    for user, evs in by_user.items():
+        by_type = {}
+        for ts, eid, et in sorted(evs):
+            by_type.setdefault(et, []).append((ts, eid))
+        cands = []
+        for alts in steps:
+            merged = sorted(e for t in alts for e in by_type.get(t, []))
+            cands.append(merged)
+        for anchor in cands[0]:
+            chain = [anchor]
+            ok = True
+            for lst in cands[1:]:
+                j = bisect_right(lst, chain[-1])
+                if j >= len(lst):
+                    ok = False
+                    break
+                chain.append(lst[j])
+            if ok and chain[-1][0] <= anchor[0] + dt.timedelta(minutes=within_min):
+                out.append((user,) + tuple(x for c in chain for x in (c[1], c[0])))
+    return sorted(out)
+
+
+ALT_STEPS = ["view", ["click", "signup"], "purchase"]
+
+
+def test_sequence_match_alternation_batch(spark):
+    """Step alternation (view → click-OR-signup → purchase): engine
+    equals the generalized brute matcher; the earliest event of EITHER
+    alternative wins (user 5: signup at minute... click at 2 beats
+    signup at 3)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = _collect(sequence_match(df, ALT_STEPS, within="30 minutes"), 3)
+    assert got == _brute_alt(ROWS, ALT_STEPS, 30)
+    assert len(got) >= 4
+    # user 5 specifically: click(19, minute 2) beats signup(20, minute 3)
+    u5 = [g for g in got if g[0] == 5]
+    assert u5 and u5[0][3] == 19
+
+
+def test_sequence_match_alternation_events_table(spark):
+    """Alternation on the sf0.001 events corpus vs brute reference."""
+    path = "/root/testdata/sf0.001/events.parquet"
+    df = spark.read.parquet(path)
+    rows = [(r.event_id, r.ts, r.user_id, r.event_type)
+            for r in df.select("event_id", "ts", "user_id", "event_type").collect()]
+    steps = ["view", ["click", "signup"], "purchase"]
+    got = _collect(sequence_match(df, steps, within="4 days"), 3)
+    assert got == _brute_alt(rows, steps, 4 * 24 * 60)
+    assert len(got) > 0
+
+
+def test_sequence_match_alternation_stream_batch_parity(spark, tmp_path):
+    """Alternation through the stateful streaming path: same rows as
+    batch once the flush pushes the watermark past every event, and the
+    relevant-type filter does NOT starve the watermark (the flush event
+    type is not a step type)."""
+    import time
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "error") for u in range(1, 6)]
+    df = spark.createDataFrame(list(ROWS) + flush, SCHEMA)
+    expected = _collect(sequence_match(df, ALT_STEPS, within="30 minutes"), 3)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = sequence_match(stream, ALT_STEPS, within="30 minutes", watermark="0 seconds")
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(
+            tuple(r)
+            for r in batch.select(
+                "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+                "step2_id", "step2_ts").collect()
+        )
+
+    q = (
+        out.writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert sorted(sink) == expected
+    assert len(set(sink)) == len(sink)
+
+
+def test_sequence_match_stream_filter_types_optin(spark, tmp_path):
+    """filter_types=True drops non-step types before the stateful
+    operator (state/shuffle bound by step-type rate).  The flush must
+    then be a STEP type — non-step events no longer advance the
+    watermark, which is exactly why the flag defaults to False."""
+    import time
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "view") for u in range(1, 6)]
+    df = spark.createDataFrame(list(ROWS) + flush, SCHEMA)
+    # flush anchors never complete: matches equal the batch rows on ROWS
+    expected = _collect(sequence_match(df, STEPS, within="30 minutes"), 3)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = sequence_match(stream, STEPS, within="30 minutes",
+                         watermark="0 seconds", filter_types=True)
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in batch.select(
+            "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+            "step2_id", "step2_ts").collect())
+
+    q = (out.writeStream.foreachBatch(grab).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert sorted(sink) == expected

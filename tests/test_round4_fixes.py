@@ -149,7 +149,13 @@ def test_capped_plan_parks_no_thread_and_poller_drains(spark):
         got = dd.CAP_OBSERVATIONS["t4_0"].get
         assert got["dropped_buckets"] == 2  # both size-20 buckets over cap 5
         import time
-        time.sleep(1.2)  # poller pass delivers the warning
+        # the warning arrives from the shared poller thread; its delay
+        # resets to 0.5 s on enqueue but give slow CI a generous window
+        for _ in range(40):
+            if dd.CAP_OBSERVATIONS["t4_0"]._observed is not None:
+                break
+            time.sleep(0.3)
+        time.sleep(0.8)  # one more poller pass to emit the warning
     # never-executed plans cost nothing: .get falls back to the agg job
     got5 = dd.CAP_OBSERVATIONS["t4_5"].get
     assert got5["dropped_buckets"] == 2
@@ -183,3 +189,46 @@ def test_embedding_dim_from_column_metadata_without_job(spark):
     assert embedding_dim(stamped, "embedding", None) == 64
     with pytest.raises(ValueError, match="cannot infer"):
         embedding_dim(empty, "embedding", None)
+
+
+# ------------------------------------------- 7. repetition + pii operators
+
+def test_repetition_stats_planted(spark):
+    from riko_spark.operators.textstats import repetition_stats_op
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),            # heavy bigram repetition
+            (2, "x\ny\nx\nz"),             # 1 dup line of 4
+            (3, "all unique words here"),
+            (4, ""),                        # degenerate
+            (5, "solo"),                    # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats_op(df).collect()}
+    # 6 words, 2 distinct -> dup_word 4/6; bigrams: 'a b' x3, 'b a' x2 ->
+    # top covers 2*3/6 = 1.0
+    assert got[1]["dup_word_frac"] == round(4 / 6, 6)
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_line_frac"] == 0.25
+    assert got[3]["dup_word_frac"] == 0.0 and got[3]["dup_line_frac"] == 0.0
+    assert got[4]["dup_word_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_planted(spark):
+    from riko_spark.operators.textstats import pii_scrub_op
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or sue@ex.org from 10.0.3.7 "
+             "call +1 555-123-4567 done"),
+         (2, "nothing here 1.2.3 not-an-ip almost@nope")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub_op(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["scrubbed"] == ("mail <EMAIL> or <EMAIL> from <IPV4> "
+                                  "call <PHONE> done")
+    assert got[2]["n_email"] == 0 and got[2]["n_ipv4"] == 0 and got[2]["n_phone"] == 0
+    assert got[2]["scrubbed"] == got[2]["text"]
