@@ -716,6 +716,19 @@ def q_sequence_match_alt(spark, sf):
                           within="2 days")
 
 
+def q_sequence_match_quant(spark, sf):
+    """CEP sequence with a QUANTIFIED step (Flink times(m)): view →
+    2nd click → purchase within 2 days; the m-th occurrence resolves
+    through a per-type lead(m-1) column + one extra keyed equi-join."""
+    ev = _t(spark, sf, "events")
+    from riko_spark.streaming.cep import sequence_match
+
+    return sequence_match(
+        ev, ["view", {"type": "click", "times": 2}, "purchase"],
+        within="2 days",
+    )
+
+
 def q_absence_match(spark, sf):
     """Negative CEP pattern: views never followed by a purchase within
     1 day (the timeout-alert shape) — zero-join window plan."""
@@ -879,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition,
         "pii_scrub": q_pii_scrub,
         "sequence_match_alt": q_sequence_match_alt,
+        "sequence_match_quant": q_sequence_match_quant,
         # -- heavyweight LLM-pipeline / streaming ops --
         "exact_dedupe": q_exact_dedupe,
         "minhash_lsh": q_minhash_lsh,
@@ -909,10 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union": q_union,
         "uniq": q_uniq,
         "join": q_join,
-        "join_lower": q_join_lower,
         "regex": q_regex,
         "rename": q_rename,  # in-gate: nested-delete behavior changed this round
         # -- past position 50: driver-green in r01-r03, unchanged --
+        "join_lower": q_join_lower,
         "tokenizer_wordcount": q_tokenizer_wordcount,
         "tail": q_tail,
         "reverse_head": q_reverse_head,
@@ -1477,6 +1491,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM anchors a
                 JOIN nx b ON b.user_id = a.user_id AND b.comp = a.chain
                 WHERE a.chain IS NOT NULL
+            ), s2 AS (
+                SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
+                       CAST(substring(chain2, 21, 19) AS BIGINT) AS step2_id,
+                       make_timestamp(CAST(substring(chain2, 1, 20) AS BIGINT)) AS step2_ts
+                FROM s1 WHERE chain2 IS NOT NULL
+            )
+            SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
+                   step2_id, step2_ts
+            FROM s2 WHERE step2_ts <= step0_ts + INTERVAL 2 DAY
+        """,
+        "sequence_match_quant": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                       lpad(CAST(event_id AS VARCHAR), 19, '0') AS comp
+                FROM events
+            ), qlead AS (
+                SELECT user_id, comp,
+                       lead(comp, 1) OVER (PARTITION BY user_id ORDER BY comp) AS cm
+                FROM ev WHERE event_type = 'click'
+            ), nx AS (
+                SELECT *,
+                    min(CASE WHEN event_type = 'click' THEN comp END) OVER w AS nxt1,
+                    min(CASE WHEN event_type = 'purchase' THEN comp END) OVER w AS nxt2
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY comp DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), anchors AS (
+                SELECT user_id, event_id AS step0_id, ts AS step0_ts, nxt1 AS c1
+                FROM nx WHERE event_type = 'view'
+            ), qm AS (
+                SELECT a.user_id, a.step0_id, a.step0_ts, q.cm
+                FROM anchors a
+                JOIN qlead q ON q.user_id = a.user_id AND q.comp = a.c1
+                WHERE a.c1 IS NOT NULL
+            ), s1 AS (
+                SELECT m.user_id, m.step0_id, m.step0_ts,
+                       CAST(substring(m.cm, 21, 19) AS BIGINT) AS step1_id,
+                       make_timestamp(CAST(substring(m.cm, 1, 20) AS BIGINT)) AS step1_ts,
+                       b.nxt2 AS chain2
+                FROM qm m
+                JOIN nx b ON b.user_id = m.user_id AND b.comp = m.cm
+                WHERE m.cm IS NOT NULL
             ), s2 AS (
                 SELECT user_id, step0_id, step0_ts, step1_id, step1_ts,
                        CAST(substring(chain2, 21, 19) AS BIGINT) AS step2_id,

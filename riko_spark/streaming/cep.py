@@ -97,34 +97,67 @@ def sequence_match(
     """Match the ordered ``steps`` sequence per ``key``; one output row
     per completed match with ``step{i}_id`` / ``step{i}_ts`` columns.
 
-    A step may be a single event type or a LIST of alternatives
-    (Flink-pattern-style alternation): ``["view", ["click", "signup"],
-    "purchase"]`` matches view → (click OR signup) → purchase, still
-    with earliest-completion-per-anchor semantics — alternation only
-    widens the predicate a step's window/bisect lookup uses, so the
-    plan shape (one window pass + (N-2) keyed equi-joins) is unchanged.
+    A step may be:
 
-    Batch and streaming frames give identical results for the same
-    input once every event is older than the stream's watermark.
+    * a single event type (``"click"``),
+    * a LIST of alternatives (Flink-pattern alternation):
+      ``["view", ["click", "signup"], "purchase"]`` matches
+      view → (click OR signup) → purchase — alternation only widens
+      the predicate a step's window/bisect lookup uses, so the plan
+      shape (one window pass + (N-2) keyed equi-joins) is unchanged;
+    * a QUANTIFIED dict (Flink ``times(m)``):
+      ``{"type": "click", "times": 2}`` (or ``"types": [...]`` with
+      alternation) matches the m-th occurrence of the step's type-set
+      strictly after the previous matched step — "view, then a 2nd
+      click, then purchase".  The emitted ``step{i}_id/ts`` is the
+      m-th (completing) occurrence, and the next step chains after
+      it.  Each quantified step costs ONE extra keyed equi-join (the
+      m-th occurrence resolves through a per-type-set ``lead(m-1)``
+      column — still no range join).  The anchor step cannot be
+      quantified.
+
+    Earliest-completion-per-anchor semantics throughout.  Batch and
+    streaming frames give identical results for the same input once
+    every event is older than the stream's watermark.
     """
     if len(steps) < 2:
         raise ValueError("sequence_match needs at least 2 steps")
-    steps = [[s] if isinstance(s, str) else list(s) for s in steps]
+    alts_list: list[list[str]] = []
+    times: list[int] = []
+    for s in steps:
+        if isinstance(s, dict):
+            t = s.get("types", s.get("type"))
+            if t is None:
+                raise ValueError("quantified step needs 'type' or 'types'")
+            alts = [t] if isinstance(t, str) else list(t)
+            m = int(s.get("times", 1))
+            if m < 1:
+                raise ValueError("step 'times' must be >= 1")
+        elif isinstance(s, str):
+            alts, m = [s], 1
+        else:
+            alts, m = list(s), 1
+        alts_list.append(alts)
+        times.append(m)
+    if times[0] != 1:
+        raise ValueError("the anchor step cannot be quantified")
     if df.isStreaming:
         return _sequence_match_stream(
-            df, steps, key, ts_col, type_col, within, event_id_col,
-            watermark or "0 seconds", filter_types,
+            df, alts_list, key, ts_col, type_col, within, event_id_col,
+            watermark or "0 seconds", filter_types, times,
         )
     return _sequence_match_batch(
-        df, steps, key, ts_col, type_col, within, event_id_col
+        df, alts_list, key, ts_col, type_col, within, event_id_col, times
     )
 
 
 def _sequence_match_batch(
     df: DataFrame, steps: list[list[str]], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str,
+    times: list[int] | None = None,
 ) -> DataFrame:
     n = len(steps)
+    times = times or [1] * n
     within_ms = _parse_duration_ms(within)
     ev = df.select(
         F.col(key), F.col(ts_col), F.col(event_id_col), F.col(type_col)
@@ -152,9 +185,32 @@ def _sequence_match_batch(
         F.col("__nxt1").alias("__chain"),
     )
     for i in range(1, n):
+        cur = cur.filter(F.col("__chain").isNotNull())
+        if times[i] > 1:
+            # quantified step: __chain points at the FIRST type-set
+            # occurrence; the m-th resolves through lead(m-1) over the
+            # type-set sub-frame (ascending per-key sort on a filtered
+            # subset — cheap), via one extra keyed equi-join
+            w_asc = Window.partitionBy(key).orderBy("__comp")
+            qf = ev.filter(F.col(type_col).isin(steps[i])).select(
+                F.col(key).alias("__qk"),
+                F.col("__comp").alias("__c1"),
+                F.lead("__comp", times[i] - 1).over(w_asc).alias("__cm"),
+            )
+            cur = (
+                cur.join(
+                    qf,
+                    (F.col(key) == F.col("__qk"))
+                    & (F.col("__chain") == F.col("__c1")),
+                    "inner",
+                )
+                .drop("__qk", "__chain", "__c1")
+                .withColumnRenamed("__cm", "__chain")
+                .filter(F.col("__chain").isNotNull())
+            )
         # the matched step's identity DECODES from the composite itself
         # (fixed-width micros + id), so no join is needed to resolve it
-        cur = cur.filter(F.col("__chain").isNotNull()).withColumns({
+        cur = cur.withColumns({
             f"step{i}_ts": F.timestamp_micros(
                 F.substring("__chain", 1, 20).cast("bigint")
             ),
@@ -190,13 +246,18 @@ def _sequence_match_batch(
 
 def _match_buffer(
     events: list[tuple[int, int, str]], steps: list[list[str]], within_ms: int,
+    times: list[int] | None = None,
 ):
     """Pure-python earliest-after chain matcher over one key's buffer.
 
     ``events``: (ts_micros, event_id, type), any order; each step is a
-    list of alternative types (singleton for the common case).  Returns
-    completed matches as lists of (ts_micros, event_id) per step.
+    list of alternative types (singleton for the common case) and
+    ``times[i]`` its quantifier (the m-th occurrence after the previous
+    matched step completes the step).  Returns completed matches as
+    lists of (ts_micros, event_id) per step — the m-th occurrence for
+    quantified steps.
     """
+    times = times or [1] * len(steps)
     by_type: dict[str, list[tuple[int, int]]] = {}
     for ts, eid, et in events:
         by_type.setdefault(et, []).append((ts, eid))
@@ -209,8 +270,8 @@ def _match_buffer(
     for anchor in cands[0]:
         chain = [anchor]
         ok = True
-        for lst in cands[1:]:
-            j = bisect_right(lst, chain[-1])
+        for lst, m in zip(cands[1:], times[1:]):
+            j = bisect_right(lst, chain[-1]) + m - 1
             if j >= len(lst):
                 ok = False
                 break
@@ -241,7 +302,7 @@ def _stream_types(df: DataFrame, key: str, event_id_col: str) -> tuple[str, str]
 def _sequence_match_stream(
     df: DataFrame, steps: list[list[str]], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
-    filter_types: bool = False,
+    filter_types: bool = False, times: list[int] | None = None,
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -275,7 +336,7 @@ def _sequence_match_stream(
                 buf.extend(zip(micros, pdf[event_id_col], pdf[type_col]))
         wm_us = state.getCurrentWatermarkMs() * 1000
 
-        matches = [m for m in _match_buffer(buf, steps, within_ms)
+        matches = [m for m in _match_buffer(buf, steps, within_ms, times)
                    if m[0][1] not in done]
         stable = [m for m in matches if m[-1][0] <= wm_us]
         done |= {m[0][1] for m in stable}

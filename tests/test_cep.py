@@ -613,3 +613,104 @@ def test_sequence_match_stream_filter_types_optin(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(240)
     assert sorted(sink) == expected
+
+
+def _brute_quant(rows, specs, within_min):
+    """Brute matcher with (alts, times) step specs."""
+    norm = []
+    for s in specs:
+        if isinstance(s, dict):
+            t = s.get("types", s.get("type"))
+            norm.append(([t] if isinstance(t, str) else list(t),
+                         int(s.get("times", 1))))
+        elif isinstance(s, str):
+            norm.append(([s], 1))
+        else:
+            norm.append((list(s), 1))
+    by_user = {}
+    for eid, ts, user, et in rows:
+        by_user.setdefault(user, []).append((ts, eid, et))
+    out = []
+    for user, evs in by_user.items():
+        by_type = {}
+        for ts, eid, et in sorted(evs):
+            by_type.setdefault(et, []).append((ts, eid))
+        cands = [sorted(e for t in alts for e in by_type.get(t, []))
+                 for alts, _ in norm]
+        for anchor in cands[0]:
+            chain = [anchor]
+            ok = True
+            for lst, (_, m) in zip(cands[1:], norm[1:]):
+                j = bisect_right(lst, chain[-1]) + m - 1
+                if j >= len(lst):
+                    ok = False
+                    break
+                chain.append(lst[j])
+            if ok and chain[-1][0] <= anchor[0] + dt.timedelta(minutes=within_min):
+                out.append((user,) + tuple(x for c in chain for x in (c[1], c[0])))
+    return sorted(out)
+
+
+QUANT_STEPS = ["view", {"type": "click", "times": 2}, "purchase"]
+
+
+def test_sequence_match_quantified_batch(spark):
+    """view → 2nd click → purchase: user 4 has clicks at minutes 2 and
+    10, purchase at 12 — the match binds the SECOND click (id 15), and
+    users with a single click produce no match."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = _collect(sequence_match(df, QUANT_STEPS, within="30 minutes"), 3)
+    assert got == _brute_quant(ROWS, QUANT_STEPS, 30)
+    u4 = [g for g in got if g[0] == 4]
+    assert u4 and u4[0][3] == 15  # step1 = second click
+    assert not [g for g in got if g[0] == 5]  # user 5: only one click
+
+
+def test_sequence_match_quantified_events_table(spark):
+    path = "/root/testdata/sf0.001/events.parquet"
+    df = spark.read.parquet(path)
+    rows = [(r.event_id, r.ts, r.user_id, r.event_type)
+            for r in df.select("event_id", "ts", "user_id", "event_type").collect()]
+    got = _collect(sequence_match(df, QUANT_STEPS, within="4 days"), 3)
+    assert got == _brute_quant(rows, QUANT_STEPS, 4 * 24 * 60)
+    assert len(got) > 0
+    strict = _collect(sequence_match(df, STEPS, within="4 days"), 3)
+    assert len(got) < len(strict)  # quantifier strictly narrows
+
+
+def test_sequence_match_quantified_rejects_anchor_quantifier(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="anchor"):
+        sequence_match(df, [{"type": "view", "times": 2}, "purchase"])
+
+
+def test_sequence_match_quantified_stream_batch_parity(spark, tmp_path):
+    import time
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "error") for u in range(1, 6)]
+    df = spark.createDataFrame(list(ROWS) + flush, SCHEMA)
+    expected = _collect(sequence_match(df, QUANT_STEPS, within="30 minutes"), 3)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = sequence_match(stream, QUANT_STEPS, within="30 minutes",
+                         watermark="0 seconds")
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in batch.select(
+            "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+            "step2_id", "step2_ts").collect())
+
+    q = (out.writeStream.foreachBatch(grab).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert sorted(sink) == expected
+    assert len(set(sink)) == len(sink)

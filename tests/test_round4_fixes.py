@@ -146,16 +146,19 @@ def test_capped_plan_parks_no_thread_and_poller_drains(spark):
     # executing one plan lets its stats drain through the poller or .get
     with pytest.warns(UserWarning, match="t4_0"):
         plans[0].count()
-        got = dd.CAP_OBSERVATIONS["t4_0"].get
+        target = dd.CAP_OBSERVATIONS["t4_0"]
+        got = target.get
         assert got["dropped_buckets"] == 2  # both size-20 buckets over cap 5
         import time
-        # the warning arrives from the shared poller thread; its delay
-        # resets to 0.5 s on enqueue but give slow CI a generous window
-        for _ in range(40):
-            if dd.CAP_OBSERVATIONS["t4_0"]._observed is not None:
+        # the warning is emitted by the shared poller in the same pass
+        # that retires the entry from _PENDING — wait for retirement
+        # (poller backoff is capped at 5 s)
+        for _ in range(60):
+            with dd._PENDING_LOCK:
+                alive = any(r() is target for r in dd._PENDING)
+            if not alive:
                 break
             time.sleep(0.3)
-        time.sleep(0.8)  # one more poller pass to emit the warning
     # never-executed plans cost nothing: .get falls back to the agg job
     got5 = dd.CAP_OBSERVATIONS["t4_5"].get
     assert got5["dropped_buckets"] == 2
