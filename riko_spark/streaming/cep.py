@@ -408,7 +408,10 @@ def absence_match(
 ) -> DataFrame:
     """Negative pattern (the classic CEP timeout alert): emit every
     ``steps[0]`` event NOT followed by a ``steps[1]`` event within
-    ``within`` — e.g. 'signup with no purchase inside 7 days'.
+    ``within`` — e.g. 'signup with no purchase inside 7 days'.  Either
+    step may be a LIST of alternative types: ``[["view", "signup"],
+    ["purchase", "refund"]]`` alerts on any view/signup not followed by
+    any purchase/refund (alternation, same as sequence_match).
 
     Batch: the same one-sort window frame as :func:`sequence_match` —
     an anchor alerts iff its earliest strictly-later ``steps[1]`` is
@@ -421,6 +424,7 @@ def absence_match(
     """
     if len(steps) != 2:
         raise ValueError("absence_match takes exactly [anchor, expected] steps")
+    steps = [[s] if isinstance(s, str) else list(s) for s in steps]
     if df.isStreaming:
         return _absence_match_stream(
             df, steps, key, ts_col, type_col, within, event_id_col,
@@ -436,11 +440,11 @@ def absence_match(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     nxt = F.min(
-        F.when(F.col(type_col) == steps[1], F.col("__comp"))
+        F.when(F.col(type_col).isin(steps[1]), F.col("__comp"))
     ).over(w_later)
     out = (
         ev.withColumn("__nxt", nxt)
-        .filter(F.col(type_col) == steps[0])
+        .filter(F.col(type_col).isin(steps[0]))
         .withColumn(
             "__nxt_ts",
             F.timestamp_micros(F.substring("__nxt", 1, 20).cast("bigint")),
@@ -477,7 +481,8 @@ def _absence_match_stream(
         f"ts array<bigint>, eid array<{id_t}>, et array<string>, "
         f"done array<{id_t}>"
     )
-    anchor_t, expect_t = steps
+    anchors, expects_set = set(steps[0]), set(steps[1])
+    relevant = sorted(anchors | expects_set)
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         buf: list[tuple[int, int, str]] = []
@@ -489,17 +494,17 @@ def _absence_match_stream(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 micros = pdf[ts_col].astype("int64") // 1000
-                mask = pdf[type_col].isin([anchor_t, expect_t])
+                mask = pdf[type_col].isin(relevant)
                 buf.extend(zip(micros[mask], pdf[event_id_col][mask], pdf[type_col][mask]))
         wm_us = state.getCurrentWatermarkMs() * 1000
         horizon_us = within_ms * 1000
 
-        expects = sorted((t, e) for t, e, x in buf if x == expect_t)
+        expects = sorted((t, e) for t, e, x in buf if x in expects_set)
         alerts = []
         from bisect import bisect_right as _br
 
         for ts, eid, et in buf:
-            if et != anchor_t or eid in done:
+            if et not in anchors or eid in done:
                 continue
             j = _br(expects, (ts, eid))
             cleared = j < len(expects) and expects[j][0] <= ts + horizon_us
@@ -510,7 +515,7 @@ def _absence_match_stream(
                 done.add(eid)
             # else: undecided, keep waiting
         keep = sorted(e for e in buf if e[0] > wm_us - horizon_us)
-        done &= {eid for _, eid, et in keep if et == anchor_t}
+        done &= {eid for _, eid, et in keep if et in anchors}
         if keep:
             state.update((
                 [int(t) for t, _, _ in keep],
@@ -519,7 +524,7 @@ def _absence_match_stream(
                 [ecast(e) for e in done],
             ))
             deadlines = [t + horizon_us for t, e, x in keep
-                         if x == anchor_t and e not in done]
+                         if x in anchors and e not in done]
             wake_us = min(deadlines) if deadlines else min(t for t, _, _ in keep)
             state.setTimeoutTimestamp(
                 max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
@@ -533,7 +538,7 @@ def _absence_match_stream(
                 "anchor_ts": [pd.Timestamp(t, unit="us") for t, _ in alerts],
             })
 
-    src = df.filter(F.col(type_col).isin([anchor_t, expect_t])) if filter_types else df
+    src = df.filter(F.col(type_col).isin(relevant)) if filter_types else df
     return (
         src.withWatermark(ts_col, watermark)
         .groupBy(key)

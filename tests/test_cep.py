@@ -714,3 +714,28 @@ def test_sequence_match_quantified_stream_batch_parity(spark, tmp_path):
     q.awaitTermination(240)
     assert sorted(sink) == expected
     assert len(set(sink)) == len(sink)
+
+
+def test_absence_match_alternation_batch(spark):
+    """Anchor and clearing steps accept alternatives: (view OR signup)
+    not followed by (purchase OR click) within the window."""
+    from riko_spark.streaming.cep import absence_match
+
+    rows = [
+        _ev(1, 0, 1, "view"),     # cleared by click at 5
+        _ev(2, 5, 1, "click"),
+        _ev(3, 10, 1, "signup"),  # never followed -> alert
+        _ev(4, 0, 2, "signup"),   # cleared by purchase at 8
+        _ev(5, 8, 2, "purchase"),
+        _ev(6, 20, 2, "view"),    # followed only OUTSIDE window -> alert
+        _ev(7, 60, 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        (r["user_id"], r["anchor_id"])
+        for r in absence_match(
+            df, [["view", "signup"], ["purchase", "click"]],
+            within="30 minutes",
+        ).collect()
+    )
+    assert got == [(1, 3), (2, 6)]
