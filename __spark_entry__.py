@@ -867,7 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate (it verifies the first 50 entries): the 16
     # queries that had no driver-green row through round 3 lead, then
     # the heavyweight dedupe/ANN/streaming/textstat ops (always worth
-    # re-verifying), then simple scalar transforms.  The 16 entries
+    # re-verifying), then simple scalar transforms.  The 20 entries
     # past position 50 this round are trivial string/date/url ops with
     # driver-green rows in CORRECTNESS_r01-r03.
     return {

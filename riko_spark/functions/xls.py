@@ -33,7 +33,11 @@ _DIFSECT = 0xFFFFFFFC
 # ------------------------------------------------------------- container
 
 def _sector(data: bytes, n: int, size: int = 512) -> bytes:
-    return data[512 + n * size: 512 + (n + 1) * size]
+    # sector 0 starts after the 512-byte header regardless of sector
+    # size (MS-CFB 2.2: v4 files with 4096-byte sectors still have a
+    # 512-byte header; the rest of sector "-1" is unused padding)
+    base = max(512, size)
+    return data[base + n * size: base + (n + 1) * size]
 
 
 def _chain(fat: list[int], start: int) -> list[int]:
@@ -51,50 +55,56 @@ def _u32s(raw: bytes) -> list[int]:
 
 
 def workbook_stream(data: bytes) -> bytes:
-    """The Workbook/Book stream bytes out of a CFB compound file."""
+    """The Workbook/Book stream bytes out of a CFB compound file.
+    Honors the header's sector-shift fields, so both v3 (512-byte
+    sectors) and v4 (4096-byte) containers parse."""
     if data[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         raise ValueError("not an OLE2/CFB file (bad magic)")
+    sec_shift, mini_shift = struct.unpack("<HH", data[30:34])
+    size = 1 << sec_shift  # 512 (v3) or 4096 (v4)
+    mini_size = 1 << mini_shift  # 64
     (n_fat, first_dir, _, cutoff, first_mini, n_mini, first_difat,
      n_difat) = struct.unpack("<IIIIIIII", data[44:76])
     # FAT sector list: 109 refs in the header, then chained DIFAT sectors
     difat = _u32s(data[76:512])
     s = first_difat
     for _ in range(n_difat):
-        raw = _sector(data, s)
+        raw = _sector(data, s, size)
         difat.extend(_u32s(raw[:-4]))
         s = struct.unpack("<I", raw[-4:])[0]
     fat: list[int] = []
     for ref in [r for r in difat if r != _FREE][:n_fat]:
-        fat.extend(_u32s(_sector(data, ref)))
+        fat.extend(_u32s(_sector(data, ref, size)))
 
     entries = []
     for ds in _chain(fat, first_dir):
-        raw = _sector(data, ds)
-        for off in range(0, 512, 128):
+        raw = _sector(data, ds, size)
+        for off in range(0, size, 128):
             e = raw[off: off + 128]
             name_len = struct.unpack("<H", e[64:66])[0]
             if not name_len:
                 continue
             name = e[: max(0, name_len - 2)].decode("utf-16-le", "replace")
-            start, size = struct.unpack("<IQ", e[116:128])
-            entries.append((name, e[66], start, size))
+            e_start, e_size = struct.unpack("<IQ", e[116:128])
+            entries.append((name, e[66], e_start, e_size))
 
     root = next(e for e in entries if e[1] == 5)
     wb = next((e for e in entries if e[0] in ("Workbook", "Book")), None)
     if wb is None:
         raise ValueError("xls: no Workbook/Book stream in container")
-    _, _, start, size = wb
-    if size < cutoff:
-        mini = b"".join(_sector(data, s) for s in _chain(fat, root[2]))
+    _, _, start, wb_size = wb
+    if wb_size < cutoff:
+        mini = b"".join(_sector(data, s, size) for s in _chain(fat, root[2]))
         minifat: list[int] = []
         for ms in _chain(fat, first_mini)[:n_mini]:
-            minifat.extend(_u32s(_sector(data, ms)))
+            minifat.extend(_u32s(_sector(data, ms, size)))
         out = b"".join(
-            mini[m * 64: (m + 1) * 64] for m in _chain(minifat, start)
+            mini[m * mini_size: (m + 1) * mini_size]
+            for m in _chain(minifat, start)
         )
     else:
-        out = b"".join(_sector(data, s) for s in _chain(fat, start))
-    return out[:size]
+        out = b"".join(_sector(data, s, size) for s in _chain(fat, start))
+    return out[:wb_size]
 
 
 # --------------------------------------------------------------- records

@@ -129,15 +129,19 @@ class CapStats:
 #: CapStats reference right after building the plan if you need
 #: per-pipeline accounting.  Warning delivery rides ONE shared daemon
 #: poller (non-blocking ``getRowOrEmpty`` checks, 0.5 s → 5 s backoff)
-#: that exits when nothing is pending; a plan that is built but never
-#: executed costs only its weakref'd queue entry, which drops when the
-#: CapStats slot is overwritten or collected — no parked threads.
+#: that exits when nothing is pending.  A plan that is built but never
+#: executed is pinned by its CAP_OBSERVATIONS slot, so the poller
+#: retires such entries after ``_WATCH_MAX_AGE_S`` (10 min) — the
+#: authoritative ``.get`` fallback still works afterwards; only the
+#: push-style warning window closes.  py4j calls happen OUTSIDE
+#: ``_PENDING_LOCK`` so a slow JVM never blocks plan construction.
 CAP_OBSERVATIONS: dict[str, CapStats] = {}
 
 _PENDING_LOCK = __import__("threading").Lock()
-_PENDING: list = []  # weakref.ref(CapStats) awaiting their plan's first action
+_PENDING: list = []  # (weakref.ref(CapStats), enqueue_monotonic) entries
 _POLLER: list = []  # singleton slot for the live poller thread
 _POLL_DELAY: list = [0.5]  # current backoff; reset on every new enqueue
+_WATCH_MAX_AGE_S = 600.0
 
 
 def _warn_drops(stats: CapStats) -> None:
@@ -156,34 +160,50 @@ def _warn_drops(stats: CapStats) -> None:
 def _poll_pending() -> None:
     import time
 
-    while True:
-        with _PENDING_LOCK:
-            still = []
-            for ref in _PENDING:
+    try:
+        while True:
+            with _PENDING_LOCK:
+                batch = list(_PENDING)
+            now = time.monotonic()
+            drained = set()
+            for ref, born in batch:
                 stats = ref()
                 if stats is None:
-                    continue  # slot overwritten / collected: retire silently
+                    drained.add(ref)  # slot overwritten / collected
+                    continue
+                # py4j readiness checks run OUTSIDE the lock
                 if stats._try_drain():
-                    _warn_drops(stats)
-                else:
-                    still.append(ref)
-            _PENDING[:] = still
-            if not _PENDING:
-                _POLLER.clear()
-                return
-        time.sleep(_POLL_DELAY[0])
-        # back off while only long-idle (built-but-unexecuted) plans
-        # remain; a fresh enqueue resets to 0.5 s so a NEW plan's first
-        # action is noticed promptly even when old plans linger
-        _POLL_DELAY[0] = min(_POLL_DELAY[0] * 1.5, 5.0)
+                    try:
+                        _warn_drops(stats)
+                    except Exception:  # noqa: BLE001 — warnings-as-errors
+                        pass  # the drop counts stay queryable via .get
+                    drained.add(ref)
+                elif now - born > _WATCH_MAX_AGE_S:
+                    drained.add(ref)  # built-but-never-run: stop babysitting
+            with _PENDING_LOCK:
+                _PENDING[:] = [e for e in _PENDING if e[0] not in drained]
+                if not _PENDING:
+                    _POLLER.clear()
+                    return
+            time.sleep(_POLL_DELAY[0])
+            # back off while only long-idle (built-but-unexecuted) plans
+            # remain; a fresh enqueue resets to 0.5 s so a NEW plan's
+            # first action is noticed promptly even when old plans linger
+            _POLL_DELAY[0] = min(_POLL_DELAY[0] * 1.5, 5.0)
+    finally:
+        # on ANY exit path (including an unexpected error) release the
+        # singleton so the next enqueue can start a fresh poller
+        with _PENDING_LOCK:
+            _POLLER.clear()
 
 
 def _enqueue_watch(stats: CapStats) -> None:
     import threading
+    import time
     import weakref
 
     with _PENDING_LOCK:
-        _PENDING.append(weakref.ref(stats))
+        _PENDING.append((weakref.ref(stats), time.monotonic()))
         _POLL_DELAY[0] = 0.5
         if not _POLLER:
             t = threading.Thread(target=_poll_pending, daemon=True,
@@ -474,6 +494,23 @@ def embedding_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     return len(row[0])
 
 
+def dim_checked(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Guard the vector column against a wrong declared ``dim`` (from
+    conf / metadata / env): a mismatched length raises at execution
+    instead of silently null-padding through ``zip_with`` and matching
+    nothing.  NULL vectors pass through (they never match, as before).
+    One codegen branch per row — negligible next to the dot products."""
+    col = F.col(vec_col)
+    err = F.assert_true(
+        col.isNull() | (F.size(col) == dim),
+        F.concat(F.lit(f"{vec_col}: vector length "),
+                 F.size(col).cast("string"),
+                 F.lit(f" != declared dim {dim} — pass the right dim= / "
+                       "conf['dim'] or restamp with_dim_metadata")),
+    )
+    return df.withColumn(vec_col, F.when(err.isNull(), col))
+
+
 @register("embedding_neardup")
 def embedding_neardup_op(
     df: DataFrame, conf: dict | None = None, vec_col: str = "embedding",
@@ -494,6 +531,7 @@ def embedding_neardup_op(
     probes = int(conf.get("probes", probes))
     max_bucket_size = conf.get("max_bucket_size", max_bucket_size)
     dim = embedding_dim(df, vec_col, conf.get("dim", dim))
+    df = dim_checked(df, vec_col, dim)
     rng = np.random.default_rng(seed)
     hyper = rng.standard_normal((planes, dim))
 

@@ -135,9 +135,14 @@ def currencyformat_op(
         if loc.get("min_group", 1) > 1:
             # CLDR minimumGroupingDigits (es_ES: 2): separators appear
             # only once the integer part has group-size + min_group
-            # digits — min_group=2 → from 10 000 up (1234,50 / 12.345,00)
-            threshold = 10 ** (2 + loc["min_group"])
-            number = F.when(F.abs(amount) < threshold,
+            # digits — min_group=2 → from 10 000 up (1234,50 / 12.345,00).
+            # Decide on the FORMATTED digit count, not the raw amount:
+            # 9999.995 rounds to 10,000.00 and must keep its separator.
+            int_digits = F.length(
+                F.translate(F.substring_index(number, ".", 1), ",", "")
+            )
+            # grouping appears from groupSize(3) + min_group digits up
+            number = F.when(int_digits < 3 + loc["min_group"],
                             F.translate(number, ",", "")).otherwise(number)
         if loc["decimal"] != "." or loc["group"] != ",":
             # en grouping ("1,234.50") re-punctuated by simultaneous

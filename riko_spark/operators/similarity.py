@@ -210,9 +210,10 @@ def ann_lsh_op(
                          int(conf.get("probes", probes)))
     if queries is None:
         raise ValueError("ann_lsh requires queries=")
-    from riko_spark.operators.dedupe import embedding_dim
+    from riko_spark.operators.dedupe import dim_checked, embedding_dim
 
     dim = embedding_dim(df, vec_col, conf.get("dim", dim))
+    df = dim_checked(df, vec_col, dim)
     rng = np.random.default_rng(seed)
     hyper = rng.standard_normal((planes, dim))
 
@@ -302,9 +303,10 @@ def ann_ivf_op(
     sample_size = int(conf.get("sample_size", sample_size))
     if queries is None:
         raise ValueError("ann_ivf requires queries=")
-    from riko_spark.operators.dedupe import embedding_dim
+    from riko_spark.operators.dedupe import dim_checked, embedding_dim
 
     dim = embedding_dim(df, vec_col, conf.get("dim", dim))
+    df = dim_checked(df, vec_col, dim)
 
     sample = np.array(
         [r[0] for r in df.select(vec_col).orderBy(id_col).limit(sample_size).collect()],

@@ -203,7 +203,7 @@ def pii_scrub_op(df: DataFrame, conf: dict | None = None,
                  field: str = "text", assign: str = "scrubbed") -> DataFrame:
     """Training-data PII redaction: emails, IPv4 addresses, and
     international-format phone numbers replaced with typed placeholders
-    (``<EMAIL>``/``<IP>``/``<PHONE>``), with a per-type match count for
+    (``<EMAIL>``/``<IPV4>``/``<PHONE>``), with a per-type match count for
     audit.  Pure ``regexp_replace``/``regexp_count`` chain — JVM regex,
     zero Python, scan-parallel.  conf['kinds'] selects a subset."""
     kinds = (conf or {}).get("kinds", list(PII_PATTERNS))

@@ -159,7 +159,14 @@ def _sequence_match_batch(
     n = len(steps)
     times = times or [1] * n
     within_ms = _parse_duration_ms(within)
-    ev = df.select(
+    relevant = sorted({t for alts in steps for t in alts})
+    # restrict to pattern-relevant types FIRST: non-step rows are pure
+    # passengers (never anchors, never window contributors, never join
+    # targets), so dropping them shrinks the per-key window sort AND
+    # scopes the composite's event-id validation to rows the pattern
+    # actually orders — junk ids on unrelated event types cannot abort
+    # the query
+    ev = df.filter(F.col(type_col).isin(relevant)).select(
         F.col(key), F.col(ts_col), F.col(event_id_col), F.col(type_col)
     ).withColumn("__comp", _comp_col(ts_col, event_id_col))
 
@@ -431,7 +438,10 @@ def absence_match(
             watermark or "0 seconds", filter_types,
         )
     within_ms = _parse_duration_ms(within)
-    ev = df.select(
+    relevant = sorted(set(steps[0]) | set(steps[1]))
+    # same relevant-type restriction as sequence_match: smaller window
+    # sort, and id validation scoped to rows the pattern orders
+    ev = df.filter(F.col(type_col).isin(relevant)).select(
         F.col(key), F.col(ts_col), F.col(event_id_col), F.col(type_col)
     ).withColumn("__comp", _comp_col(ts_col, event_id_col))
     w_later = (

@@ -260,12 +260,16 @@ class IcebergUpsertSink:
         spark = batch.sparkSession
         # MERGE rejects multiple source rows per target key — collapse
         # the micro-batch to its latest row per key first (same
-        # latest-wins rule as UpsertSink, ties broken arbitrarily
-        # within one batch which replays identically)
+        # latest-wins rule as UpsertSink).  The tiebreak must be
+        # DETERMINISTIC in the row CONTENT, not in task arrival order,
+        # or a replayed batch could merge a different row and break the
+        # idempotence contract — xxhash64 over every column gives a
+        # stable content-derived total order.
         from pyspark.sql import Window
 
-        order = ([F.col(self.order_col).desc_nulls_last()]
-                 if self.order_col else [F.lit(1)])
+        content = F.xxhash64(*[F.col(f"`{c}`") for c in batch.columns])
+        order = ([F.col(self.order_col).desc_nulls_last(), content.desc()]
+                 if self.order_col else [content.desc()])
         w = Window.partitionBy(*self.keys).orderBy(*order)
         deduped = (batch.withColumn("__rn", F.row_number().over(w))
                    .filter(F.col("__rn") == 1).drop("__rn"))

@@ -299,3 +299,18 @@ def test_rename_struct_leaf_and_literal_dot(spark):
     assert r["author"] == "alice"
     assert r["ghost"] is None
     assert r["fromflat"] == "flat"
+
+
+def test_currencyformat_es_min_grouping_rounds_across_threshold(spark):
+    """The min-grouping decision uses the ROUNDED value: 9999.995
+    formats as 10.000,00 € (separator kept) even though the raw amount
+    is below 10^4."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.operators.misc import currencyformat_op
+
+    df = spark.createDataFrame([(9999.995,), (9999.4,)], "amt double")
+    out = currencyformat_op(df, {"currency": "EUR", "locale": "es_ES"},
+                            field="amt", assign="x")
+    got = [r.x for r in out.orderBy(F.desc("amt")).collect()]
+    assert got == ["10.000,00 €", "9999,40 €"]

@@ -155,7 +155,7 @@ def test_capped_plan_parks_no_thread_and_poller_drains(spark):
         # (poller backoff is capped at 5 s)
         for _ in range(60):
             with dd._PENDING_LOCK:
-                alive = any(r() is target for r in dd._PENDING)
+                alive = any(r() is target for r, _born in dd._PENDING)
             if not alive:
                 break
             time.sleep(0.3)

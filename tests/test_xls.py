@@ -96,35 +96,47 @@ def _fat_sector(entries):
         "<I", FREE) * (128 - len(entries))
 
 
-def make_cfb(stream):
+def _fat_sector_sized(entries, size):
+    per = size // 4
+    return struct.pack(f"<{len(entries)}I", *entries) + struct.pack(
+        "<I", FREE) * (per - len(entries))
+
+
+def make_cfb(stream, version=3):
     """Wrap a workbook stream into a compound file.  Streams under the
     4096-byte cutoff go through the ministream + miniFAT (as the spec
-    mandates); larger ones chain directly through the FAT."""
+    mandates); larger ones chain directly through the FAT.  version=4
+    emits 4096-byte sectors (sector shift 0x000C) with the mandatory
+    zero padding after the 512-byte header."""
+    shift = 9 if version == 3 else 12
+    size = 1 << shift
     small = len(stream) < 4096
     if small:
         mini = _pad(stream, 64)
-        ms_sectors = _pad(mini, 512)
-        n_ms = len(ms_sectors) // 512
+        ms_sectors = _pad(mini, size)
+        n_ms = len(ms_sectors) // size
         # sector map: 0=FAT, 1=directory, 2=miniFAT, 3..=ministream
         fat = [FATSECT, END, END] + [3 + i + 1 for i in range(n_ms - 1)] + [END]
         n_minisec = len(mini) // 64
         minifat = list(range(1, n_minisec)) + [END]
         root = _dirent("Root Entry", 5, 3, len(mini), child=1)
         wb = _dirent("Workbook", 2, 0, len(stream))
-        body = _fat_sector(fat) + _pad(root + wb, 512) + _fat_sector(minifat) + ms_sectors
+        body = (_fat_sector_sized(fat, size) + _pad(root + wb, size)
+                + _fat_sector_sized(minifat, size) + ms_sectors)
         first_mini, n_mini = 2, 1
     else:
-        data = _pad(stream, 512)
-        n_s = len(data) // 512
-        assert n_s <= 125, "fixture writer: one FAT sector only"
+        data = _pad(stream, size)
+        n_s = len(data) // size
+        assert n_s <= size // 4 - 3, "fixture writer: one FAT sector only"
         fat = [FATSECT, END] + [2 + i + 1 for i in range(n_s - 1)] + [END]
         root = _dirent("Root Entry", 5, END, 0, child=1)
         wb = _dirent("Workbook", 2, 2, len(stream))
-        body = _fat_sector(fat) + _pad(root + wb, 512) + data
+        body = _fat_sector_sized(fat, size) + _pad(root + wb, size) + data
         first_mini, n_mini = END, 0
     header = (
         b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
-        + struct.pack("<HHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6)
+        + struct.pack("<HHHHH", 0x003E, 3 if version == 3 else 4,
+                      0xFFFE, shift, 6)
         + b"\x00" * 6
         + struct.pack("<IIIIIIII", 0, 1, 1, 0, 4096, first_mini, n_mini, END)
         + struct.pack("<I", 0)
@@ -133,6 +145,8 @@ def make_cfb(stream):
     # DIFAT[0] = FAT sector 0; fix the first DIFAT slot
     header = header[:76] + struct.pack("<I", 0) + header[80:]
     assert len(header) == 512
+    if version == 4:
+        header = header + b"\x00" * (4096 - 512)  # sector 0 at offset 4096
     return header + body
 
 
@@ -157,6 +171,15 @@ def test_read_xls_ministream(tmp_path):
         {"name": "widget", "qty": "3", "price": "9.75", "ok": "true"},
         {"name": "naïve-ünïcode", "qty": "1200000", "price": "42", "ok": "false"},
     ]
+
+
+def test_read_xls_v4_container(tmp_path):
+    """4096-byte-sector (version 4) compound files parse via the
+    header's sector-shift field."""
+    p = tmp_path / "v4.xls"
+    p.write_bytes(make_cfb(make_workbook(ROWS), version=4))
+    got = read_xls(str(p))
+    assert got[0]["name"] == "widget" and got[1]["ok"] == "false"
 
 
 def test_read_xls_fat_path(tmp_path):
