@@ -248,8 +248,13 @@ def bench_stream_cep(spark, sf_dir, tmp):
         # TIMESTAMP (session tz UTC, instant unchanged)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+    # filter_types=True is the scale path: only step-relevant types
+    # shuffle into the stateful operator (they are dense here, so the
+    # watermark still advances; the default-off rationale is sparse
+    # step types — see cep.py)
     out = sequence_match(stream, ["view", "click", "purchase"],
-                         within="2 days", watermark="1 hour")
+                         within="2 days", watermark="1 hour",
+                         filter_types=True)
     matches = {"n": 0}
 
     def grab(batch, _bid):
