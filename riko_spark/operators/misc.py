@@ -103,6 +103,11 @@ _CLDR_LOCALES = {
               "symbols": {"$": "US$", "¥": "JPY"}},
     "ja_JP": {"decimal": ".", "group": ",", "suffix": False,
               "symbols": {"¥": "￥"}},
+    "it_IT": {"decimal": ",", "group": ".", "suffix": True,
+              "symbols": {"$": "US$", "¥": "JPY"}},
+    "pt_BR": {"decimal": ",", "group": ".", "suffix": False,
+              "prefix_space": True,
+              "symbols": {"$": "US$", "¥": "JP¥"}},
 }
 
 
@@ -153,8 +158,9 @@ def currencyformat_op(
             # CLDR "#,##0.00 ¤" pattern (de_DE/fr_FR): NBSP + symbol after
             return F.concat(sign, number, F.lit(" " + symbol))
         # CLDR currencySpacing: insert U+00A0 when the symbol ends in a
-        # letter/digit (alphabetic codes), none for $/¥/£-style symbols
-        sep = " " if symbol[-1].isalnum() else ""
+        # letter/digit (alphabetic codes), none for $/¥/£-style symbols;
+        # prefix_space locales (pt_BR "¤ #,##0.00") always space
+        sep = " " if (symbol[-1].isalnum() or loc.get("prefix_space")) else ""
         return F.concat(sign, F.lit(symbol + sep), number)
 
     if isinstance(currency, dict) and "subkey" in currency:

@@ -139,11 +139,14 @@ def repetition_stats_op(df: DataFrame, conf: dict | None = None,
     * ``top_bigram_frac`` — fraction of words covered by the single
       most frequent word 2-gram
 
-    All native array expressions — no explode, no Python: the per-row
-    mode of the bigram multiset is a sort + one linear run-length fold
-    (``aggregate`` with a (prev, run, best) struct accumulator), so the
-    whole thing stays in whole-stage codegen and scan-scales at 100 TB.
-    Ratios are rounded to 6 dp for cross-engine value comparison."""
+    All native array expressions — no explode, no shuffle, no Python:
+    the per-row mode of the bigram multiset is a sort + one linear
+    run-length fold (``aggregate`` with a (prev, run, best) struct
+    accumulator).  Higher-order array functions are CodegenFallback in
+    Spark, so the projection evaluates as interpreted JVM expressions
+    rather than whole-stage codegen (plan-audited) — still an order of
+    magnitude over Python rows, and embarrassingly scan-parallel at
+    100 TB.  Ratios are rounded to 6 dp for cross-engine comparison."""
     text = F.col(field)
     lines = F.filter(F.split(text, "\n"), lambda x: x != F.lit(""))
     toks = words_col(text)

@@ -314,3 +314,24 @@ def test_currencyformat_es_min_grouping_rounds_across_threshold(spark):
                             field="amt", assign="x")
     got = [r.x for r in out.orderBy(F.desc("amt")).collect()]
     assert got == ["10.000,00 €", "9999,40 €"]
+
+
+def test_currencyformat_locales_it_pt(spark):
+    """it_IT (suffix, '.'-grouping) and pt_BR (prefix symbol with the
+    CLDR "¤ #,##0.00" mandatory space) — pure _CLDR_LOCALES rows."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.operators.misc import currencyformat_op
+
+    df = spark.createDataFrame([(1234.5,), (-10.33,)], "amt double")
+
+    def got(loc, cur):
+        out = currencyformat_op(df, {"currency": cur, "locale": loc},
+                                field="amt", assign="x")
+        return [r.x for r in out.orderBy(F.desc("amt")).collect()]
+
+    assert got("it_IT", "EUR") == ["1.234,50 €", "-10,33 €"]
+    assert got("it_IT", "USD") == ["1.234,50 US$", "-10,33 US$"]
+    assert got("pt_BR", "BRL") == ["R$ 1.234,50", "-R$ 10,33"]
+    assert got("pt_BR", "USD") == ["US$ 1.234,50", "-US$ 10,33"]
+    assert got("pt_BR", "EUR") == ["€ 1.234,50", "-€ 10,33"]
