@@ -574,7 +574,8 @@ def threshold_match(
     """Frequency pattern (the monitoring-alert shape): emit every
     ``event_type`` event that is the ``n``-th occurrence of that type
     for its key inside the trailing ``within`` window — e.g. '3 errors
-    within 5 minutes'.  A sustained burst re-alerts each time the
+    within 5 minutes'.  ``event_type`` may be a LIST of alternatives
+    counted together ('3 errors-or-timeouts within 5 minutes').  A sustained burst re-alerts each time the
     trailing count re-crosses exactly ``n`` (alert re-arming),
     deterministically.
 
@@ -585,6 +586,7 @@ def threshold_match(
     """
     if n < 1:
         raise ValueError("threshold_match needs n >= 1")
+    event_type = [event_type] if isinstance(event_type, str) else list(event_type)
     if df.isStreaming:
         return _threshold_match_stream(
             df, event_type, n, key, ts_col, type_col, within, event_id_col,
@@ -592,7 +594,7 @@ def threshold_match(
         )
     within_ms = _parse_duration_ms(within)
     ev = (
-        df.filter(F.col(type_col) == event_type)
+        df.filter(F.col(type_col).isin(event_type))
         .select(F.col(key), F.col(ts_col), F.col(event_id_col))
         .withColumn("__us", F.unix_micros(F.col(ts_col).cast("timestamp")))
     )
@@ -634,7 +636,7 @@ def _threshold_match_stream(
             buf = list(zip(ts_l, eid_l))
         if not state.hasTimedOut:
             for pdf in pdfs:
-                mask = pdf[type_col] == event_type
+                mask = pdf[type_col].isin(event_type)
                 micros = pdf[ts_col].astype("int64") // 1000
                 buf.extend(zip(micros[mask], pdf[event_id_col][mask]))
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -677,7 +679,7 @@ def _threshold_match_stream(
                 "anchor_ts": [pd.Timestamp(t, unit="us") for t, _ in alerts],
             })
 
-    src = df.filter(F.col(type_col) == event_type) if filter_types else df
+    src = df.filter(F.col(type_col).isin(event_type)) if filter_types else df
     return (
         src.withWatermark(ts_col, watermark)
         .groupBy(key)

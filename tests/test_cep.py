@@ -739,3 +739,22 @@ def test_absence_match_alternation_batch(spark):
         ).collect()
     )
     assert got == [(1, 3), (2, 6)]
+
+
+def test_threshold_match_alternation(spark):
+    """A type-set threshold: the 3rd error-or-timeout within the
+    window alerts, counting both types together."""
+    from riko_spark.streaming.cep import threshold_match
+
+    rows = [
+        _ev(1, 0, 1, "error"), _ev(2, 2, 1, "timeout"), _ev(3, 4, 1, "error"),
+        _ev(4, 40, 1, "error"),             # outside any dense burst
+        _ev(5, 0, 2, "error"), _ev(6, 2, 2, "error"),  # only two
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        (r["user_id"], r["anchor_id"])
+        for r in threshold_match(df, ["error", "timeout"], 3,
+                                 within="10 minutes").collect()
+    )
+    assert got == [(1, 3)]
