@@ -159,10 +159,28 @@ def _parse_sst(payload: bytes, continues: list[bytes]) -> list[str]:
             pos = 0
             continue
         if need == 0 and trail == 0:
-            if pos + 3 > len(buf):  # header split across parts (rare)
-                ip += 1
-                pos = 0
-                continue
+            # The fixed header is cch(2)+flags(1) plus optional
+            # runs(2)/ext(4) fields.  When it straddles a CONTINUE
+            # boundary the unread tail bytes must be CARRIED into the
+            # next part (a mid-header split has no grbit restart byte —
+            # that only applies to character-array splits), never
+            # dropped: dropping them desynchronises every following
+            # shared string.
+            hdr = None
+            if pos + 3 <= len(buf):
+                fpeek = buf[pos + 2]
+                hdr = (3 + (2 if fpeek & 0x08 else 0)
+                       + (4 if fpeek & 0x04 else 0))
+            if hdr is None or pos + hdr > len(buf):
+                if ip + 1 < len(parts):
+                    parts[ip + 1] = buf[pos:] + parts[ip + 1]
+                    ip += 1
+                    pos = 0
+                    continue
+                raise ValueError(
+                    "xls SST truncated inside a shared-string header "
+                    f"(string {len(strings)} of {cst_unique})"
+                )
             cch = struct.unpack_from("<H", buf, pos)[0]
             flags = buf[pos + 2]
             pos += 3

@@ -158,7 +158,16 @@ def _warn_drops(stats: CapStats) -> None:
 
 
 def _poll_pending() -> None:
+    import threading
     import time
+
+    def _release_if_mine() -> None:
+        # Only the thread that owns the singleton slot may clear it:
+        # after the in-loop exit below, a concurrent _enqueue_watch may
+        # legitimately have started a successor poller whose
+        # registration must survive this thread's finally block.
+        if _POLLER and _POLLER[0] is threading.current_thread():
+            _POLLER.clear()
 
     try:
         while True:
@@ -183,7 +192,7 @@ def _poll_pending() -> None:
             with _PENDING_LOCK:
                 _PENDING[:] = [e for e in _PENDING if e[0] not in drained]
                 if not _PENDING:
-                    _POLLER.clear()
+                    _release_if_mine()
                     return
             time.sleep(_POLL_DELAY[0])
             # back off while only long-idle (built-but-unexecuted) plans
@@ -192,9 +201,11 @@ def _poll_pending() -> None:
             _POLL_DELAY[0] = min(_POLL_DELAY[0] * 1.5, 5.0)
     finally:
         # on ANY exit path (including an unexpected error) release the
-        # singleton so the next enqueue can start a fresh poller
+        # singleton so the next enqueue can start a fresh poller — but
+        # never wipe a successor poller registered after our in-loop
+        # exit already released the slot
         with _PENDING_LOCK:
-            _POLLER.clear()
+            _release_if_mine()
 
 
 def _enqueue_watch(stats: CapStats) -> None:

@@ -103,7 +103,7 @@ _CLDR_LOCALES = {
               "symbols": {"$": "US$", "¥": "JPY"}},
     "ja_JP": {"decimal": ".", "group": ",", "suffix": False,
               "symbols": {"¥": "￥"}},
-    "it_IT": {"decimal": ",", "group": ".", "suffix": True,
+    "it_IT": {"decimal": ",", "group": ".", "suffix": True, "min_group": 2,
               "symbols": {"$": "US$", "¥": "JPY"}},
     "pt_BR": {"decimal": ",", "group": ".", "suffix": False,
               "prefix_space": True,

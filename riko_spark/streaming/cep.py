@@ -51,36 +51,107 @@ def _parse_duration_ms(within: str | int | float) -> int:
     return int(n * mult)
 
 
-def _comp_col(ts_col: str, event_id_col: str):
+def _comp_col(ts_col: str, event_id_col: str, on_invalid: str = "raise"):
     # sortable composite identity: zero-padded micros then event id —
     # lexicographic order == (ts, event_id) order, min() == earliest.
     # 19 id digits cover the full NON-NEGATIVE bigint range (snowflake
     # ids included); a negative id's '-' would sort before digits and
-    # reverse the order among negatives, so ids are VALIDATED per row:
-    # null / negative / non-castable-to-bigint ids raise at execution
-    # instead of silently mis-matching (the streaming path enforces the
-    # same contract via _stream_types + its decode).  assert_true is a
-    # throwing expression, so Catalyst cannot fold the check away; cost
-    # is one codegen branch per row.  The timestamp cast covers
-    # TIMESTAMP_NTZ sources (session tz is UTC, instant unchanged);
-    # unix_micros requires TIMESTAMP.  A null timestamp yields a null
-    # composite, i.e. the event is unorderable and ignored by min().
+    # reverse the order among negatives, so ids are VALIDATED per row.
+    # on_invalid="raise" (default): null / negative / non-castable ids
+    # raise at execution instead of silently mis-matching — assert_true
+    # is a throwing expression, so Catalyst cannot fold the check away;
+    # cost is one codegen branch per row.  on_invalid="drop": an
+    # invalid id yields a NULL composite (format_string is null-in →
+    # null-out) and the caller filters the row out, so one malformed id
+    # cannot abort a large job.  The streaming path enforces the SAME
+    # per-row contract for integer id columns (see _id_guard); string
+    # ids are a streaming-only extension with documented lexicographic
+    # tie order.  The timestamp cast covers TIMESTAMP_NTZ sources
+    # (session tz is UTC, instant unchanged); unix_micros requires
+    # TIMESTAMP.  A null timestamp yields a null composite, i.e. the
+    # event is unorderable and ignored by min().
     eid = F.col(event_id_col).cast("bigint")
-    checked = F.when(
-        F.assert_true(
-            eid.isNotNull() & (eid >= 0),
-            F.concat(
-                F.lit(f"cep: {event_id_col} must be a non-negative bigint "
-                      "for composite ordering, got "),
-                F.coalesce(F.col(event_id_col).cast("string"), F.lit("NULL")),
-            ),
-        ).isNull(),
-        eid,
-    )
-    return F.format_string(
-        "%020d%019d", F.unix_micros(F.col(ts_col).cast("timestamp")),
-        checked,
-    )
+    valid = eid.isNotNull() & (eid >= 0)
+    if on_invalid == "drop":
+        checked = F.when(valid, eid)
+    else:
+        checked = F.when(
+            F.assert_true(
+                valid,
+                F.concat(
+                    F.lit(f"cep: {event_id_col} must be a non-negative "
+                          "bigint for composite ordering, got "),
+                    F.coalesce(F.col(event_id_col).cast("string"),
+                               F.lit("NULL")),
+                ),
+            ).isNull(),
+            eid,
+        )
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    comp = F.format_string("%020d%019d", micros, checked)
+    # format_string renders a null argument as the TEXT 'null' (printf
+    # semantics) rather than null-propagating, so propagate explicitly:
+    # a null ts or a dropped id yields a genuinely NULL composite —
+    # unorderable, ignored by min(), filterable.
+    return F.when(micros.isNotNull() & checked.isNotNull(), comp)
+
+
+def _id_guard(id_t: str, event_id_col: str, on_invalid: str):
+    """Per-batch id validation for the streaming paths — the same
+    contract the batch composite enforces (non-null, non-negative for
+    integer id columns; non-null for string ids).  Returns a function
+    mapping an id Series to a keep-mask, raising in ``on_invalid=
+    'raise'`` mode when any id is invalid."""
+
+    def guard(ids: pd.Series) -> pd.Series:
+        if id_t == "string":
+            bad = ids.isna()
+        else:
+            num = pd.to_numeric(ids, errors="coerce")
+            bad = num.isna() | (num < 0)
+        if bool(bad.any()):
+            if on_invalid == "raise":
+                first = ids[bad].iloc[0]
+                raise ValueError(
+                    f"cep: {event_id_col} must be a non-negative "
+                    f"{id_t} id, got {first!r} (pass on_invalid='drop' "
+                    "to skip malformed rows instead)"
+                )
+            return ~bad
+        return pd.Series(True, index=ids.index)
+
+    return guard
+
+
+#: relevant-type share of the stream above which the auto mode turns
+#: the streaming pre-filter on: with >=10% of events pattern-relevant,
+#: step events are dense enough to carry the watermark themselves, so
+#: filtering below the EventTimeWatermark node cannot stall match
+#: finalization in practice.
+_DENSE_SHARE = 0.10
+
+
+def _resolve_filter_types(filter_types, steps, type_share) -> bool:
+    """``filter_types=None`` = AUTO: enable the relevant-type
+    pre-filter iff a declared/profiled ``type_share`` histogram shows
+    the union of step types is dense (>= _DENSE_SHARE of the stream).
+    Explicit True/False always wins."""
+    if filter_types is not None:
+        return bool(filter_types)
+    if not type_share:
+        return False
+    relevant = {t for alts in steps for t in alts}
+    return sum(float(type_share.get(t, 0.0)) for t in relevant) >= _DENSE_SHARE
+
+
+def profile_type_share(df: DataFrame, type_col: str = "event_type") -> dict:
+    """Cheap batch histogram of event-type shares, for feeding
+    ``type_share`` to the streaming CEP auto filter mode: run it once
+    over a batch sample of the same source (one groupBy over one
+    column — map-side partial agg, tiny shuffle)."""
+    rows = df.groupBy(type_col).count().collect()
+    total = sum(r["count"] for r in rows) or 1
+    return {r[type_col]: r["count"] / total for r in rows}
 
 
 def sequence_match(
@@ -92,7 +163,9 @@ def sequence_match(
     within: str = "30 minutes",
     event_id_col: str = "event_id",
     watermark: str | None = None,
-    filter_types: bool = False,
+    filter_types: bool | None = None,
+    on_invalid: str = "raise",
+    type_share: dict | None = None,
 ) -> DataFrame:
     """Match the ordered ``steps`` sequence per ``key``; one output row
     per completed match with ``step{i}_id`` / ``step{i}_ts`` columns.
@@ -118,8 +191,27 @@ def sequence_match(
 
     Earliest-completion-per-anchor semantics throughout.  Batch and
     streaming frames give identical results for the same input once
-    every event is older than the stream's watermark.
+    every event is older than the stream's watermark, PROVIDED ids obey
+    the shared contract: non-null, non-negative, integer-valued.  Both
+    paths enforce it per row — ``on_invalid="raise"`` (default) aborts
+    with the offending value; ``on_invalid="drop"`` skips malformed
+    rows instead, so one bad id cannot abort a large job.  STRING id
+    columns are a streaming-only extension (web-scale string domains):
+    there, equal-timestamp ties order lexicographically rather than
+    numerically — a documented divergence from the batch path, which
+    requires bigint-castable ids.
+
+    ``filter_types=None`` (default) is AUTO: the streaming relevant-
+    type pre-filter turns on iff ``type_share`` (a type→fraction
+    histogram, e.g. from :func:`profile_type_share` over a batch
+    sample of the same source) shows step types are dense enough
+    (>=10% of the stream) to carry the watermark themselves; explicit
+    ``True``/``False`` always wins.  Sparse step types keep the filter
+    off so non-step events still advance the watermark and match
+    finalization never stalls.
     """
+    if on_invalid not in ("raise", "drop"):
+        raise ValueError("on_invalid must be 'raise' or 'drop'")
     if len(steps) < 2:
         raise ValueError("sequence_match needs at least 2 steps")
     alts_list: list[list[str]] = []
@@ -144,17 +236,20 @@ def sequence_match(
     if df.isStreaming:
         return _sequence_match_stream(
             df, alts_list, key, ts_col, type_col, within, event_id_col,
-            watermark or "0 seconds", filter_types, times,
+            watermark or "0 seconds",
+            _resolve_filter_types(filter_types, alts_list, type_share),
+            times, on_invalid,
         )
     return _sequence_match_batch(
-        df, alts_list, key, ts_col, type_col, within, event_id_col, times
+        df, alts_list, key, ts_col, type_col, within, event_id_col, times,
+        on_invalid,
     )
 
 
 def _sequence_match_batch(
     df: DataFrame, steps: list[list[str]], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str,
-    times: list[int] | None = None,
+    times: list[int] | None = None, on_invalid: str = "raise",
 ) -> DataFrame:
     n = len(steps)
     times = times or [1] * n
@@ -168,7 +263,11 @@ def _sequence_match_batch(
     # the query
     ev = df.filter(F.col(type_col).isin(relevant)).select(
         F.col(key), F.col(ts_col), F.col(event_id_col), F.col(type_col)
-    ).withColumn("__comp", _comp_col(ts_col, event_id_col))
+    ).withColumn("__comp", _comp_col(ts_col, event_id_col, on_invalid))
+    if on_invalid == "drop":
+        # a null composite (bad id OR null ts) is unorderable: drop the
+        # row before the window pass so it neither anchors nor matches
+        ev = ev.filter(F.col("__comp").isNotNull())
 
     # one descending sort per key: for every row, the earliest strictly
     # LATER event of each needed step type (ROWS frame excludes self)
@@ -310,6 +409,7 @@ def _sequence_match_stream(
     df: DataFrame, steps: list[list[str]], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
     filter_types: bool = False, times: list[int] | None = None,
+    on_invalid: str = "raise",
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -317,6 +417,8 @@ def _sequence_match_stream(
     within_ms = _parse_duration_ms(within)
     key_t, id_t = _stream_types(df, key, event_id_col)
     ecast = str if id_t == "string" else int
+    guard = _id_guard(id_t, event_id_col, on_invalid)
+    relevant = sorted({t for alts in steps for t in alts})
     out_schema = ", ".join(
         [f"{key} {key_t}"]
         + [f"step{i}_id {id_t}, step{i}_ts timestamp" for i in range(n)]
@@ -340,7 +442,14 @@ def _sequence_match_stream(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 micros = pdf[ts_col].astype("int64") // 1000  # ns -> µs
-                buf.extend(zip(micros, pdf[event_id_col], pdf[type_col]))
+                # buffer only pattern-relevant types: irrelevant events
+                # never anchor, match, or clear anything, so keeping
+                # them would only bloat state — and, as in the batch
+                # path, id validation is scoped to relevant rows
+                sub = pdf[event_id_col][pdf[type_col].isin(relevant)]
+                idx = sub.index[guard(sub)]
+                buf.extend(zip(micros.loc[idx], pdf[event_id_col].loc[idx],
+                               pdf[type_col].loc[idx]))
         wm_us = state.getCurrentWatermarkMs() * 1000
 
         matches = [m for m in _match_buffer(buf, steps, within_ms, times)
@@ -387,10 +496,9 @@ def _sequence_match_stream(
         # pushes the predicate below the EventTimeWatermark node, so
         # non-step events then no longer advance the watermark — with
         # sparse step types (or flush events of a noise type) match
-        # finalization would stall.  Enable on high-volume streams
-        # where step-relevant events are dense enough to carry the
-        # watermark themselves.
-        relevant = sorted({t for alts in steps for t in alts})
+        # finalization would stall.  Enabled explicitly, or by the
+        # AUTO mode when a type_share histogram shows step-relevant
+        # events are dense enough to carry the watermark themselves.
         src = df.filter(F.col(type_col).isin(relevant))
     return (
         src.withWatermark(ts_col, watermark)
@@ -411,7 +519,9 @@ def absence_match(
     within: str = "30 minutes",
     event_id_col: str = "event_id",
     watermark: str | None = None,
-    filter_types: bool = False,
+    filter_types: bool | None = None,
+    on_invalid: str = "raise",
+    type_share: dict | None = None,
 ) -> DataFrame:
     """Negative pattern (the classic CEP timeout alert): emit every
     ``steps[0]`` event NOT followed by a ``steps[1]`` event within
@@ -431,11 +541,15 @@ def absence_match(
     """
     if len(steps) != 2:
         raise ValueError("absence_match takes exactly [anchor, expected] steps")
+    if on_invalid not in ("raise", "drop"):
+        raise ValueError("on_invalid must be 'raise' or 'drop'")
     steps = [[s] if isinstance(s, str) else list(s) for s in steps]
     if df.isStreaming:
         return _absence_match_stream(
             df, steps, key, ts_col, type_col, within, event_id_col,
-            watermark or "0 seconds", filter_types,
+            watermark or "0 seconds",
+            _resolve_filter_types(filter_types, steps, type_share),
+            on_invalid,
         )
     within_ms = _parse_duration_ms(within)
     relevant = sorted(set(steps[0]) | set(steps[1]))
@@ -443,7 +557,9 @@ def absence_match(
     # sort, and id validation scoped to rows the pattern orders
     ev = df.filter(F.col(type_col).isin(relevant)).select(
         F.col(key), F.col(ts_col), F.col(event_id_col), F.col(type_col)
-    ).withColumn("__comp", _comp_col(ts_col, event_id_col))
+    ).withColumn("__comp", _comp_col(ts_col, event_id_col, on_invalid))
+    if on_invalid == "drop":
+        ev = ev.filter(F.col("__comp").isNotNull())
     w_later = (
         Window.partitionBy(key)
         .orderBy(F.col("__comp").desc())
@@ -476,13 +592,14 @@ def absence_match(
 def _absence_match_stream(
     df: DataFrame, steps: list[str], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
-    filter_types: bool = False,
+    filter_types: bool = False, on_invalid: str = "raise",
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     within_ms = _parse_duration_ms(within)
     key_t, id_t = _stream_types(df, key, event_id_col)
     ecast = str if id_t == "string" else int
+    guard = _id_guard(id_t, event_id_col, on_invalid)
     out_schema = f"{key} {key_t}, anchor_id {id_t}, anchor_ts timestamp"
     # `done` tracks decided (cleared or alerted) anchors; their events
     # stay buffered inside the horizon because with anchor type ==
@@ -504,8 +621,13 @@ def _absence_match_stream(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 micros = pdf[ts_col].astype("int64") // 1000
-                mask = pdf[type_col].isin(relevant)
-                buf.extend(zip(micros[mask], pdf[event_id_col][mask], pdf[type_col][mask]))
+                # id validation scoped to pattern-relevant rows, like
+                # the batch path: junk ids on unrelated types can't
+                # abort the query
+                sub = pdf[event_id_col][pdf[type_col].isin(relevant)]
+                idx = sub.index[guard(sub)]
+                buf.extend(zip(micros.loc[idx], pdf[event_id_col].loc[idx],
+                               pdf[type_col].loc[idx]))
         wm_us = state.getCurrentWatermarkMs() * 1000
         horizon_us = within_ms * 1000
 
@@ -569,7 +691,9 @@ def threshold_match(
     within: str = "30 minutes",
     event_id_col: str = "event_id",
     watermark: str | None = None,
-    filter_types: bool = False,
+    filter_types: bool | None = None,
+    on_invalid: str = "raise",
+    type_share: dict | None = None,
 ) -> DataFrame:
     """Frequency pattern (the monitoring-alert shape): emit every
     ``event_type`` event that is the ``n``-th occurrence of that type
@@ -586,11 +710,15 @@ def threshold_match(
     """
     if n < 1:
         raise ValueError("threshold_match needs n >= 1")
+    if on_invalid not in ("raise", "drop"):
+        raise ValueError("on_invalid must be 'raise' or 'drop'")
     event_type = [event_type] if isinstance(event_type, str) else list(event_type)
     if df.isStreaming:
         return _threshold_match_stream(
             df, event_type, n, key, ts_col, type_col, within, event_id_col,
-            watermark or "0 seconds", filter_types,
+            watermark or "0 seconds",
+            _resolve_filter_types(filter_types, [event_type], type_share),
+            on_invalid,
         )
     within_ms = _parse_duration_ms(within)
     ev = (
@@ -617,13 +745,14 @@ def threshold_match(
 def _threshold_match_stream(
     df: DataFrame, event_type: str, n: int, key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
-    filter_types: bool = False,
+    filter_types: bool = False, on_invalid: str = "raise",
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     within_ms = _parse_duration_ms(within)
     key_t, id_t = _stream_types(df, key, event_id_col)
     ecast = str if id_t == "string" else int
+    guard = _id_guard(id_t, event_id_col, on_invalid)
     out_schema = f"{key} {key_t}, anchor_id {id_t}, anchor_ts timestamp"
     # frontier: decisions are made once, for events in (frontier, wm]
     state_schema = f"ts array<bigint>, eid array<{id_t}>, frontier bigint"
@@ -636,9 +765,10 @@ def _threshold_match_stream(
             buf = list(zip(ts_l, eid_l))
         if not state.hasTimedOut:
             for pdf in pdfs:
-                mask = pdf[type_col].isin(event_type)
                 micros = pdf[ts_col].astype("int64") // 1000
-                buf.extend(zip(micros[mask], pdf[event_id_col][mask]))
+                sub = pdf[event_id_col][pdf[type_col].isin(event_type)]
+                idx = sub.index[guard(sub)]
+                buf.extend(zip(micros.loc[idx], pdf[event_id_col].loc[idx]))
         wm_us = state.getCurrentWatermarkMs() * 1000
         horizon_us = within_ms * 1000
 

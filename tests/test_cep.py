@@ -758,3 +758,153 @@ def test_threshold_match_alternation(spark):
                                  within="10 minutes").collect()
     )
     assert got == [(1, 3)]
+
+# ----------------------------------------------------- round-5 additions
+
+def test_sequence_match_on_invalid_drop_batch(spark):
+    """on_invalid='drop': a malformed id among relevant types skips that
+    ROW instead of aborting the query; results equal the clean input's.
+    Default mode still raises."""
+    from pyspark.errors import PySparkException
+
+    dirty = list(ROWS) + [(-99, T0 + dt.timedelta(minutes=1), 1, "click")]
+    df = spark.createDataFrame(dirty, SCHEMA)
+
+    with pytest.raises(PySparkException):
+        _collect(sequence_match(df, STEPS, within="30 minutes"), 3)
+
+    clean_expected = _collect(
+        sequence_match(spark.createDataFrame(ROWS, SCHEMA), STEPS,
+                       within="30 minutes"), 3)
+    got = _collect(
+        sequence_match(df, STEPS, within="30 minutes", on_invalid="drop"), 3)
+    assert got == clean_expected
+
+
+def test_id_guard_contract():
+    """Streaming per-batch id guard enforces the batch composite's
+    contract: null/negative integer ids raise (or drop), string ids
+    only need to be non-null."""
+    import pandas as pd
+
+    from riko_spark.streaming.cep import _id_guard
+
+    g = _id_guard("bigint", "event_id", "raise")
+    assert g(pd.Series([1, 2, 3])).all()
+    with pytest.raises(ValueError, match="non-negative"):
+        g(pd.Series([1, -2, 3]))
+    with pytest.raises(ValueError, match="non-negative"):
+        g(pd.Series([1.0, None, 3.0]))
+
+    gd = _id_guard("bigint", "event_id", "drop")
+    assert list(gd(pd.Series([1, -2, None, 4]))) == [True, False, False, True]
+
+    gs = _id_guard("string", "event_id", "drop")
+    assert list(gs(pd.Series(["a", None, "c"]))) == [True, False, True]
+
+
+def test_sequence_match_stream_on_invalid_drop(spark, tmp_path):
+    """Streaming drop mode ≡ batch drop mode on input containing a
+    malformed id — the shared contract, enforced on both paths."""
+    import time
+
+    dirty = list(ROWS) + [(-99, T0 + dt.timedelta(minutes=1), 1, "click")]
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "error") for u in range(1, 6)]
+    df = spark.createDataFrame(dirty + flush, SCHEMA)
+    expected = _collect(
+        sequence_match(df, STEPS, within="30 minutes", on_invalid="drop"), 3)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(dirty, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = sequence_match(stream, STEPS, within="30 minutes",
+                         watermark="0 seconds", on_invalid="drop")
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in batch.select(
+            "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+            "step2_id", "step2_ts").collect())
+
+    q = (out.writeStream.foreachBatch(grab).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert sorted(sink) == expected
+
+
+def test_filter_types_auto_resolution():
+    """AUTO mode (filter_types=None): pre-filter turns on iff the
+    declared type_share shows step types are dense; explicit flags
+    always win; no histogram = off (never stall finalization)."""
+    from riko_spark.streaming.cep import _resolve_filter_types
+
+    steps = [["view"], ["click"], ["purchase"]]
+    dense = {"view": 0.4, "click": 0.3, "purchase": 0.2, "error": 0.1}
+    sparse = {"view": 0.01, "click": 0.01, "purchase": 0.01, "noise": 0.97}
+    assert _resolve_filter_types(None, steps, dense) is True
+    assert _resolve_filter_types(None, steps, sparse) is False
+    assert _resolve_filter_types(None, steps, None) is False
+    assert _resolve_filter_types(False, steps, dense) is False
+    assert _resolve_filter_types(True, steps, sparse) is True
+
+
+def test_profile_type_share(spark):
+    from riko_spark.streaming.cep import profile_type_share
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    share = profile_type_share(df)
+    assert abs(sum(share.values()) - 1.0) < 1e-9
+    assert share["view"] == pytest.approx(6 / len(ROWS))
+
+
+def test_sequence_match_stream_filter_types_auto(spark, tmp_path):
+    """End-to-end AUTO: a dense type_share takes the filtered plan
+    (non-step flush events are dropped pre-watermark, so their anchors
+    never appear and only step types reach the state store), while a
+    sparse histogram keeps the filter off and noise-type flush events
+    still finalize matches."""
+    import time
+
+    from riko_spark.streaming.cep import profile_type_share
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    batch_df = spark.createDataFrame(ROWS, SCHEMA)
+    share = profile_type_share(batch_df)  # ROWS are step-type dense
+    assert sum(share.get(t, 0) for t in STEPS) >= 0.10
+
+    # dense AUTO -> filtered plan: flush must be a STEP type to advance
+    # the watermark (same contract as explicit filter_types=True)
+    flush = [(900 + u, flush_ts, u, "view") for u in range(1, 6)]
+    df = spark.createDataFrame(list(ROWS) + flush, SCHEMA)
+    expected = _collect(sequence_match(df, STEPS, within="30 minutes"), 3)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = sequence_match(stream, STEPS, within="30 minutes",
+                         watermark="0 seconds", type_share=share)
+    # the filtered plan is visible in the analyzed streaming plan: a
+    # type-isin Filter sits below the watermark node
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "event_type" in plan and "purchase" in plan
+
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in batch.select(
+            "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+            "step2_id", "step2_ts").collect())
+
+    q = (out.writeStream.foreachBatch(grab).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert sorted(sink) == expected

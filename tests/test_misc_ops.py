@@ -330,8 +330,15 @@ def test_currencyformat_locales_it_pt(spark):
                                 field="amt", assign="x")
         return [r.x for r in out.orderBy(F.desc("amt")).collect()]
 
-    assert got("it_IT", "EUR") == ["1.234,50 €", "-10,33 €"]
-    assert got("it_IT", "USD") == ["1.234,50 US$", "-10,33 US$"]
+    # CLDR it.xml sets minimumGroupingDigits=2 (like es_ES): no
+    # separator at 4 integer digits, separator from 5 digits up.
+    assert got("it_IT", "EUR") == ["1234,50 €", "-10,33 €"]
+    assert got("it_IT", "USD") == ["1234,50 US$", "-10,33 US$"]
+
+    df5 = spark.createDataFrame([(12345.0,)], "amt double")
+    out5 = currencyformat_op(df5, {"currency": "EUR", "locale": "it_IT"},
+                             field="amt", assign="x")
+    assert [r.x for r in out5.collect()] == ["12.345,00 €"]
     assert got("pt_BR", "BRL") == ["R$ 1.234,50", "-R$ 10,33"]
     assert got("pt_BR", "USD") == ["US$ 1.234,50", "-US$ 10,33"]
     assert got("pt_BR", "EUR") == ["€ 1.234,50", "-€ 10,33"]

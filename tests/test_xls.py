@@ -212,6 +212,38 @@ def test_sst_continue_split():
     assert _parse_sst(first, [cont]) == [s1, s2]
 
 
+def test_sst_header_straddles_continue():
+    """cch/flags header split across the CONTINUE boundary: the unread
+    tail byte must be carried into the next part (no grbit restart for
+    mid-header splits), not dropped — dropping it desynchronises every
+    following shared string."""
+    s1, s2, s3 = "first", "second", "third"
+    body1 = struct.pack("<HB", len(s1), 0) + s1.encode()
+    hdr2 = struct.pack("<HB", len(s2), 0)
+    # part 1 ends after ONE byte of s2's 3-byte header
+    first = struct.pack("<II", 3, 3) + body1 + hdr2[:1]
+    cont = (hdr2[1:] + s2.encode()
+            + struct.pack("<HB", len(s3), 0) + s3.encode())
+    assert _parse_sst(first, [cont]) == [s1, s2, s3]
+
+    # split after TWO header bytes (cch complete, flags missing)
+    first2 = struct.pack("<II", 3, 3) + body1 + hdr2[:2]
+    cont2 = (hdr2[2:] + s2.encode()
+             + struct.pack("<HB", len(s3), 0) + s3.encode())
+    assert _parse_sst(first2, [cont2]) == [s1, s2, s3]
+
+
+def test_sst_truncated_header_raises():
+    """A header cut off with no following CONTINUE is a clear error,
+    not silent garbage."""
+    s1 = "ok"
+    first = (struct.pack("<II", 2, 2)
+             + struct.pack("<HB", len(s1), 0) + s1.encode()
+             + b"\x05")  # orphan first byte of the next header
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_sst(first, [])
+
+
 def test_fetchtable_reads_xls(spark, tmp_path):
     from riko_spark.operators.webtext import fetchtable_op
 
