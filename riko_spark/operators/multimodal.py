@@ -1,10 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
-The decode/feature kernels need codec libraries absent from this
-container, so the *kernels* are stubbed deterministically, while the
-Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
-signatures, partition sizing — is real and tested.  Swapping the stub
-for PIL/torchaudio/ffmpeg is a one-function change per modality.
+Image (PNG/BMP) and audio (PCM WAV) decode are REAL, dependency-free
+kernels built from the public specs with stdlib ``struct``/``zlib``
+(riko_spark/functions/imagecodec.py, wavcodec.py) running inside the
+``mapInPandas`` plumbing — one Arrow batch of blobs per task, the right
+shape for batched CPU/GPU feature extraction at 100 TB.  Formats whose
+entropy coders need codec libraries this container doesn't ship
+(JPEG/MP3/H.264) fall back to a clearly-documented deterministic stub
+(images) or raise (audio/video frames); swapping in PIL/ffmpeg is a
+one-function change per modality.
 """
 
 from __future__ import annotations
@@ -23,7 +27,13 @@ MEDIA_META_SCHEMA = (
 )
 
 IMAGE_FEATURES_SCHEMA = (
-    "id bigint, width int, height int, feature array<float>"
+    "id bigint, width int, height int, channels int, feature array<float>"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "id bigint, sample_rate int, channels int, n_frames bigint, "
+    "duration_ms bigint, win_idx int, win_frames int, win_sumsq bigint, "
+    "win_rms float"
 )
 
 FRAME_SAMPLE_SCHEMA = "id bigint, frame_idx int, frame bytes".replace("bytes", "binary")
@@ -31,6 +41,7 @@ FRAME_SAMPLE_SCHEMA = "id bigint, frame_idx int, frame bytes".replace("bytes", "
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
+    b"BM": "image/bmp",
     b"RIFF": "audio/wav",
     b"\x00\x00\x00": "video/mp4",
 }
@@ -68,6 +79,7 @@ def media_metadata_op(df: DataFrame, conf: dict | None = None,
         F.octet_length(blob).cast("bigint").alias("n_bytes"),
         F.when(magic.startswith("89504E47"), "image/png")
         .when(magic.startswith("FFD8FF"), "image/jpeg")
+        .when(magic.startswith("424D"), "image/bmp")
         .when(magic.startswith("52494646"), "audio/wav")
         .otherwise("application/octet-stream")
         .alias("media_type"),
@@ -75,26 +87,116 @@ def media_metadata_op(df: DataFrame, conf: dict | None = None,
     )
 
 
+def _grid_feature(px: np.ndarray, grid: int = 4) -> np.ndarray:
+    """``grid``×``grid`` mean-intensity descriptor in [0, 1]: intensity
+    = mean over channels, cell boundaries at ``dim*i//grid`` (exact for
+    multiples of ``grid``, deterministic for everything else).  The
+    classic cheap near-dup / quality signal for image corpora — and,
+    being pure integer sums underneath, exactly recomputable by an
+    independent oracle from planted pixel formulas."""
+    h, w, _c = px.shape
+    gray = px.mean(axis=2, dtype=np.float64)
+    feats = []
+    for gy in range(grid):
+        y0, y1 = h * gy // grid, h * (gy + 1) // grid
+        for gx in range(grid):
+            x0, x1 = w * gx // grid, w * (gx + 1) // grid
+            cell = gray[y0:y1, x0:x1]
+            feats.append(cell.mean() / 255.0 if cell.size else 0.0)
+    return np.asarray(feats, dtype=np.float32)
+
+
 @register("image_features")
 def image_features_op(df: DataFrame, conf: dict | None = None,
-                      field: str = "blob", id_col: str = "id") -> DataFrame:
-    """Decode → resize → feature-extract over Arrow batches.
+                      field: str = "blob", id_col: str = "id",
+                      on_undecodable: str = "stub") -> DataFrame:
+    """Decode → feature-extract over Arrow batches.
 
     ``mapInPandas`` so each task holds one Arrow batch of images — the
-    right shape for batched GPU/CPU inference.  Decode kernel is the
-    deterministic stub (container has no image libs)."""
+    right shape for batched GPU/CPU inference.  PNG and BMP decode with
+    the REAL stdlib kernels (functions/imagecodec.py): actual pixel
+    grids, actual width/height/channels, and a 4×4 mean-intensity grid
+    feature.  Formats without a native kernel (JPEG needs an entropy
+    decoder) follow ``on_undecodable``: "stub" (default) emits the
+    deterministic fake with ``channels=0`` marking the row synthetic,
+    "skip" drops the row, "raise" aborts."""
+    conf = conf or {}
+    on_undecodable = conf.get("on_undecodable", on_undecodable)
+    if on_undecodable not in ("stub", "skip", "raise"):
+        raise ValueError("on_undecodable must be 'stub', 'skip' or 'raise'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from riko_spark.functions.imagecodec import decode_image
+
         for pdf in batches:
             rows = []
             for rid, b in zip(pdf[id_col], pdf[field]):
                 if b is None:
                     continue
-                w, h, feat = _decode_image_stub(bytes(b))
-                rows.append((rid, w, h, feat.tolist()))
-            yield pd.DataFrame(rows, columns=["id", "width", "height", "feature"])
+                b = bytes(b)
+                try:
+                    w, h, c, px = decode_image(b)
+                except ValueError:
+                    if on_undecodable == "raise":
+                        raise
+                    if on_undecodable == "skip":
+                        continue
+                    w, h, feat = _decode_image_stub(b)
+                    rows.append((rid, w, h, 0, feat.tolist()))
+                    continue
+                rows.append((rid, w, h, c, _grid_feature(px).tolist()))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "channels", "feature"]
+            )
 
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+@register("audio_features")
+def audio_features_op(df: DataFrame, conf: dict | None = None,
+                      field: str = "blob", id_col: str = "id",
+                      window_frames: int = 1024) -> DataFrame:
+    """PCM WAV decode + windowed loudness stats, one row per analysis
+    window (UDTF shape: one blob in → ``ceil(frames/window)`` rows out).
+
+    Real stdlib kernel (functions/wavcodec.py): sample rate, channel
+    count, frame count, duration, and per-window ``sum(sample²)``
+    (exact int64 — oracle-recomputable) plus RMS.  Undecodable blobs
+    raise: compressed audio needs a codec library, and silently fake
+    loudness values would poison downstream quality filters."""
+    conf = conf or {}
+    window_frames = int(conf.get("window_frames", window_frames))
+    if window_frames < 1:
+        raise ValueError("window_frames must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from riko_spark.functions.wavcodec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[field]):
+                if b is None:
+                    continue
+                rate, ch, samples = decode_wav(bytes(b))
+                frames = samples.shape[0]
+                dur_ms = frames * 1000 // rate
+                sq = samples.astype(np.int64) ** 2
+                for wi in range(0, max(1, -(-frames // window_frames))):
+                    lo = wi * window_frames
+                    hi = min(frames, lo + window_frames)
+                    if lo >= frames and frames > 0:
+                        break
+                    wsq = int(sq[lo:hi].sum())
+                    n = (hi - lo) * ch
+                    rms = float(np.sqrt(wsq / n)) if n else 0.0
+                    rows.append((rid, rate, ch, frames, dur_ms, wi,
+                                 hi - lo, wsq, rms))
+            yield pd.DataFrame(rows, columns=[
+                "id", "sample_rate", "channels", "n_frames", "duration_ms",
+                "win_idx", "win_frames", "win_sumsq", "win_rms",
+            ])
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 @register("frame_sample")
@@ -124,11 +226,3 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
-def audio_decode_stub(*_args, **_kwargs):
-    """Placeholder for the audio decode kernel (torchaudio/soundfile
-    not in this container)."""
-    raise NotImplementedError(
-        "audio decode requires an audio codec library; wire soundfile/"
-        "torchaudio here — the mapInPandas plumbing is media_metadata/"
-        "image_features-shaped"
-    )

@@ -1,0 +1,260 @@
+"""Real media kernels: PNG/BMP decode against hand-assembled files
+(independent filter application, not the encoder), WAV decode against
+hand-packed RIFF bytes, and the Spark ops end-to-end."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from riko_spark.functions.imagecodec import (
+    PNG_MAGIC,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_bmp,
+    encode_png,
+)
+from riko_spark.functions.wavcodec import decode_wav, encode_wav
+
+
+def _chunk(tag, body):
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _hand_png(px, filters):
+    """Build a PNG with per-row filter types applied by PLAIN PYTHON
+    loops — an independent implementation of the spec's filter math, so
+    decoder tests aren't encoder round-trips."""
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    flat = px.reshape(h, w * c).astype(int)
+    for y, ft in zip(range(h), filters):
+        raw.append(ft)
+        for i in range(w * c):
+            x = flat[y][i]
+            a = flat[y][i - c] if i >= c else 0
+            b = flat[y - 1][i] if y > 0 else 0
+            cc = flat[y - 1][i - c] if (y > 0 and i >= c) else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x - a
+            elif ft == 2:
+                v = x - b
+            elif ft == 3:
+                v = x - (a + b) // 2
+            elif ft == 4:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = x - pred
+            raw.append(v % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def _px(h, w, c, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_decode_all_filters_hand_built(c):
+    px = _px(5, 7, c, seed=c)
+    data = _hand_png(px, filters=[0, 1, 2, 3, 4])
+    w, h, ch, got = decode_png(data)
+    assert (w, h, ch) == (7, 5, c)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_png_decode_split_idat_and_ancillary_chunks():
+    px = _px(4, 4, 3, seed=9)
+    base = _hand_png(px, filters=[4, 4, 4, 4])
+    # re-split the IDAT into two chunks with a tEXt chunk between them
+    body = zlib.compress(bytes(bytearray(_rows_filtered(px))))
+    rebuilt = (PNG_MAGIC
+               + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+               + _chunk(b"IDAT", body[:10])
+               + _chunk(b"tEXt", b"Comment\0hand built")
+               + _chunk(b"IDAT", body[10:])
+               + _chunk(b"IEND", b""))
+    assert decode_png(rebuilt)[3].shape == (4, 4, 3)
+    np.testing.assert_array_equal(decode_png(rebuilt)[3], px)
+    np.testing.assert_array_equal(decode_png(base)[3], px)
+
+
+def _rows_filtered(px):
+    h, w, c = px.shape
+    out = bytearray()
+    for y in range(h):
+        out.append(0)
+        out.extend(px[y].reshape(-1).tobytes())
+    return out
+
+
+def test_png_roundtrip_every_encoder_filter():
+    px = _px(6, 8, 4, seed=3)
+    for ft in range(5):
+        w, h, c, got = decode_png(encode_png(px, filter_type=ft))
+        assert (w, h, c) == (8, 6, 4)
+        np.testing.assert_array_equal(got, px)
+
+
+def test_png_rejects_what_it_cannot_decode():
+    with pytest.raises(ValueError, match="magic"):
+        decode_png(b"JFIF not a png")
+    px = _px(2, 2, 3)
+    data = bytearray(encode_png(px))
+    # flip IHDR bit depth to 16 (offset: 8 magic + 8 len/tag + 8 w/h)
+    data[24] = 16
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bytes(data))
+    data = bytearray(encode_png(px))
+    data[25] = 3  # palette color type
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(bytes(data))
+
+
+def test_bmp_decode_hand_built_24bit_padding():
+    """3×2 24-bit BMP packed by hand: bottom-up rows, BGR order, rows
+    padded to 4 bytes (3*3=9 -> 12)."""
+    px = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   [[10, 20, 30], [40, 50, 60], [70, 80, 90]]], dtype=np.uint8)
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        r = b"".join(bytes([px[y, x, 2], px[y, x, 1], px[y, x, 0]])
+                     for x in range(3))
+        rows += r + b"\0" * 3
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(rows),
+                       0, 0, 0, 0)
+    w, h, c, got = decode_bmp(hdr + info + rows)
+    assert (w, h, c) == (3, 2, 3)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_bmp_top_down_and_32bit():
+    px = _px(2, 2, 4, seed=5)
+    rows = b""
+    for y in (0, 1):  # top-down: negative height, natural order
+        rows += b"".join(bytes([px[y, x, 2], px[y, x, 1], px[y, x, 0],
+                                px[y, x, 3]]) for x in range(2))
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(rows),
+                       0, 0, 0, 0)
+    w, h, c, got = decode_bmp(hdr + info + rows)
+    assert (w, h, c) == (2, 2, 4)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_bmp_roundtrip_and_dispatch():
+    px = _px(5, 3, 3, seed=7)
+    data = encode_bmp(px)
+    np.testing.assert_array_equal(decode_bmp(data)[3], px)
+    assert decode_image(data)[:3] == (3, 5, 3)
+    assert decode_image(encode_png(px))[:3] == (3, 5, 3)
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\xff\xd8\xffJPEG...")
+
+
+def test_wav_decode_hand_built_with_list_chunk():
+    """Hand-packed RIFF: fmt, a LIST chunk the walker must skip (odd
+    size -> pad byte), then data.  16-bit stereo."""
+    frames = np.array([[100, -100], [2000, -2000], [32767, -32768]],
+                      dtype="<i2")
+    data = frames.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    lst = b"INFOods"  # 7 bytes -> odd, needs pad
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(lst)) + lst + b"\0"
+            + b"data" + struct.pack("<I", len(data)) + data)
+    rate, ch, got = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch) == (8000, 2)
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_wav_8bit_and_extensible():
+    # 8-bit unsigned PCM recentres around 128
+    raw = bytes([128, 129, 127, 255, 0])
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    rate, ch, got = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch) == (4000, 1)
+    np.testing.assert_array_equal(
+        got[:, 0], (np.array([0, 1, -1, 127, -128], dtype=np.int16) << 8))
+
+    # WAVE_FORMAT_EXTENSIBLE with PCM GUID decodes; non-PCM GUID raises
+    frames = np.array([1, 2, 3], dtype="<i2")
+    guid_pcm = b"\x01\x00\x00\x00" + b"\x00" * 12
+    ext = struct.pack("<HHIIHHHHI", 0xFFFE, 1, 8000, 16000, 2, 16, 22,
+                      16, 0x4) + guid_pcm
+    body = (b"WAVEfmt " + struct.pack("<I", len(ext)) + ext
+            + b"data" + struct.pack("<I", 6) + frames.tobytes())
+    assert decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)[0] == 8000
+
+    bad = bytearray(ext)
+    bad[24] = 2  # ADPCM subformat
+    body = (b"WAVEfmt " + struct.pack("<I", len(bad)) + bytes(bad)
+            + b"data" + struct.pack("<I", 6) + frames.tobytes())
+    with pytest.raises(ValueError, match="not PCM"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_roundtrip_and_rejects():
+    rng = np.random.RandomState(11)
+    frames = rng.randint(-32768, 32767, size=(500, 2)).astype("<i2")
+    rate, ch, got = decode_wav(encode_wav(frames, 16000))
+    assert (rate, ch) == (16000, 2)
+    np.testing.assert_array_equal(got, frames)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3\x03mp3 junk padding padding")
+
+
+# ------------------------------------------------------- Spark ops e2e
+
+def test_image_features_op_real_decode(spark):
+    from riko_spark.operators.multimodal import image_features_op
+
+    px_a = np.full((8, 8, 1), 100, dtype=np.uint8)  # gray PNG
+    px_b = _px(4, 4, 3, seed=2)  # RGB BMP
+    rows = [(1, bytearray(encode_png(px_a))),
+            (2, bytearray(encode_bmp(px_b))),
+            (3, bytearray(b"\xff\xd8\xffJPEG"))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in image_features_op(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (8, 8, 1)
+    assert all(abs(f - 100 / 255) < 1e-6 for f in out[1]["feature"])
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (4, 4, 3)
+    exp = px_b.mean(axis=2)  # 4x4 -> each grid cell is one pixel
+    got = np.array(out[2]["feature"]).reshape(4, 4)
+    np.testing.assert_allclose(got, exp / 255.0, atol=1e-6)
+    assert out[3]["channels"] == 0  # stub fallback marks synthetic rows
+
+    skipped = image_features_op(df, {"on_undecodable": "skip"}).collect()
+    assert sorted(r["id"] for r in skipped) == [1, 2]
+
+
+def test_audio_features_op_windows(spark):
+    from riko_spark.operators.multimodal import audio_features_op
+
+    frames = np.arange(-1200, 1200, dtype=np.int16).reshape(-1, 2)  # 1200 frames
+    blob = bytearray(encode_wav(frames, 8000))
+    df = spark.createDataFrame([(7, blob)], "id long, blob binary")
+    rows = sorted(audio_features_op(df, {"window_frames": 500}).collect(),
+                  key=lambda r: r["win_idx"])
+    assert len(rows) == 3  # 500 + 500 + 200
+    assert [r["win_frames"] for r in rows] == [500, 500, 200]
+    r0 = rows[0]
+    assert (r0["sample_rate"], r0["channels"], r0["n_frames"]) == (8000, 2, 1200)
+    assert r0["duration_ms"] == 150
+    sq = frames.astype(np.int64) ** 2
+    for r, (lo, hi) in zip(rows, [(0, 500), (500, 1000), (1000, 1200)]):
+        assert r["win_sumsq"] == int(sq[lo:hi].sum())
+        assert abs(r["win_rms"] - float(np.sqrt(r["win_sumsq"] / ((hi - lo) * 2)))) < 1e-3
