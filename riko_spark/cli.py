@@ -89,5 +89,16 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def runpipe_main(argv: list[str] | None = None) -> int:
+    """Console-script twin of the reference's ``runpipe`` entry point
+    (reference pyproject.toml [project.scripts])."""
+    return main(["runpipe", *(sys.argv[1:] if argv is None else argv)])
+
+
+def compile_main(argv: list[str] | None = None) -> int:
+    """Console-script twin of the reference's ``compile`` entry point."""
+    return main(["compile", *(sys.argv[1:] if argv is None else argv)])
+
+
 if __name__ == "__main__":
     sys.exit(main())
