@@ -166,9 +166,18 @@ def sequence_match(
     filter_types: bool | None = None,
     on_invalid: str = "raise",
     type_share: dict | None = None,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Match the ordered ``steps`` sequence per ``key``; one output row
     per completed match with ``step{i}_id`` / ``step{i}_ts`` columns.
+
+    ``state_buckets``: streaming-only throughput knob.  The stateful
+    operator pays a fixed ~ms-scale Arrow/state round-trip per GROUP
+    per micro-batch; grouping state by ``xxhash64(key) % buckets``
+    instead of by raw key amortizes it across ~|keys|/buckets users per
+    bucket with identical per-user semantics and output.  Size it so a
+    bucket holds ~10-100 users (e.g. |keys|/32); None (default) keeps
+    per-key state.
 
     A step may be:
 
@@ -238,7 +247,7 @@ def sequence_match(
             df, alts_list, key, ts_col, type_col, within, event_id_col,
             watermark or "0 seconds",
             _resolve_filter_types(filter_types, alts_list, type_share),
-            times, on_invalid,
+            times, on_invalid, state_buckets,
         )
     return _sequence_match_batch(
         df, alts_list, key, ts_col, type_col, within, event_id_col, times,
@@ -409,7 +418,7 @@ def _sequence_match_stream(
     df: DataFrame, steps: list[list[str]], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
     filter_types: bool = False, times: list[int] | None = None,
-    on_invalid: str = "raise",
+    on_invalid: str = "raise", state_buckets: int | None = None,
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -417,76 +426,123 @@ def _sequence_match_stream(
     within_ms = _parse_duration_ms(within)
     key_t, id_t = _stream_types(df, key, event_id_col)
     ecast = str if id_t == "string" else int
+    kcast = str if key_t == "string" else int
     guard = _id_guard(id_t, event_id_col, on_invalid)
     relevant = sorted({t for alts in steps for t in alts})
     out_schema = ", ".join(
         [f"{key} {key_t}"]
         + [f"step{i}_id {id_t}, step{i}_ts timestamp" for i in range(n)]
     )
-    # `done`: anchors already decided (emitted or expired) — the anchor
-    # EVENT stays in the buffer while inside the horizon because it can
-    # still serve as a later STEP when steps[0]'s type recurs in
-    # steps[1:] (e.g. ['click','click','buy'])
+    # State is keyed by a BUCKET of users (``state_buckets`` set) or by
+    # the user itself (None).  Bucketing amortizes the stateful
+    # operator's per-GROUP fixed cost — measured here at ~4 ms/group/
+    # micro-batch of pure Arrow/state machinery with a no-op function —
+    # across many users: 1500 users at 64 buckets is ~25x fewer group
+    # round-trips per batch.  The per-user logic is IDENTICAL (same
+    # buffer, same done-set, same decisions); only the state
+    # partitioning changes, so batch≡stream parity is preserved.  The
+    # uid column rides inside the state arrays; ``done`` tracks decided
+    # anchors per user (anchor EVENTS stay buffered while inside the
+    # horizon because steps[0]'s type may recur in steps[1:]).
     state_schema = (
-        f"ts array<bigint>, eid array<{id_t}>, et array<string>, "
-        f"done array<{id_t}>"
+        f"uid array<{key_t}>, ts array<bigint>, eid array<{id_t}>, "
+        f"et array<string>, done_uid array<{key_t}>, done array<{id_t}>"
     )
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        buf: list[tuple[int, int, str]] = []
-        done: set = set()
+        import numpy as np
+
+        per_user: dict = {}
+        done_by: dict = {}
         if state.exists:
-            ts_l, eid_l, et_l, done_l = state.get
-            buf = list(zip(ts_l, eid_l, et_l))
-            done = set(done_l or [])
+            uid_l, ts_l, eid_l, et_l, duid_l, done_l = state.get
+            for u, t, e, x in zip(uid_l, ts_l, eid_l, et_l):
+                per_user.setdefault(u, []).append((t, e, x))
+            for u, e in zip(duid_l or [], done_l or []):
+                done_by.setdefault(u, set()).add(e)
         if not state.hasTimedOut:
             for pdf in pdfs:
-                micros = pdf[ts_col].astype("int64") // 1000  # ns -> µs
-                # buffer only pattern-relevant types: irrelevant events
-                # never anchor, match, or clear anything, so keeping
-                # them would only bloat state — and, as in the batch
-                # path, id validation is scoped to relevant rows
-                sub = pdf[event_id_col][pdf[type_col].isin(relevant)]
-                idx = sub.index[guard(sub)]
-                buf.extend(zip(micros.loc[idx], pdf[event_id_col].loc[idx],
-                               pdf[type_col].loc[idx]))
+                # numpy fast path (no pandas Index alignment): buffer
+                # only pattern-relevant types — irrelevant events never
+                # anchor, match, or clear anything — with id validation
+                # scoped to relevant rows, as in the batch path
+                et_a = pdf[type_col].to_numpy()
+                m = np.isin(et_a, relevant)
+                ids_s = pdf[event_id_col][m]
+                ok = guard(ids_s)
+                if not bool(ok.all()):
+                    keep_idx = ids_s.index[ok]
+                    m = np.zeros(len(pdf), dtype=bool)
+                    m[keep_idx] = True
+                micros = (pdf[ts_col].astype("int64").to_numpy() // 1000)[m]
+                uids = pdf[key].to_numpy()[m]
+                eids = pdf[event_id_col].to_numpy()[m]
+                ets = et_a[m]
+                for u, t, e, x in zip(uids, micros, eids, ets):
+                    per_user.setdefault(u, []).append((t, e, x))
         wm_us = state.getCurrentWatermarkMs() * 1000
-
-        matches = [m for m in _match_buffer(buf, steps, within_ms, times)
-                   if m[0][1] not in done]
-        stable = [m for m in matches if m[-1][0] <= wm_us]
-        done |= {m[0][1] for m in stable}
-        # anchors whose window closed unmatched are decided too
-        done |= {eid for ts, eid, et in buf
-                 if et in steps[0] and ts + within_ms * 1000 <= wm_us}
-
-        # evict by horizon only: undecided anchors are always inside it,
-        # decided anchors may still be later-step material
         horizon = wm_us - within_ms * 1000
-        keep = sorted((e for e in buf if e[0] >= horizon))
-        done &= {eid for _, eid, et in keep if et in steps[0]}
-        if keep:
-            state.update((
-                [int(t) for t, _, _ in keep],
-                [ecast(e) for _, e, _ in keep],
-                [str(x) for _, _, x in keep],
-                [ecast(e) for e in done],
-            ))
-            # wake this key when the watermark passes the next decision
-            # point, even with no new data: earliest UNdecided-anchor
-            # deadline or earliest pending event, whichever first
-            deadlines = [t + within_ms * 1000 for t, e, x in keep
-                         if x in steps[0] and e not in done]
-            wake_us = min(deadlines) if deadlines else min(t for t, _, _ in keep)
-            state.setTimeoutTimestamp(max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1))
+
+        out_uid: list = []
+        out_steps: list[list] = [[] for _ in range(n)]
+        s_uid: list = []
+        s_ts: list = []
+        s_eid: list = []
+        s_et: list = []
+        s_duid: list = []
+        s_done: list = []
+        wake_us = None
+        anchor_types = set(steps[0])
+        for u, buf in per_user.items():
+            done = done_by.get(u, set())
+            matches = [m for m in _match_buffer(buf, steps, within_ms, times)
+                       if m[0][1] not in done]
+            stable = [m for m in matches if m[-1][0] <= wm_us]
+            done |= {m[0][1] for m in stable}
+            # anchors whose window closed unmatched are decided too
+            done |= {eid for ts, eid, et in buf
+                     if et in anchor_types and ts + within_ms * 1000 <= wm_us}
+            # evict by horizon only: undecided anchors are always inside
+            # it, decided anchors may still be later-step material
+            keep = sorted(e for e in buf if e[0] >= horizon)
+            done &= {eid for _, eid, et in keep if et in anchor_types}
+            for m in stable:
+                out_uid.append(u)
+                for i in range(n):
+                    out_steps[i].append(m[i])
+            if keep:
+                for t, e, x in keep:
+                    s_uid.append(kcast(u))
+                    s_ts.append(int(t))
+                    s_eid.append(ecast(e))
+                    s_et.append(str(x))
+                for e in done:
+                    s_duid.append(kcast(u))
+                    s_done.append(ecast(e))
+                # wake when the watermark passes this user's next
+                # decision point: earliest UNdecided-anchor deadline or
+                # earliest pending event, whichever first
+                deadlines = [t + within_ms * 1000 for t, e, x in keep
+                             if x in anchor_types and e not in done]
+                w = min(deadlines) if deadlines else keep[0][0]
+                wake_us = w if wake_us is None else min(wake_us, w)
+        if s_uid:
+            state.update((s_uid, s_ts, s_eid, s_et, s_duid, s_done))
+            state.setTimeoutTimestamp(
+                max(int(wake_us) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1)
+            )
         else:
             state.remove()
 
-        if stable:
-            rows = {key: [key_tuple[0]] * len(stable)}
+        if out_uid:
+            rows = {key: out_uid}
             for i in range(n):
-                rows[f"step{i}_id"] = [m[i][1] for m in stable]
-                rows[f"step{i}_ts"] = [pd.Timestamp(m[i][0], unit="us") for m in stable]
+                rows[f"step{i}_id"] = [m[1] for m in out_steps[i]]
+                rows[f"step{i}_ts"] = pd.to_datetime(
+                    np.fromiter((m[0] for m in out_steps[i]), dtype="int64"),
+                    unit="us",
+                )
             yield pd.DataFrame(rows)
 
     src = df
@@ -500,13 +556,22 @@ def _sequence_match_stream(
         # AUTO mode when a type_share histogram shows step-relevant
         # events are dense enough to carry the watermark themselves.
         src = df.filter(F.col(type_col).isin(relevant))
-    return (
-        src.withWatermark(ts_col, watermark)
-        .groupBy(key)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append",
-            GroupStateTimeout.EventTimeTimeout,
-        )
+    wm = src.withWatermark(ts_col, watermark)
+    if state_buckets:
+        # group by a stable hash bucket of the key: same user always
+        # lands in the same bucket (xxhash64 of the key value alone),
+        # so per-user ordering and state locality are preserved.  The
+        # bucket must be a materialized column — applyInPandasWithState
+        # re-resolves grouping attributes by name.
+        grouped = wm.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(int(state_buckets))),
+        ).groupBy("__bkt")
+    else:
+        grouped = wm.groupBy(key)
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

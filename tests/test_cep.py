@@ -908,3 +908,38 @@ def test_sequence_match_stream_filter_types_auto(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(240)
     assert sorted(sink) == expected
+
+
+def test_sequence_match_stream_bucketed_state_parity(spark, tmp_path):
+    """state_buckets groups MANY users per state row (the stateful
+    operator's per-group fixed cost amortizes ~|keys|/buckets×) with
+    bit-identical output to per-key state: same matches, same
+    exactly-once, through the same drain."""
+    import time
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "error") for u in range(1, 6)]
+    df = spark.createDataFrame(list(ROWS) + flush, SCHEMA)
+    expected = _collect(sequence_match(df, STEPS, within="30 minutes"), 3)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = sequence_match(stream, STEPS, within="30 minutes",
+                         watermark="0 seconds", state_buckets=2)
+    sink = []
+
+    def grab(batch, _bid):
+        sink.extend(tuple(r) for r in batch.select(
+            "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+            "step2_id", "step2_ts").collect())
+
+    q = (out.writeStream.foreachBatch(grab).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert sorted(sink) == expected
+    assert len(set(sink)) == len(sink)
