@@ -650,12 +650,22 @@ def q_repetition(spark, sf):
 
 
 def q_media_metadata(spark, sf):
-    d = _t(spark, sf, "documents").select(
-        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("blob")
-    )
+    """Magic-sniff classification over REAL planted blobs — PNG and BMP
+    from the image planting formula, RIFF/WAVE from the audio one, raw
+    text bytes as the octet-stream control; expected types recomputed
+    by the oracle from the planting id arithmetic (round 5: the RIFF
+    branch now checks the WAVE form type at bytes 9-12, so a real WAV
+    header is required to classify as audio/wav)."""
     from riko_spark.operators.multimodal import media_metadata_op
 
-    return media_metadata_op(d).select("id", "n_bytes", "media_type")
+    imgs = _planted_images(spark, sf)
+    wavs = _planted_audio(spark, sf).select(
+        (F.col("id") + F.lit(100000)).alias("id"), "blob")
+    txt = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + F.lit(200000)).alias("id"),
+        F.encode("text", "utf-8").alias("blob"))
+    return media_metadata_op(imgs.union(wavs).union(txt)).select(
+        "id", "media_type")
 
 
 def q_image_features(spark, sf):
@@ -1613,9 +1623,21 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """),
         "media_metadata": """
-            SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
-                   'application/octet-stream' AS media_type
-            FROM documents
+            WITH img AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 64
+            ),
+            wav AS (
+              SELECT DISTINCT doc_id + 100000 AS id FROM documents
+              WHERE doc_id < 48
+            ),
+            txt AS (
+              SELECT DISTINCT doc_id + 200000 AS id FROM documents
+              WHERE doc_id < 200
+            )
+            SELECT id, CASE WHEN id % 3 = 1 THEN 'image/bmp'
+                            ELSE 'image/png' END AS media_type FROM img
+            UNION ALL SELECT id, 'audio/wav' FROM wav
+            UNION ALL SELECT id, 'application/octet-stream' FROM txt
         """,
         "sequence_match": """
             WITH ev AS (

@@ -110,6 +110,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     w = h = None
     color_type = depth = interlace = 0
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4: pos + 8]
@@ -119,6 +120,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -127,12 +130,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("PNG: missing IHDR")
     if depth != 8:
         raise ValueError(f"PNG: only 8-bit depth supported, got {depth}")
-    if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"PNG: unsupported color type {color_type} "
-                         "(palette images need a PLTE decoder)")
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image missing PLTE chunk")
+        c = 1  # one index byte per pixel in the filtered stream
+    elif color_type in _PNG_CHANNELS:
+        c = _PNG_CHANNELS[color_type]
+    else:
+        raise ValueError(f"PNG: unsupported color type {color_type}")
     if interlace:
         raise ValueError("PNG: Adam7 interlacing not supported")
-    c = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = w * c
     if len(raw) != h * (stride + 1):
@@ -147,7 +154,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         cur = _unfilter(ft, line, prev, c)
         out[y] = cur
         prev = cur
-    return w, h, c, out.reshape(h, w, c)
+    px = out.reshape(h, w, c)
+    if color_type == 3:
+        # palette lookup: index plane -> RGB (spec: out-of-range index
+        # is a hard error, not silent black)
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        return w, h, 3, plte[px[:, :, 0]]
+    return w, h, c, px
 
 
 def _unfilter(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:

@@ -74,13 +74,19 @@ def media_metadata_op(df: DataFrame, conf: dict | None = None,
     (no decode needed): byte length + magic-number sniff."""
     blob = F.col(field)
     magic = F.hex(F.substring(blob, 1, 4))
+    # RIFF containers disambiguate on the form type at bytes 9-12
+    # (WAVE / AVI / WEBP share the same outer magic)
+    form = F.hex(F.substring(blob, 9, 4))
     return df.select(
         F.col(id_col).alias("id"),
         F.octet_length(blob).cast("bigint").alias("n_bytes"),
         F.when(magic.startswith("89504E47"), "image/png")
         .when(magic.startswith("FFD8FF"), "image/jpeg")
         .when(magic.startswith("424D"), "image/bmp")
-        .when(magic.startswith("52494646"), "audio/wav")
+        .when(magic.startswith("52494646") & (form == "57415645"), "audio/wav")
+        .when(magic.startswith("52494646") & (form == "41564920"), "video/avi")
+        .when(magic.startswith("52494646") & (form == "57454250"), "image/webp")
+        .when(magic.startswith("52494646"), "application/riff")
         .otherwise("application/octet-stream")
         .alias("media_type"),
         magic.alias("magic"),

@@ -587,6 +587,7 @@ def absence_match(
     filter_types: bool | None = None,
     on_invalid: str = "raise",
     type_share: dict | None = None,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Negative pattern (the classic CEP timeout alert): emit every
     ``steps[0]`` event NOT followed by a ``steps[1]`` event within
@@ -614,7 +615,7 @@ def absence_match(
             df, steps, key, ts_col, type_col, within, event_id_col,
             watermark or "0 seconds",
             _resolve_filter_types(filter_types, steps, type_share),
-            on_invalid,
+            on_invalid, state_buckets,
         )
     within_ms = _parse_duration_ms(within)
     relevant = sorted(set(steps[0]) | set(steps[1]))
@@ -658,91 +659,127 @@ def _absence_match_stream(
     df: DataFrame, steps: list[str], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
     filter_types: bool = False, on_invalid: str = "raise",
+    state_buckets: int | None = None,
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     within_ms = _parse_duration_ms(within)
     key_t, id_t = _stream_types(df, key, event_id_col)
     ecast = str if id_t == "string" else int
+    kcast = str if key_t == "string" else int
     guard = _id_guard(id_t, event_id_col, on_invalid)
     out_schema = f"{key} {key_t}, anchor_id {id_t}, anchor_ts timestamp"
-    # `done` tracks decided (cleared or alerted) anchors; their events
-    # stay buffered inside the horizon because with anchor type ==
-    # expected type an anchor event is also clearing material
+    # Same bucketed-state layout as _sequence_match_stream (uid rides in
+    # the state arrays; per-user semantics identical).  `done` tracks
+    # decided (cleared or alerted) anchors; their events stay buffered
+    # inside the horizon because with anchor type == expected type an
+    # anchor event is also clearing material.
     state_schema = (
-        f"ts array<bigint>, eid array<{id_t}>, et array<string>, "
-        f"done array<{id_t}>"
+        f"uid array<{key_t}>, ts array<bigint>, eid array<{id_t}>, "
+        f"et array<string>, done_uid array<{key_t}>, done array<{id_t}>"
     )
     anchors, expects_set = set(steps[0]), set(steps[1])
     relevant = sorted(anchors | expects_set)
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        buf: list[tuple[int, int, str]] = []
-        done: set = set()
+        import numpy as np
+        from bisect import bisect_right as _br
+
+        per_user: dict = {}
+        done_by: dict = {}
         if state.exists:
-            ts_l, eid_l, et_l, done_l = state.get
-            buf = list(zip(ts_l, eid_l, et_l))
-            done = set(done_l or [])
+            uid_l, ts_l, eid_l, et_l, duid_l, done_l = state.get
+            for u, t, e, x in zip(uid_l, ts_l, eid_l, et_l):
+                per_user.setdefault(u, []).append((t, e, x))
+            for u, e in zip(duid_l or [], done_l or []):
+                done_by.setdefault(u, set()).add(e)
         if not state.hasTimedOut:
             for pdf in pdfs:
-                micros = pdf[ts_col].astype("int64") // 1000
-                # id validation scoped to pattern-relevant rows, like
-                # the batch path: junk ids on unrelated types can't
-                # abort the query
-                sub = pdf[event_id_col][pdf[type_col].isin(relevant)]
-                idx = sub.index[guard(sub)]
-                buf.extend(zip(micros.loc[idx], pdf[event_id_col].loc[idx],
-                               pdf[type_col].loc[idx]))
+                micros = pdf[ts_col].astype("int64").to_numpy() // 1000
+                et_a = pdf[type_col].to_numpy()
+                m = np.isin(et_a, relevant)
+                ids_s = pdf[event_id_col][m]
+                ok = guard(ids_s)
+                if not bool(ok.all()):
+                    keep_idx = ids_s.index[ok]
+                    m = np.zeros(len(pdf), dtype=bool)
+                    m[keep_idx] = True
+                for u, t, e, x in zip(pdf[key].to_numpy()[m], micros[m],
+                                      pdf[event_id_col].to_numpy()[m],
+                                      et_a[m]):
+                    per_user.setdefault(u, []).append((t, e, x))
         wm_us = state.getCurrentWatermarkMs() * 1000
         horizon_us = within_ms * 1000
 
-        expects = sorted((t, e) for t, e, x in buf if x in expects_set)
-        alerts = []
-        from bisect import bisect_right as _br
-
-        for ts, eid, et in buf:
-            if et not in anchors or eid in done:
-                continue
-            j = _br(expects, (ts, eid))
-            cleared = j < len(expects) and expects[j][0] <= ts + horizon_us
-            if cleared:
-                done.add(eid)  # followed in time: decided, no alert
-            elif ts + horizon_us <= wm_us:
-                alerts.append((ts, eid))  # window closed, never followed
-                done.add(eid)
-            # else: undecided, keep waiting
-        keep = sorted(e for e in buf if e[0] > wm_us - horizon_us)
-        done &= {eid for _, eid, et in keep if et in anchors}
-        if keep:
-            state.update((
-                [int(t) for t, _, _ in keep],
-                [ecast(e) for _, e, _ in keep],
-                [str(x) for _, _, x in keep],
-                [ecast(e) for e in done],
-            ))
-            deadlines = [t + horizon_us for t, e, x in keep
-                         if x in anchors and e not in done]
-            wake_us = min(deadlines) if deadlines else min(t for t, _, _ in keep)
+        out_uid: list = []
+        out_alerts: list = []
+        s_uid: list = []
+        s_ts: list = []
+        s_eid: list = []
+        s_et: list = []
+        s_duid: list = []
+        s_done: list = []
+        wake_us = None
+        for u, buf in per_user.items():
+            done = done_by.get(u, set())
+            expects = sorted((t, e) for t, e, x in buf if x in expects_set)
+            for ts, eid, et in buf:
+                if et not in anchors or eid in done:
+                    continue
+                j = _br(expects, (ts, eid))
+                cleared = (j < len(expects)
+                           and expects[j][0] <= ts + horizon_us)
+                if cleared:
+                    done.add(eid)  # followed in time: decided, no alert
+                elif ts + horizon_us <= wm_us:
+                    out_uid.append(u)  # window closed, never followed
+                    out_alerts.append((ts, eid))
+                    done.add(eid)
+                # else: undecided, keep waiting
+            keep = sorted(e for e in buf if e[0] > wm_us - horizon_us)
+            done &= {eid for _, eid, et in keep if et in anchors}
+            if keep:
+                for t, e, x in keep:
+                    s_uid.append(kcast(u))
+                    s_ts.append(int(t))
+                    s_eid.append(ecast(e))
+                    s_et.append(str(x))
+                for e in done:
+                    s_duid.append(kcast(u))
+                    s_done.append(ecast(e))
+                deadlines = [t + horizon_us for t, e, x in keep
+                             if x in anchors and e not in done]
+                w = min(deadlines) if deadlines else keep[0][0]
+                wake_us = w if wake_us is None else min(wake_us, w)
+        if s_uid:
+            state.update((s_uid, s_ts, s_eid, s_et, s_duid, s_done))
             state.setTimeoutTimestamp(
-                max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+                max(int(wake_us) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1)
             )
         else:
             state.remove()
-        if alerts:
+        if out_uid:
             yield pd.DataFrame({
-                key: [key_tuple[0]] * len(alerts),
-                "anchor_id": [e for _, e in alerts],
-                "anchor_ts": [pd.Timestamp(t, unit="us") for t, _ in alerts],
+                key: out_uid,
+                "anchor_id": [e for _, e in out_alerts],
+                "anchor_ts": pd.to_datetime(
+                    np.fromiter((t for t, _ in out_alerts), dtype="int64"),
+                    unit="us"),
             })
 
     src = df.filter(F.col(type_col).isin(relevant)) if filter_types else df
-    return (
-        src.withWatermark(ts_col, watermark)
-        .groupBy(key)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append",
-            GroupStateTimeout.EventTimeTimeout,
-        )
+    wm = src.withWatermark(ts_col, watermark)
+    if state_buckets:
+        grouped = wm.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(int(state_buckets))),
+        ).groupBy("__bkt")
+    else:
+        grouped = wm.groupBy(key)
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -759,6 +796,7 @@ def threshold_match(
     filter_types: bool | None = None,
     on_invalid: str = "raise",
     type_share: dict | None = None,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Frequency pattern (the monitoring-alert shape): emit every
     ``event_type`` event that is the ``n``-th occurrence of that type
@@ -783,7 +821,7 @@ def threshold_match(
             df, event_type, n, key, ts_col, type_col, within, event_id_col,
             watermark or "0 seconds",
             _resolve_filter_types(filter_types, [event_type], type_share),
-            on_invalid,
+            on_invalid, state_buckets,
         )
     within_ms = _parse_duration_ms(within)
     ev = (
@@ -811,75 +849,108 @@ def _threshold_match_stream(
     df: DataFrame, event_type: str, n: int, key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
     filter_types: bool = False, on_invalid: str = "raise",
+    state_buckets: int | None = None,
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     within_ms = _parse_duration_ms(within)
     key_t, id_t = _stream_types(df, key, event_id_col)
     ecast = str if id_t == "string" else int
+    kcast = str if key_t == "string" else int
     guard = _id_guard(id_t, event_id_col, on_invalid)
     out_schema = f"{key} {key_t}, anchor_id {id_t}, anchor_ts timestamp"
-    # frontier: decisions are made once, for events in (frontier, wm]
-    state_schema = f"ts array<bigint>, eid array<{id_t}>, frontier bigint"
+    # Bucketed layout like _sequence_match_stream.  frontier: decisions
+    # are made once, for events in (frontier, wm] — all users in a
+    # bucket decide at the same watermark, so ONE frontier per bucket
+    # is exact.
+    state_schema = (
+        f"uid array<{key_t}>, ts array<bigint>, eid array<{id_t}>, "
+        "frontier bigint"
+    )
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        buf: list[tuple[int, int]] = []
+        import numpy as np
+        from bisect import bisect_left as _bl, bisect_right as _br2
+
+        per_user: dict = {}
         frontier = -1
         if state.exists:
-            ts_l, eid_l, frontier = state.get
-            buf = list(zip(ts_l, eid_l))
+            uid_l, ts_l, eid_l, frontier = state.get
+            for u, t, e in zip(uid_l, ts_l, eid_l):
+                per_user.setdefault(u, []).append((t, e))
         if not state.hasTimedOut:
             for pdf in pdfs:
-                micros = pdf[ts_col].astype("int64") // 1000
-                sub = pdf[event_id_col][pdf[type_col].isin(event_type)]
-                idx = sub.index[guard(sub)]
-                buf.extend(zip(micros.loc[idx], pdf[event_id_col].loc[idx]))
+                micros = pdf[ts_col].astype("int64").to_numpy() // 1000
+                m = pdf[type_col].isin(event_type).to_numpy()
+                ids_s = pdf[event_id_col][m]
+                ok = guard(ids_s)
+                if not bool(ok.all()):
+                    keep_idx = ids_s.index[ok]
+                    m = np.zeros(len(pdf), dtype=bool)
+                    m[keep_idx] = True
+                for u, t, e in zip(pdf[key].to_numpy()[m], micros[m],
+                                   pdf[event_id_col].to_numpy()[m]):
+                    per_user.setdefault(u, []).append((t, e))
         wm_us = state.getCurrentWatermarkMs() * 1000
         horizon_us = within_ms * 1000
 
-        buf.sort()
-        alerts = []
-        times = [t for t, _ in buf]
-        from bisect import bisect_left as _bl, bisect_right as _br2
-
-        for idx, (ts, eid) in enumerate(buf):
-            if ts <= frontier or ts > wm_us:
-                continue  # already decided / not yet stable
-            lo = _bl(times, ts - horizon_us + 1)
-            # trailing count = all events in (ts-within, ts], INCLUDING
-            # equal-ts peers — matching the batch RANGE frame, where
-            # peers are in every tied row's frame
-            cnt = _br2(times, ts) - lo
-            if cnt == n:
-                alerts.append((ts, eid))
+        out_uid: list = []
+        out_alerts: list = []
+        s_uid: list = []
+        s_ts: list = []
+        s_eid: list = []
+        wake_us = None
+        for u, buf in per_user.items():
+            buf.sort()
+            times = [t for t, _ in buf]
+            for ts, eid in buf:
+                if ts <= frontier or ts > wm_us:
+                    continue  # already decided / not yet stable
+                lo = _bl(times, ts - horizon_us + 1)
+                # trailing count = all events in (ts-within, ts],
+                # INCLUDING equal-ts peers — matching the batch RANGE
+                # frame, where peers are in every tied row's frame
+                cnt = _br2(times, ts) - lo
+                if cnt == n:
+                    out_uid.append(u)
+                    out_alerts.append((ts, eid))
+            keep = [(t, e) for t, e in buf if t > wm_us - horizon_us]
+            if keep:
+                for t, e in keep:
+                    s_uid.append(kcast(u))
+                    s_ts.append(int(t))
+                    s_eid.append(ecast(e))
+                undecided = [t for t, _ in keep if t > wm_us]
+                w = min(undecided) if undecided else keep[0][0] + horizon_us
+                wake_us = w if wake_us is None else min(wake_us, w)
         frontier = max(frontier, wm_us)
-        keep = [(t, e) for t, e in buf if t > wm_us - horizon_us]
-        if keep:
-            state.update((
-                [int(t) for t, _ in keep],
-                [ecast(e) for _, e in keep],
-                int(frontier),
-            ))
-            undecided = [t for t, _ in keep if t > frontier]
-            wake_us = min(undecided) if undecided else keep[0][0] + horizon_us
+        if s_uid:
+            state.update((s_uid, s_ts, s_eid, int(frontier)))
             state.setTimeoutTimestamp(
-                max(wake_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+                max(int(wake_us) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1)
             )
         else:
             state.remove()
-        if alerts:
+        if out_uid:
             yield pd.DataFrame({
-                key: [key_tuple[0]] * len(alerts),
-                "anchor_id": [e for _, e in alerts],
-                "anchor_ts": [pd.Timestamp(t, unit="us") for t, _ in alerts],
+                key: out_uid,
+                "anchor_id": [e for _, e in out_alerts],
+                "anchor_ts": pd.to_datetime(
+                    np.fromiter((t for t, _ in out_alerts), dtype="int64"),
+                    unit="us"),
             })
 
     src = df.filter(F.col(type_col).isin(event_type)) if filter_types else df
-    return (
-        src.withWatermark(ts_col, watermark)
-        .groupBy(key)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append",
-            GroupStateTimeout.EventTimeTimeout,
-        )
+    wm = src.withWatermark(ts_col, watermark)
+    if state_buckets:
+        grouped = wm.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(int(state_buckets))),
+        ).groupBy("__bkt")
+    else:
+        grouped = wm.groupBy(key)
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
     )

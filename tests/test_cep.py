@@ -943,3 +943,50 @@ def test_sequence_match_stream_bucketed_state_parity(spark, tmp_path):
     q.awaitTermination(240)
     assert sorted(sink) == expected
     assert len(set(sink)) == len(sink)
+
+
+def test_absence_threshold_bucketed_state_parity(spark, tmp_path):
+    """state_buckets for absence_match and threshold_match: identical
+    alerts to per-key state through the same drain."""
+    import time
+
+    from riko_spark.streaming.cep import absence_match, threshold_match
+
+    flush_ts = T0 + dt.timedelta(days=2)
+    flush = [(900 + u, flush_ts, u, "noise") for u in range(1, 6)]
+    df = spark.createDataFrame(list(ROWS) + flush, SCHEMA)
+    exp_abs = sorted(
+        tuple(r) for r in absence_match(df, ["view", "purchase"],
+                                        within="10 minutes")
+        .select("user_id", "anchor_id", "anchor_ts").collect())
+    exp_thr = sorted(
+        tuple(r) for r in threshold_match(df, "click", 2,
+                                          within="40 minutes")
+        .select("user_id", "anchor_id", "anchor_ts").collect())
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(out, ck):
+        sink = []
+        q = (out.writeStream.foreachBatch(
+                lambda b, _i: sink.extend(tuple(r) for r in b.select(
+                    "user_id", "anchor_id", "anchor_ts").collect()))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+        return sorted(sink)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    got_abs = drain(absence_match(stream, ["view", "purchase"],
+                                  within="10 minutes", watermark="0 seconds",
+                                  state_buckets=2), "cka")
+    assert got_abs == exp_abs
+    got_thr = drain(threshold_match(stream, "click", 2, within="40 minutes",
+                                    watermark="0 seconds", state_buckets=2),
+                    "ckt")
+    assert got_thr == exp_thr

@@ -116,7 +116,7 @@ def test_png_rejects_what_it_cannot_decode():
     with pytest.raises(ValueError, match="8-bit"):
         decode_png(bytes(data))
     data = bytearray(encode_png(px))
-    data[25] = 3  # palette color type
+    data[25] = 5  # invalid color type
     with pytest.raises(ValueError, match="color type"):
         decode_png(bytes(data))
 
@@ -258,3 +258,42 @@ def test_audio_features_op_windows(spark):
     for r, (lo, hi) in zip(rows, [(0, 500), (500, 1000), (1000, 1200)]):
         assert r["win_sumsq"] == int(sq[lo:hi].sum())
         assert abs(r["win_rms"] - float(np.sqrt(r["win_sumsq"] / ((hi - lo) * 2)))) < 1e-3
+
+
+def test_png_palette_decode():
+    """Color type 3 (indexed): PLTE lookup, hand-built file."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])  # 4 entries
+    idx = np.array([[0, 1], [2, 3], [3, 0]], dtype=np.uint8)  # 2x3
+    raw = bytearray()
+    for row in idx:
+        raw.append(0)
+        raw.extend(row.tobytes())
+    data = (PNG_MAGIC
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 3, 0, 0, 0))
+            + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    w, h, c, got = decode_png(data)
+    assert (w, h, c) == (2, 3, 3)
+    exp = np.array(np.frombuffer(plte, dtype=np.uint8).reshape(4, 3))[idx]
+    np.testing.assert_array_equal(got, exp)
+
+    # out-of-range index is a hard error, not silent black
+    bad_raw = bytearray()
+    for row in (idx + 10):
+        bad_raw.append(0)
+        bad_raw.extend(row.tobytes())
+    bad = (PNG_MAGIC
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", plte)
+           + _chunk(b"IDAT", zlib.compress(bytes(bad_raw)))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+    # palette image without PLTE
+    noplte = (PNG_MAGIC
+              + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 3, 0, 0, 0))
+              + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+              + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(noplte)

@@ -166,7 +166,12 @@ def test_capped_plan_parks_no_thread_and_poller_drains(spark):
             if not alive:
                 break
             time.sleep(0.3)
-    if target._observed is not None:  # observation delivered → warning too
+    # observation delivered AND the poller drained inside the window →
+    # the warning must have been pushed.  Under full-suite load the
+    # poller can legitimately still be waiting when the window closes
+    # (push delivery is best-effort by design — the authoritative .get
+    # above is the hard assertion), so don't demand the warning then.
+    if target._observed is not None and not alive:
         assert any("t4_0" in str(w.message) for w in caught)
     # never-executed plans cost nothing: .get falls back to the agg job
     got5 = dd.CAP_OBSERVATIONS["t4_5"].get
