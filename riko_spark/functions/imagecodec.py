@@ -255,10 +255,17 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
 def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Sniff + decode: PNG or BMP -> (width, height, channels, pixels).
     Raises ``ValueError`` for other formats (JPEG etc. need entropy
-    decoders this container doesn't ship)."""
-    if data.startswith(PNG_MAGIC[:4]):
-        return decode_png(data)
-    if data[:2] == b"BM":
-        return decode_bmp(data)
+    decoders this container doesn't ship) AND for corrupt/truncated
+    data of a recognized format — struct/zlib errors are normalized so
+    callers can catch one exception type (a text blob that happens to
+    start with 'BM' must hit an undecodable-handler, not abort a job
+    with a raw struct.error)."""
+    try:
+        if data.startswith(PNG_MAGIC[:4]):
+            return decode_png(data)
+        if data[:2] == b"BM":
+            return decode_bmp(data)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"corrupt image data: {e}") from e
     raise ValueError("unsupported image format (PNG and BMP decode "
                      "natively; JPEG needs a codec library)")

@@ -48,6 +48,13 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     subformat GUID is PCM."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
+    try:
+        return _decode_wav_body(data)
+    except struct.error as e:  # truncated header/chunk: one error type
+        raise ValueError(f"corrupt WAV data: {e}") from e
+
+
+def _decode_wav_body(data: bytes) -> tuple[int, int, np.ndarray]:
     pos = 12
     fmt = None
     raw = None

@@ -42,14 +42,20 @@ _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"BM": "image/bmp",
-    b"RIFF": "audio/wav",
     b"\x00\x00\x00": "video/mp4",
 }
+
+#: RIFF form types (bytes 9-12) — mirrors media_metadata_op's SQL
+#: disambiguation so the Python helper and the Spark op always agree
+_RIFF_FORMS = {b"WAVE": "audio/wav", b"AVI ": "video/avi",
+               b"WEBP": "image/webp"}
 
 
 def sniff_media_type(b: bytes | None) -> str:
     if not b:
         return "unknown"
+    if b.startswith(b"RIFF"):
+        return _RIFF_FORMS.get(b[8:12], "application/riff")
     for magic, mt in _MAGIC.items():
         if b.startswith(magic):
             return mt
@@ -187,14 +193,15 @@ def audio_features_op(df: DataFrame, conf: dict | None = None,
                 frames = samples.shape[0]
                 dur_ms = frames * 1000 // rate
                 sq = samples.astype(np.int64) ** 2
-                for wi in range(0, max(1, -(-frames // window_frames))):
+                # exactly ceil(frames/window) rows: a zero-frame WAV
+                # contributes NO rows (a fabricated 0.0 loudness would
+                # poison downstream quality filters)
+                for wi in range(-(-frames // window_frames)):
                     lo = wi * window_frames
                     hi = min(frames, lo + window_frames)
-                    if lo >= frames and frames > 0:
-                        break
                     wsq = int(sq[lo:hi].sum())
                     n = (hi - lo) * ch
-                    rms = float(np.sqrt(wsq / n)) if n else 0.0
+                    rms = float(np.sqrt(wsq / n))
                     rows.append((rid, rate, ch, frames, dur_ms, wi,
                                  hi - lo, wsq, rms))
             yield pd.DataFrame(rows, columns=[

@@ -414,6 +414,37 @@ def _stream_types(df: DataFrame, key: str, event_id_col: str) -> tuple[str, str]
     return key_t, id_t
 
 
+def _grouped_stream(src: DataFrame, ts_col: str, watermark: str,
+                    key: str, state_buckets: int | None):
+    """Watermark + state grouping for the three stream operators: by a
+    materialized ``xxhash64(key) % buckets`` column when bucketing
+    (applyInPandasWithState re-resolves grouping attributes by name),
+    else by the raw key."""
+    wm = src.withWatermark(ts_col, watermark)
+    if state_buckets:
+        return wm.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(int(state_buckets))),
+        ).groupBy("__bkt")
+    return wm.groupBy(key)
+
+
+def _ingest_mask(pdf: pd.DataFrame, m, event_id_col: str, guard):
+    """Final keep-mask over one micro-batch: ``m`` preselects
+    pattern-relevant rows (numpy bool), the guard validates their ids
+    (raising in on_invalid='raise', returning a sub-mask in 'drop').
+    Relies on the Arrow batch's RangeIndex (positions == labels)."""
+    import numpy as np
+
+    ids_s = pdf[event_id_col][m]
+    ok = guard(ids_s)
+    if bool(ok.all()):
+        return m
+    m2 = np.zeros(len(pdf), dtype=bool)
+    m2[ids_s.index[ok]] = True
+    return m2
+
+
 def _sequence_match_stream(
     df: DataFrame, steps: list[list[str]], key: str, ts_col: str,
     type_col: str, within: str, event_id_col: str, watermark: str,
@@ -467,18 +498,12 @@ def _sequence_match_stream(
                 # anchor, match, or clear anything — with id validation
                 # scoped to relevant rows, as in the batch path
                 et_a = pdf[type_col].to_numpy()
-                m = np.isin(et_a, relevant)
-                ids_s = pdf[event_id_col][m]
-                ok = guard(ids_s)
-                if not bool(ok.all()):
-                    keep_idx = ids_s.index[ok]
-                    m = np.zeros(len(pdf), dtype=bool)
-                    m[keep_idx] = True
+                m = _ingest_mask(pdf, np.isin(et_a, relevant),
+                                 event_id_col, guard)
                 micros = (pdf[ts_col].astype("int64").to_numpy() // 1000)[m]
-                uids = pdf[key].to_numpy()[m]
-                eids = pdf[event_id_col].to_numpy()[m]
-                ets = et_a[m]
-                for u, t, e, x in zip(uids, micros, eids, ets):
+                for u, t, e, x in zip(pdf[key].to_numpy()[m], micros,
+                                      pdf[event_id_col].to_numpy()[m],
+                                      et_a[m]):
                     per_user.setdefault(u, []).append((t, e, x))
         wm_us = state.getCurrentWatermarkMs() * 1000
         horizon = wm_us - within_ms * 1000
@@ -556,19 +581,7 @@ def _sequence_match_stream(
         # AUTO mode when a type_share histogram shows step-relevant
         # events are dense enough to carry the watermark themselves.
         src = df.filter(F.col(type_col).isin(relevant))
-    wm = src.withWatermark(ts_col, watermark)
-    if state_buckets:
-        # group by a stable hash bucket of the key: same user always
-        # lands in the same bucket (xxhash64 of the key value alone),
-        # so per-user ordering and state locality are preserved.  The
-        # bucket must be a materialized column — applyInPandasWithState
-        # re-resolves grouping attributes by name.
-        grouped = wm.withColumn(
-            "__bkt",
-            F.pmod(F.xxhash64(F.col(key)), F.lit(int(state_buckets))),
-        ).groupBy("__bkt")
-    else:
-        grouped = wm.groupBy(key)
+    grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout,
@@ -697,13 +710,8 @@ def _absence_match_stream(
             for pdf in pdfs:
                 micros = pdf[ts_col].astype("int64").to_numpy() // 1000
                 et_a = pdf[type_col].to_numpy()
-                m = np.isin(et_a, relevant)
-                ids_s = pdf[event_id_col][m]
-                ok = guard(ids_s)
-                if not bool(ok.all()):
-                    keep_idx = ids_s.index[ok]
-                    m = np.zeros(len(pdf), dtype=bool)
-                    m[keep_idx] = True
+                m = _ingest_mask(pdf, np.isin(et_a, relevant),
+                                 event_id_col, guard)
                 for u, t, e, x in zip(pdf[key].to_numpy()[m], micros[m],
                                       pdf[event_id_col].to_numpy()[m],
                                       et_a[m]):
@@ -769,14 +777,7 @@ def _absence_match_stream(
             })
 
     src = df.filter(F.col(type_col).isin(relevant)) if filter_types else df
-    wm = src.withWatermark(ts_col, watermark)
-    if state_buckets:
-        grouped = wm.withColumn(
-            "__bkt",
-            F.pmod(F.xxhash64(F.col(key)), F.lit(int(state_buckets))),
-        ).groupBy("__bkt")
-    else:
-        grouped = wm.groupBy(key)
+    grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout,
@@ -860,12 +861,15 @@ def _threshold_match_stream(
     guard = _id_guard(id_t, event_id_col, on_invalid)
     out_schema = f"{key} {key_t}, anchor_id {id_t}, anchor_ts timestamp"
     # Bucketed layout like _sequence_match_stream.  frontier: decisions
-    # are made once, for events in (frontier, wm] — all users in a
-    # bucket decide at the same watermark, so ONE frontier per bucket
-    # is exact.
+    # are made once, for events in (frontier, wm] — kept PER USER
+    # (fuid/frontiers pair arrays), because a bucket-global frontier
+    # would silently skip the late-arriving FIRST events of a user who
+    # joined the bucket after its other users advanced it (per-key
+    # state starts such a user at frontier=-1, and parity means the
+    # bucketed path must too).
     state_schema = (
         f"uid array<{key_t}>, ts array<bigint>, eid array<{id_t}>, "
-        "frontier bigint"
+        f"fuid array<{key_t}>, frontiers array<bigint>"
     )
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -873,21 +877,17 @@ def _threshold_match_stream(
         from bisect import bisect_left as _bl, bisect_right as _br2
 
         per_user: dict = {}
-        frontier = -1
+        frontier_by: dict = {}
         if state.exists:
-            uid_l, ts_l, eid_l, frontier = state.get
+            uid_l, ts_l, eid_l, fuid_l, fr_l = state.get
             for u, t, e in zip(uid_l, ts_l, eid_l):
                 per_user.setdefault(u, []).append((t, e))
+            frontier_by = dict(zip(fuid_l or [], fr_l or []))
         if not state.hasTimedOut:
             for pdf in pdfs:
                 micros = pdf[ts_col].astype("int64").to_numpy() // 1000
-                m = pdf[type_col].isin(event_type).to_numpy()
-                ids_s = pdf[event_id_col][m]
-                ok = guard(ids_s)
-                if not bool(ok.all()):
-                    keep_idx = ids_s.index[ok]
-                    m = np.zeros(len(pdf), dtype=bool)
-                    m[keep_idx] = True
+                m = _ingest_mask(pdf, pdf[type_col].isin(event_type).to_numpy(),
+                                 event_id_col, guard)
                 for u, t, e in zip(pdf[key].to_numpy()[m], micros[m],
                                    pdf[event_id_col].to_numpy()[m]):
                     per_user.setdefault(u, []).append((t, e))
@@ -899,8 +899,11 @@ def _threshold_match_stream(
         s_uid: list = []
         s_ts: list = []
         s_eid: list = []
+        s_fuid: list = []
+        s_front: list = []
         wake_us = None
         for u, buf in per_user.items():
+            frontier = frontier_by.get(u, -1)
             buf.sort()
             times = [t for t, _ in buf]
             for ts, eid in buf:
@@ -920,12 +923,13 @@ def _threshold_match_stream(
                     s_uid.append(kcast(u))
                     s_ts.append(int(t))
                     s_eid.append(ecast(e))
+                s_fuid.append(kcast(u))
+                s_front.append(int(max(frontier, wm_us)))
                 undecided = [t for t, _ in keep if t > wm_us]
                 w = min(undecided) if undecided else keep[0][0] + horizon_us
                 wake_us = w if wake_us is None else min(wake_us, w)
-        frontier = max(frontier, wm_us)
         if s_uid:
-            state.update((s_uid, s_ts, s_eid, int(frontier)))
+            state.update((s_uid, s_ts, s_eid, s_fuid, s_front))
             state.setTimeoutTimestamp(
                 max(int(wake_us) // 1000 + 1,
                     state.getCurrentWatermarkMs() + 1)
@@ -942,14 +946,7 @@ def _threshold_match_stream(
             })
 
     src = df.filter(F.col(type_col).isin(event_type)) if filter_types else df
-    wm = src.withWatermark(ts_col, watermark)
-    if state_buckets:
-        grouped = wm.withColumn(
-            "__bkt",
-            F.pmod(F.xxhash64(F.col(key)), F.lit(int(state_buckets))),
-        ).groupBy("__bkt")
-    else:
-        grouped = wm.groupBy(key)
+    grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout,

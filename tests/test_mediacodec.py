@@ -297,3 +297,52 @@ def test_png_palette_decode():
               + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(noplte)
+
+
+def test_image_features_corrupt_blob_falls_back_not_aborts(spark):
+    """Review regression: a text blob that happens to start with 'BM'
+    (or a PNG with corrupt IDAT) must hit the on_undecodable handler —
+    struct/zlib errors normalize to ValueError inside decode_image
+    instead of aborting the whole job."""
+    from riko_spark.functions.imagecodec import decode_image
+    from riko_spark.operators.multimodal import image_features_op
+
+    ok_png = encode_png(_px(4, 4, 1, seed=1))
+    corrupt_png = bytearray(ok_png)
+    corrupt_png[40] ^= 0xFF  # stomp IDAT -> zlib error
+    rows = [(1, bytearray(b"BM plain text that is not a bitmap")),
+            (2, corrupt_png),
+            (3, bytearray(ok_png))]
+    for blob in (bytes(rows[0][1]), bytes(rows[1][1])):
+        with pytest.raises(ValueError):
+            decode_image(blob)
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in image_features_op(df).collect()}
+    assert out[1]["channels"] == 0 and out[2]["channels"] == 0  # stubbed
+    assert out[3]["channels"] == 1  # real decode still works
+    skipped = image_features_op(df, {"on_undecodable": "skip"}).collect()
+    assert [r["id"] for r in skipped] == [3]
+
+
+def test_audio_features_zero_frame_wav_emits_no_rows(spark):
+    """Review regression: an empty data chunk yields ceil(0/w)=0 rows,
+    never a fabricated 0.0-loudness window."""
+    from riko_spark.operators.multimodal import audio_features_op
+
+    empty = encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    real = encode_wav(np.ones((10, 1), dtype=np.int16) * 3, 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(empty)), (2, bytearray(real))], "id long, blob binary")
+    rows = audio_features_op(df, {"window_frames": 4}).collect()
+    assert sorted(r["id"] for r in rows) == [2, 2, 2]  # 4+4+2 frames
+    assert all(r["win_sumsq"] in (36, 18) for r in rows)
+
+
+def test_sniff_media_type_riff_forms():
+    from riko_spark.operators.multimodal import sniff_media_type
+
+    assert sniff_media_type(b"RIFF\x10\x00\x00\x00WAVEfmt ") == "audio/wav"
+    assert sniff_media_type(b"RIFF\x10\x00\x00\x00AVI LIST") == "video/avi"
+    assert sniff_media_type(b"RIFF\x10\x00\x00\x00WEBPVP8 ") == "image/webp"
+    assert sniff_media_type(b"RIFF\x10\x00\x00\x00JUNK") == "application/riff"
+    assert sniff_media_type(b"\x89PNGxxxx") == "image/png"
