@@ -815,6 +815,52 @@ def q_audio_features(spark, sf):
     )
 
 
+_AVI_N = 24
+
+
+def _planted_video(spark, sf):
+    """Planted raw-DIB AVIs: frame f of doc i has every-channel pixel
+    v(x, y) = (i + 2f + 3x + 5y) mod 251, dims/frame-count closed forms
+    of i — per-frame pixel sums recomputable by the oracle
+    (riko_spark/functions/avicodec.py)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _AVI_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.avicodec import encode_avi
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w = 8 + 4 * (i % 3)
+                h = 8 + 4 * ((i * 3 + 1) % 3)
+                nf = 4 + i % 5
+                frames = []
+                for f in range(nf):
+                    v = ((np.add.outer(5 * np.arange(h), 3 * np.arange(w))
+                          + i + 2 * f) % 251).astype(np.uint8)
+                    frames.append(np.repeat(v[:, :, None], 3, axis=2))
+                rows.append((i, bytearray(encode_avi(frames))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_video_frames(spark, sf):
+    """REAL video decode through the RIFF/AVI chunk walk: every 2nd
+    raw-DIB frame's exact pixel sum (int64) — a broken walk, wrong row
+    order, or BGR mix-up changes the sum; the oracle recomputes it from
+    the planted generative formula with generate_series."""
+    from riko_spark.operators.multimodal import video_frames_op
+
+    return video_frames_op(_planted_video(spark, sf),
+                           {"every": 2, "max_frames": 8})
+
+
 def q_sequence_match(spark, sf):
     """CEP sequence detection (view → click → purchase per user within
     2 days, earliest-completion-per-anchor semantics) — the
@@ -1016,9 +1062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlbuilder": q_urlbuilder,
         "urlparse": q_urlparse,
         "itembuilder": q_itembuilder,
-        # -- NEW round 5: real media kernels (stdlib PNG/BMP + WAV) --
+        # -- NEW round 5: real media kernels (stdlib PNG/BMP/AVI + WAV) --
         "image_features_real": q_image_features_real,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         # -- code changed round 5: CEP contract + multimodal dispatch --
         "sequence_match": q_sequence_match,
         "sequence_match_alt": q_sequence_match_alt,
@@ -1047,10 +1094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_totals": q_token_totals,
         "exchangerate": q_exchangerate,
         "uniq_limited": q_uniq_limited,
-        "salted_count": q_salted_count,
         "pipe_graph": q_pipe_graph,
         # -- past position 50: driver-green in CORRECTNESS_r04,
         #    code unchanged this round --
+        "salted_count": q_salted_count,
         "filter": q_filter,
         "filter_or_block": q_filter_or_block,
         "sort_truncate": q_sort_truncate,
@@ -1425,6 +1472,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cell_idx AS INT) AS cell_idx,
                    CAST(SUM(v) AS BIGINT) AS cell_sum
             FROM px GROUP BY id, width, height, channels, cell_idx
+        """,
+        "video_frames": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 24
+            ),
+            dims AS (
+              SELECT id,
+                     8 + 4*(id % 3) AS width,
+                     8 + 4*((id*3 + 1) % 3) AS height,
+                     4 + id % 5 AS nf
+              FROM ids
+            ),
+            fr AS (
+              SELECT d.*, f.f AS frame_idx
+              FROM dims d JOIN generate_series(0, 7) AS f(f)
+                ON f.f % 2 = 0 AND f.f < d.nf
+            ),
+            px AS (
+              SELECT fr.id, fr.frame_idx, fr.width, fr.height,
+                     (fr.id + 2*fr.frame_idx + 3*x.x + 5*y.y) % 251 AS v
+              FROM fr
+              JOIN generate_series(0, 15) AS x(x) ON x.x < fr.width
+              JOIN generate_series(0, 15) AS y(y) ON y.y < fr.height
+            )
+            SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST(3 * SUM(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY id, frame_idx, width, height
         """,
         "audio_features": """
             WITH ids AS (

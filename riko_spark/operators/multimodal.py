@@ -216,19 +216,38 @@ def audio_features_op(df: DataFrame, conf: dict | None = None,
 def frame_sample_op(df: DataFrame, conf: dict | None = None,
                     field: str = "blob", id_col: str = "id",
                     every: int = 4, max_frames: int = 8) -> DataFrame:
-    """Sample every Nth "frame" from a video blob (UDTF shape: one row
-    in → many rows out).  Stub slices the blob; real impl: ffmpeg."""
+    """Sample every Nth frame from a video blob (UDTF shape: one row
+    in → many rows out).
+
+    RIFF/AVI blobs with raw-DIB streams get REAL frame extraction
+    (functions/avicodec.py): the emitted ``frame`` is the Nth frame's
+    actual DIB payload.  Other/compressed formats fall back to the
+    documented deterministic stub slice (real impl for those: ffmpeg),
+    so the op keeps its one-in/many-out plumbing contract on any input.
+    """
     conf = conf or {}
     every = int(conf.get("every", every))
     max_frames = int(conf.get("max_frames", max_frames))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from riko_spark.functions.avicodec import avi_dib_payloads
+
         for pdf in batches:
             rows = []
             for rid, b in zip(pdf[id_col], pdf[field]):
                 if b is None:
                     continue
                 b = bytes(b)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        _w, _h, _bpp, payloads = avi_dib_payloads(b)
+                        for i, fi in enumerate(range(0, len(payloads), every)):
+                            if i >= max_frames:
+                                break
+                            rows.append((rid, fi, payloads[fi]))
+                        continue
+                    except ValueError:
+                        pass  # compressed/corrupt AVI: stub below
                 chunk = max(1, len(b) // max(1, max_frames * every))
                 for i, off in enumerate(range(0, len(b), chunk * every)):
                     if i >= max_frames:
@@ -237,5 +256,43 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame"])
 
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "id bigint, frame_idx int, width int, height int, px_sum bigint"
+)
+
+
+@register("video_frames")
+def video_frames_op(df: DataFrame, conf: dict | None = None,
+                    field: str = "blob", id_col: str = "id",
+                    every: int = 2, max_frames: int = 8) -> DataFrame:
+    """REAL video decode stats: extract every Nth raw-DIB frame from an
+    AVI blob and emit its dimensions + exact pixel sum (int64 over all
+    RGB samples) — the decode-verification shape: a broken chunk walk,
+    wrong row order, or BGR mix-up changes ``px_sum``.  Compressed
+    streams raise (no fabricated stats)."""
+    conf = conf or {}
+    every = int(conf.get("every", every))
+    max_frames = int(conf.get("max_frames", max_frames))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from riko_spark.functions.avicodec import decode_avi_frames
+
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[field]):
+                if b is None:
+                    continue
+                w, h, frames = decode_avi_frames(bytes(b))
+                for i, fi in enumerate(range(0, len(frames), every)):
+                    if i >= max_frames:
+                        break
+                    rows.append((rid, fi, w, h,
+                                 int(frames[fi].astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "id", "frame_idx", "width", "height", "px_sum"])
+
+    return df.mapInPandas(run, VIDEO_FRAMES_SCHEMA)
 
 

@@ -346,3 +346,110 @@ def test_sniff_media_type_riff_forms():
     assert sniff_media_type(b"RIFF\x10\x00\x00\x00WEBPVP8 ") == "image/webp"
     assert sniff_media_type(b"RIFF\x10\x00\x00\x00JUNK") == "application/riff"
     assert sniff_media_type(b"\x89PNGxxxx") == "image/png"
+
+
+# ------------------------------------------------------------ AVI video
+
+def _hand_avi(frames_px):
+    """Hand-assemble a minimal AVI (independent of encode_avi): RIFF
+    'AVI ' + LIST hdrl(avih + LIST strl(strh+strf)) + LIST movi with
+    one raw-DIB '00db' chunk per frame."""
+    import numpy as _np
+
+    h, w, _c = frames_px[0].shape
+    row_len = (w * 3 + 3) & ~3
+
+    def ch(tag, body):
+        pad = b"\0" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def li(form, body):
+        return ch(b"LIST", form + body)
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 40000, 0, 0, 0x10,
+                       len(frames_px), 0, 1, row_len * h, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0,
+                       0, 1, 25, 0, len(frames_px), row_len * h, 0, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_len * h,
+                       0, 0, 0, 0)
+    movi_body = b""
+    for px in frames_px:
+        dib = b""
+        for y in range(h - 1, -1, -1):
+            dib += bytes(int(px[y, x, 2 - k]) for x in range(w)
+                         for k in range(3))
+            dib += b"\0" * (row_len - w * 3)
+        movi_body += ch(b"00db", dib)
+    return ch(b"RIFF", b"AVI "
+              + li(b"hdrl", ch(b"avih", avih)
+                   + li(b"strl", ch(b"strh", strh) + ch(b"strf", strf)))
+              + li(b"movi", movi_body))
+
+
+def test_avi_decode_hand_built():
+    from riko_spark.functions.avicodec import decode_avi_frames
+
+    f0, f1 = _px(3, 5, 3, seed=20), _px(3, 5, 3, seed=21)
+    w, h, got = decode_avi_frames(_hand_avi([f0, f1]))
+    assert (w, h, len(got)) == (5, 3, 2)
+    np.testing.assert_array_equal(got[0], f0)
+    np.testing.assert_array_equal(got[1], f1)
+
+
+def test_avi_roundtrip_and_rejects():
+    from riko_spark.functions.avicodec import (decode_avi_frames,
+                                               encode_avi)
+
+    frames = [_px(4, 6, 3, seed=s) for s in range(3)]
+    w, h, got = decode_avi_frames(encode_avi(frames))
+    assert (w, h, len(got)) == (6, 4, 3)
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # compressed strf rejected with a clear message
+    data = bytearray(encode_avi(frames))
+    i = data.index(struct.pack("<IiiHH", 40, 6, 4, 1, 24))
+    comp_off = i + 16  # biCompression field inside strf
+    data[comp_off:comp_off + 4] = struct.pack("<I", 0x34363248)  # 'H264'
+    with pytest.raises(ValueError, match="codec library"):
+        decode_avi_frames(bytes(data))
+    with pytest.raises(ValueError, match="corrupt|no decodable"):
+        decode_avi_frames(b"RIFF\x20\x00\x00\x00AVI " + b"\x01" * 8)
+
+
+def test_frame_sample_real_avi_and_stub_fallback(spark):
+    from riko_spark.operators.multimodal import frame_sample_op
+
+    from riko_spark.functions.avicodec import encode_avi
+
+    frames = [np.full((2, 2, 3), 10 * i, dtype=np.uint8) for i in range(6)]
+    avi = encode_avi(frames)
+    rows = [(1, bytearray(avi)), (2, bytearray(b"just text bytes" * 10))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = frame_sample_op(df, {"every": 2, "max_frames": 2}).collect()
+    real = sorted((r["frame_idx"], bytes(r["frame"])) for r in out
+                  if r["id"] == 1)
+    # every 2nd frame, capped at 2: frames 0 and 2; DIB payload of a
+    # 2x2 constant frame = 2 rows x (6 px bytes + 2 pad)
+    assert [i for i, _ in real] == [0, 2]
+    assert real[0][1] == bytes([0, 0, 0] * 2 + [0, 0]) * 2
+    assert real[1][1] == bytes([20, 20, 20] * 2 + [0, 0]) * 2
+    assert any(r["id"] == 2 for r in out)  # stub path still UDTF-shaped
+
+
+def test_video_frames_op_pixel_sums(spark):
+    from riko_spark.functions.avicodec import encode_avi
+    from riko_spark.operators.multimodal import video_frames_op
+
+    frames = [_px(3, 4, 3, seed=30 + i) for i in range(5)]
+    df = spark.createDataFrame([(9, bytearray(encode_avi(frames)))],
+                               "id long, blob binary")
+    out = sorted(video_frames_op(df, {"every": 2, "max_frames": 8}).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 3)
+        assert r["px_sum"] == int(frames[r["frame_idx"]].astype(np.int64).sum())
