@@ -101,9 +101,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
     Walks chunks (ancillary chunks between IDATs included), concatenates
     IDAT payloads, inflates once, and un-filters every scanline per the
-    spec's type-byte-per-row scheme.  8-bit depth, color types 0/2/4/6,
-    non-interlaced (Adam7 raises — progressive rendering has no batch
-    value)."""
+    spec's type-byte-per-row scheme.  8-bit depth; color types 0/2/4/6
+    plus 3 (palette, via PLTE lookup); interlace methods 0 (sequential)
+    and 1 (Adam7 — seven independently filtered sub-images scattered
+    back onto the grid)."""
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG (bad magic)")
     pos = 8
@@ -138,23 +139,29 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         c = _PNG_CHANNELS[color_type]
     else:
         raise ValueError(f"PNG: unsupported color type {color_type}")
-    if interlace:
-        raise ValueError("PNG: Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     raw = zlib.decompress(bytes(idat))
-    stride = w * c
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG: IDAT length mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        )
-        cur = _unfilter(ft, line, prev, c)
-        out[y] = cur
-        prev = cur
-    px = out.reshape(h, w, c)
+    if interlace == 0:
+        sub, used = _unfilter_image(raw, 0, w, h, c)
+        if used != len(raw):
+            raise ValueError("PNG: IDAT length mismatch")
+        px = sub.reshape(h, w, c)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full grid at each pass's origin/step
+        px = np.empty((h, w, c), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, used = _unfilter_image(raw, off, pw, ph, c)
+            off += used
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, c)
+        if off != len(raw):
+            raise ValueError("PNG: IDAT length mismatch")
     if color_type == 3:
         # palette lookup: index plane -> RGB (spec: out-of-range index
         # is a hard error, not silent black)
@@ -162,6 +169,34 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError("PNG: palette index out of range")
         return w, h, 3, plte[px[:, :, 0]]
     return w, h, c, px
+
+
+#: Adam7 pass origins/steps per the PNG spec §8.2:
+#: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter_image(raw: bytes, off: int, pw: int, ph: int,
+                    c: int) -> tuple[np.ndarray, int]:
+    """Un-filter one (sub-)image of ``ph`` scanlines × ``pw`` pixels
+    starting at ``off`` in the inflated stream; returns the pixel rows
+    and the byte count consumed (ph × (1 + pw·c))."""
+    stride = pw * c
+    need = ph * (stride + 1)
+    if off + need > len(raw):
+        raise ValueError("PNG: IDAT truncated")
+    out = np.empty((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(ph):
+        base = off + y * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=base + 1)
+        cur = _unfilter(ft, line, prev, c)
+        out[y] = cur
+        prev = cur
+    return out, need
 
 
 def _unfilter(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:

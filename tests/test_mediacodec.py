@@ -453,3 +453,33 @@ def test_video_frames_op_pixel_sums(spark):
     for r in out:
         assert (r["width"], r["height"]) == (4, 3)
         assert r["px_sum"] == int(frames[r["frame_idx"]].astype(np.int64).sum())
+
+
+def test_png_adam7_interlaced_hand_built():
+    """Interlace method 1: the test scatters pixels into the seven
+    Adam7 passes itself (independent pass math) with filter 0 rows;
+    the decoder must reassemble the original image.  Odd dims exercise
+    empty/partial passes."""
+    # spec table hard-coded here (PNG spec §8.2), NOT imported from the
+    # decoder — a wrong table in the codec cannot self-certify
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    for (h, w, c) in [(5, 7, 3), (8, 8, 1), (1, 1, 1), (2, 3, 4), (9, 10, 2)]:
+        px = _px(h, w, c, seed=h * 10 + w)
+        raw = bytearray()
+        for x0, y0, xs, ys in adam7:
+            sub = px[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)
+                raw.extend(row.reshape(-1).tobytes())
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        data = (PNG_MAGIC
+                + _chunk(b"IHDR",
+                         struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1))
+                + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _chunk(b"IEND", b""))
+        got_w, got_h, got_c, got = decode_png(data)
+        assert (got_w, got_h, got_c) == (w, h, c)
+        np.testing.assert_array_equal(got, px)
