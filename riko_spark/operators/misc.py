@@ -108,6 +108,17 @@ _CLDR_LOCALES = {
     "pt_BR": {"decimal": ",", "group": ".", "suffix": False,
               "prefix_space": True,
               "symbols": {"$": "US$", "¥": "JP¥"}},
+    # round 5: en_GB (en punctuation, native £), nl_NL (CLDR
+    # "¤ #,##0.00;¤ -#,##0.00" — prefix symbol AND the minus
+    # AFTER it: "€ -10,33"), ru_RU (NBSP grouping, suffix symbol,
+    # ₽ for RUB)
+    "en_GB": {"decimal": ".", "group": ",", "suffix": False,
+              "symbols": {"$": "US$", "¥": "JP¥"}},
+    "nl_NL": {"decimal": ",", "group": ".", "suffix": False,
+              "prefix_space": True, "sign_after_symbol": True,
+              "symbols": {"$": "US$", "¥": "JP¥"}},
+    "ru_RU": {"decimal": ",", "group": " ", "suffix": True,
+              "symbols": {"RUB": "₽"}},
 }
 
 
@@ -161,6 +172,10 @@ def currencyformat_op(
         # letter/digit (alphabetic codes), none for $/¥/£-style symbols;
         # prefix_space locales (pt_BR "¤ #,##0.00") always space
         sep = " " if (symbol[-1].isalnum() or loc.get("prefix_space")) else ""
+        if loc.get("sign_after_symbol"):
+            # CLDR nl-style negative pattern "¤ -#,##0.00": the
+            # minus sits between the prefixed symbol and the number
+            return F.concat(F.lit(symbol + sep), sign, number)
         return F.concat(sign, F.lit(symbol + sep), number)
 
     if isinstance(currency, dict) and "subkey" in currency:

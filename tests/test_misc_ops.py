@@ -342,3 +342,28 @@ def test_currencyformat_locales_it_pt(spark):
     assert got("pt_BR", "BRL") == ["R$ 1.234,50", "-R$ 10,33"]
     assert got("pt_BR", "USD") == ["US$ 1.234,50", "-US$ 10,33"]
     assert got("pt_BR", "EUR") == ["€ 1.234,50", "-€ 10,33"]
+
+
+def test_currencyformat_locales_gb_nl_ru(spark):
+    """Round-5 locale rows: en_GB (native £ prefix), nl_NL (CLDR
+    "\u00a4\u00a0#,##0.00;\u00a4\u00a0-#,##0.00" — the minus sits AFTER
+    the prefixed symbol), ru_RU (NBSP grouping, NBSP-joined suffix
+    symbol, \u20bd for RUB)."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.operators.misc import currencyformat_op
+
+    NB = "\u00a0"
+    df = spark.createDataFrame([(1234.5,), (-10.33,)], "amt double")
+
+    def got(loc, cur):
+        out = currencyformat_op(df, {"currency": cur, "locale": loc},
+                                field="amt", assign="x")
+        return [r.x for r in out.orderBy(F.desc("amt")).collect()]
+
+    assert got("en_GB", "GBP") == ["\u00a31,234.50", "-\u00a310.33"]
+    assert got("en_GB", "USD") == ["US$1,234.50", "-US$10.33"]
+    assert got("nl_NL", "EUR") == [f"\u20ac{NB}1.234,50", f"\u20ac{NB}-10,33"]
+    assert got("nl_NL", "USD") == [f"US${NB}1.234,50", f"US${NB}-10,33"]
+    assert got("ru_RU", "RUB") == [f"1{NB}234,50{NB}\u20bd", f"-10,33{NB}\u20bd"]
+    assert got("ru_RU", "EUR") == [f"1{NB}234,50{NB}\u20ac", f"-10,33{NB}\u20ac"]
