@@ -3,6 +3,9 @@ scripts (pyproject [project.scripts], riko/cli/runpipe.py).  Here:
 
     python -m riko_spark.cli runpipe PIPE.json \
         --source src=/path/table.parquet --out /tmp/out --order-by event_seq
+    python -m riko_spark.cli runpipe PIPE.json --stream \
+        --source src=/path/dir --out /tmp/out --checkpoint /tmp/ckpt \
+        --watermark warc_ts="10 minutes"        # Structured Streaming
     python -m riko_spark.cli describe PIPE.json
 
 Designed to run under spark-submit on a cluster:
@@ -41,6 +44,18 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--out", default=None, help="output parquet dir (default: show)")
     run.add_argument("--order-by", default=None, help="comma-list event-order spine")
     run.add_argument("--master", default=None)
+    run.add_argument("--stream", action="store_true",
+                     help="treat every --source as a parquet file STREAM "
+                          "and run the pipe as Structured Streaming")
+    run.add_argument("--checkpoint", default=None,
+                     help="stream checkpoint dir (required with --stream)")
+    run.add_argument("--watermark", default=None,
+                     help="col=delay (e.g. warc_ts='10 minutes') applied to "
+                          "each stream source before the pipe")
+    run.add_argument("--trigger", default="available-now",
+                     choices=["available-now", "continuous-micro"],
+                     help="available-now drains what exists and stops; "
+                          "continuous-micro keeps running until Ctrl-C")
 
     desc = sub.add_parser("describe", help="topo-sorted module list of a pipe def")
     desc.add_argument("pipe_json")
@@ -73,12 +88,58 @@ def main(argv: list[str] | None = None) -> int:
     from riko_spark.session import get_spark
 
     spark = get_spark(app_name=f"runpipe:{args.pipe_json}", master=args.master)
+    inputs = dict(p.partition("=")[::2] for p in args.input)
+    order_by = args.order_by.split(",") if args.order_by else None
+
+    if args.stream:
+        # Structured-Streaming mode: every source becomes a parquet
+        # file stream (schema inferred from a batch read of the same
+        # dir), the SAME build_pipeline call produces an incremental
+        # plan, and results land append-mode in --out with exactly-once
+        # file-sink semantics under --checkpoint.
+        if not args.out or not args.checkpoint:
+            raise SystemExit("--stream requires --out and --checkpoint")
+        if order_by:
+            # the event-order spine is a BATCH concept (global sort);
+            # a stream's order is event time + watermark, and Spark
+            # rejects sorting non-aggregated streaming frames
+            print(f"--order-by {args.order_by} ignored in --stream mode "
+                  "(stream order = event time under the watermark)")
+            order_by = None
+        wm_col = wm_delay = None
+        if args.watermark:
+            wm_col, _, wm_delay = args.watermark.partition("=")
+            if not wm_delay:
+                raise SystemExit("--watermark must be col=delay")
+        sources = {}
+        for name, path in _parse_sources(args.source).items():
+            schema = spark.read.parquet(path).schema
+            src = spark.readStream.schema(schema).parquet(path)
+            if wm_col:
+                import pyspark.sql.functions as F
+
+                src = src.withColumn(wm_col, F.col(wm_col).cast("timestamp"))
+                src = src.withWatermark(wm_col, wm_delay.strip("'\""))
+            sources[name] = src
+        out = build_pipeline(spark, pipe_def, sources=sources,
+                             inputs=inputs, order_by=order_by)
+        writer = (out.writeStream.outputMode("append")
+                  .option("checkpointLocation", args.checkpoint)
+                  .format("parquet").option("path", args.out))
+        if args.trigger == "available-now":
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.start()
+            q.awaitTermination()
+        print(f"wrote {args.out}")
+        spark.stop()
+        return 0
+
     sources = {
         name: spark.read.parquet(path)
         for name, path in _parse_sources(args.source).items()
     }
-    inputs = dict(p.partition("=")[::2] for p in args.input)
-    order_by = args.order_by.split(",") if args.order_by else None
     out = build_pipeline(spark, pipe_def, sources=sources, inputs=inputs, order_by=order_by)
     if args.out:
         out.write.mode("overwrite").parquet(args.out)

@@ -80,3 +80,37 @@ def test_compile_pipe_wrapper(tmp_path, capsys):
     p.write_text(_json.dumps(PIPE))
     assert compile_main([str(p), "--name", "pkg"]) == 0
     assert "def pipe_pkg(" in capsys.readouterr().out
+
+
+def test_cli_runpipe_stream_mode(tmp_path, spark):
+    """--stream runs the same pipe def as Structured Streaming: parquet
+    file stream in, append file sink + checkpoint out, availableNow
+    drain — result rows equal the batch run's.  The pipe uses
+    stream-legal modules (filter/strtransform); global-order modules
+    (sort/truncate/tail) are batch concepts."""
+    stream_pipe = {
+        "modules": [
+            {"id": "src", "type": "filter",
+             "conf": {"rule": [{"field": "x", "op": "atleast", "value": 3}]}},
+            {"id": "out", "type": "output"},
+        ],
+    }
+    pipe = tmp_path / "pipe.json"
+    pipe.write_text(json.dumps(stream_pipe))
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [{"x": i, "event_seq": i} for i in range(10)]
+    ).write.parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    r = subprocess.run(
+        [sys.executable, "-m", "riko_spark.cli", "runpipe", str(pipe),
+         "--stream", "--source", f"src={src_dir}", "--out", out_dir,
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--order-by", "event_seq", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    back = spark.read.parquet(out_dir)
+    assert sorted(row["x"] for row in back.collect()) == list(range(3, 10))
