@@ -767,6 +767,19 @@ def q_image_features_real(spark, sf):
     )
 
 
+def q_image_dhash(spark, sf):
+    """Perceptual dHash over REAL decoded planted pixels: the oracle
+    recomputes every 64-bit signature from the generative formula —
+    block sums via generate_series, gradient-sign bits via the same
+    cross-multiplied integer compare, two's-complement packing like the
+    simhash oracle.  A wrong block boundary, row order, or bit layout
+    flips bits."""
+    from riko_spark.operators.multimodal import image_dhash_op
+
+    return image_dhash_op(_planted_images(spark, sf),
+                          {"on_undecodable": "raise"})
+
+
 _WAV_N = 48
 
 
@@ -1066,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_real": q_image_features_real,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "image_dhash": q_image_dhash,
         # -- code changed round 5: CEP contract + multimodal dispatch --
         "sequence_match": q_sequence_match,
         "sequence_match_alt": q_sequence_match_alt,
@@ -1093,10 +1107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "token_totals": q_token_totals,
         "exchangerate": q_exchangerate,
-        "uniq_limited": q_uniq_limited,
         "pipe_graph": q_pipe_graph,
         # -- past position 50: driver-green in CORRECTNESS_r04,
         #    code unchanged this round --
+        "uniq_limited": q_uniq_limited,
         "salted_count": q_salted_count,
         "filter": q_filter,
         "filter_or_block": q_filter_or_block,
@@ -1472,6 +1486,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cell_idx AS INT) AS cell_idx,
                    CAST(SUM(v) AS BIGINT) AS cell_sum
             FROM px GROUP BY id, width, height, channels, cell_idx
+        """,
+        "image_dhash": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 64
+            ),
+            dims AS (
+              SELECT id,
+                     8 + 4*(id % 6) AS width,
+                     8 + 4*((id*7 + 2) % 6) AS height
+              FROM ids
+            ),
+            px AS (
+              SELECT d.id, d.width, d.height, x.x AS x, y.y AS y,
+                     (d.id + 3*x.x + 5*y.y) % 251 AS v
+              FROM dims d
+              JOIN generate_series(0, 27) AS x(x) ON x.x < d.width
+              JOIN generate_series(0, 27) AS y(y) ON y.y < d.height
+            ),
+            blocks AS (
+              SELECT p.id, r.r, c.c,
+                     CAST(SUM(p.v) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS a
+              FROM px p
+              JOIN generate_series(0, 7) AS r(r)
+                ON p.y >= (p.height * r.r) // 8
+               AND p.y < (p.height * (r.r + 1)) // 8
+              JOIN generate_series(0, 8) AS c(c)
+                ON p.x >= (p.width * c.c) // 9
+               AND p.x < (p.width * (c.c + 1)) // 9
+              GROUP BY p.id, r.r, c.c
+            ),
+            bits AS (
+              SELECT b0.id, b0.r, b0.c
+              FROM blocks b0
+              JOIN blocks b1 ON b1.id = b0.id AND b1.r = b0.r
+                            AND b1.c = b0.c + 1
+              WHERE b0.c < 8 AND b1.s * b0.a > b0.s * b1.a
+            ),
+            uns AS (
+              SELECT i.id,
+                     COALESCE(SUM((1::UBIGINT << (b.r*8 + b.c))::HUGEINT),
+                              0::HUGEINT) AS uv
+              FROM ids i LEFT JOIN bits b ON b.id = i.id
+              GROUP BY i.id
+            )
+            SELECT id,
+                   CAST(uv - CASE WHEN uv >= 9223372036854775808::HUGEINT
+                                  THEN 18446744073709551616::HUGEINT
+                                  ELSE 0::HUGEINT END AS BIGINT) AS dhash
+            FROM uns
         """,
         "video_frames": """
             WITH ids AS (

@@ -483,3 +483,32 @@ def test_png_adam7_interlaced_hand_built():
         got_w, got_h, got_c, got = decode_png(data)
         assert (got_w, got_h, got_c) == (w, h, c)
         np.testing.assert_array_equal(got, px)
+
+
+def test_image_dhash_properties(spark):
+    """dHash: stable across formats for the same pixels, invariant to
+    non-clipping brightness shift (gradient signs preserved), differs
+    for a different image, and skips undecodable blobs by default."""
+    from riko_spark.operators.multimodal import image_dhash_op
+
+    base = _px(16, 16, 1, seed=40).astype(np.int16)
+    base = (base // 2 + 30).astype(np.uint8)  # keep +20 shift clip-free
+    shifted = (base + 20).astype(np.uint8)
+    other = _px(16, 16, 1, seed=41)
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_bmp(np.repeat(base, 3, axis=2)))),
+        (3, bytearray(encode_png(shifted))),
+        (4, bytearray(encode_png(other))),
+        (5, bytearray(b"\xff\xd8\xffJPEG junk")),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    from riko_spark.operators.multimodal import image_dhash_op
+    got = {r["id"]: r["dhash"] for r in image_dhash_op(df).collect()}
+    assert 5 not in got  # undecodable skipped
+    assert got[1] == got[2]  # same pixels, different container
+    assert got[1] == got[3]  # brightness shift invariant
+    assert got[1] != got[4]  # different image
+
+    with pytest.raises(Exception):
+        image_dhash_op(df, {"on_undecodable": "raise"}).collect()
