@@ -850,7 +850,7 @@ def _planted_video(spark, sf):
             for i in pdf["doc_id"]:
                 i = int(i)
                 w = 8 + 4 * (i % 3)
-                h = 8 + 4 * ((i * 3 + 1) % 3)
+                h = 8 + 4 * ((i * 7 + 2) % 3)
                 nf = 4 + i % 5
                 frames = []
                 for f in range(nf):
@@ -1544,7 +1544,7 @@ def oracle_sql() -> dict[str, str]:
             dims AS (
               SELECT id,
                      8 + 4*(id % 3) AS width,
-                     8 + 4*((id*3 + 1) % 3) AS height,
+                     8 + 4*((id*7 + 2) % 3) AS height,
                      4 + id % 5 AS nf
               FROM ids
             ),
@@ -1935,7 +1935,10 @@ def oracle_sql() -> dict[str, str]:
                        greatest(1, CAST(L // 32 AS INT)) AS chunk
                 FROM d
             ), f AS (
-                SELECT id, CAST(i AS INT) AS frame_idx,
+                -- frame_idx = SOURCE position (ordinal * every), the
+                -- round-5 unified semantics shared with the real-AVI
+                -- decode path
+                SELECT id, CAST(i * 4 AS INT) AS frame_idx,
                        substring(text, 1 + CAST(i * chunk * 4 AS INT),
                                  CAST(chunk AS INT)) AS frame
                 FROM p CROSS JOIN (SELECT unnest(range(8)) AS i)

@@ -86,6 +86,7 @@ def avi_dib_payloads(data: bytes) -> tuple[int, int, int, list[bytes]]:
     w = h = bpp = None
     dib_payloads: list[bytes] = []
     compressed_seen = False
+    cur_stream = [None]  # fccType of the most recent strh (per strl)
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         nonlocal w, h, bpp, compressed_seen
@@ -95,14 +96,25 @@ def avi_dib_payloads(data: bytes) -> tuple[int, int, int, list[bytes]]:
             body_off = pos + 8
             if tag == b"LIST":
                 walk(buf, body_off + 4, body_off + ln)
+            elif tag == b"strh" and ln >= 4:
+                # remember which stream the NEXT strf describes — an
+                # audio strl may legitimately precede the video one
+                cur_stream[0] = buf[body_off: body_off + 4]
             elif tag == b"strf" and w is None:
-                _sz, bw, bh, _pl, bits, comp = struct.unpack_from(
-                    "<IiiHHI", buf, body_off)
-                if comp != 0:
-                    raise ValueError(
-                        f"AVI: compressed video (biCompression={comp:#x}) "
-                        "needs a codec library; only raw BI_RGB decodes")
-                w, h, bpp = bw, abs(bh), bits
+                if cur_stream[0] != b"vids":
+                    pass  # audio/text stream format: not ours
+                elif ln < 20:
+                    raise ValueError("AVI: video strf too short for "
+                                     "BITMAPINFOHEADER")
+                else:
+                    _sz, bw, bh, _pl, bits, comp = struct.unpack_from(
+                        "<IiiHHI", buf, body_off)
+                    if comp != 0:
+                        raise ValueError(
+                            f"AVI: compressed video (biCompression="
+                            f"{comp:#x}) needs a codec library; only raw "
+                            "BI_RGB decodes")
+                    w, h, bpp = bw, abs(bh), bits
             elif tag[2:4] == b"db":
                 dib_payloads.append(buf[body_off: body_off + ln])
             elif tag[2:4] == b"dc":
@@ -123,21 +135,27 @@ def avi_dib_payloads(data: bytes) -> tuple[int, int, int, list[bytes]]:
     return w, h, bpp, dib_payloads
 
 
-def decode_avi_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
-    """AVI bytes -> ``(width, height, [uint8 (h, w, 3) RGB frames])``
-    with each DIB payload decoded bottom-up/BGR/padded (same pixel
-    conventions as imagecodec's BMP path)."""
-    w, h, bpp, payloads = avi_dib_payloads(data)
+def decode_dib_payload(payload: bytes, w: int, h: int,
+                       bpp: int) -> np.ndarray:
+    """One raw DIB payload -> ``uint8 (h, w, 3)`` RGB, decoded
+    bottom-up/BGR/padded (same pixel conventions as imagecodec's BMP
+    path)."""
     c = bpp // 8
     row_len = (w * c + 3) & ~3
-    frames = []
-    for payload in payloads:
-        if len(payload) < row_len * h:
-            raise ValueError("AVI: truncated frame chunk")
-        out = np.empty((h, w, 3), dtype=np.uint8)
-        for i in range(h):
-            row = np.frombuffer(payload, dtype=np.uint8, count=w * c,
-                                offset=i * row_len).reshape(w, c)
-            out[h - 1 - i] = row[:, [2, 1, 0]]
-        frames.append(out)
-    return w, h, frames
+    if len(payload) < row_len * h:
+        raise ValueError("AVI: truncated frame chunk")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * c,
+                            offset=i * row_len).reshape(w, c)
+        out[h - 1 - i] = row[:, [2, 1, 0]]
+    return out
+
+
+def decode_avi_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """AVI bytes -> ``(width, height, [uint8 (h, w, 3) RGB frames])``
+    — every frame decoded.  Samplers that need only every Nth frame
+    should use :func:`avi_dib_payloads` + :func:`decode_dib_payload`
+    on the sampled payloads instead of paying for the full decode."""
+    w, h, bpp, payloads = avi_dib_payloads(data)
+    return w, h, [decode_dib_payload(p, w, h, bpp) for p in payloads]

@@ -252,7 +252,11 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
                 for i, off in enumerate(range(0, len(b), chunk * every)):
                     if i >= max_frames:
                         break
-                    rows.append((rid, i, b[off:off + chunk]))
+                    # frame_idx is the SOURCE frame position (0, every,
+                    # 2*every, …) on both the real-AVI path and this
+                    # stub path, so downstream joins/windows on it
+                    # never depend on whether decode succeeded
+                    rows.append((rid, i * every, b[off:off + chunk]))
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame"])
 
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
@@ -332,30 +336,44 @@ VIDEO_FRAMES_SCHEMA = (
 @register("video_frames")
 def video_frames_op(df: DataFrame, conf: dict | None = None,
                     field: str = "blob", id_col: str = "id",
-                    every: int = 2, max_frames: int = 8) -> DataFrame:
+                    every: int = 2, max_frames: int = 8,
+                    on_undecodable: str = "skip") -> DataFrame:
     """REAL video decode stats: extract every Nth raw-DIB frame from an
     AVI blob and emit its dimensions + exact pixel sum (int64 over all
     RGB samples) — the decode-verification shape: a broken chunk walk,
-    wrong row order, or BGR mix-up changes ``px_sum``.  Compressed
-    streams raise (no fabricated stats)."""
+    wrong row order, or BGR mix-up changes ``px_sum``.  Only the
+    SAMPLED payloads decode (avi_dib_payloads + decode_dib_payload —
+    no wasted work on skipped frames).  Undecodable/compressed blobs
+    follow ``on_undecodable``: "skip" (default — a mixed corpus never
+    aborts on one MP4; no fabricated stats either) or "raise"."""
     conf = conf or {}
     every = int(conf.get("every", every))
     max_frames = int(conf.get("max_frames", max_frames))
+    on_undecodable = conf.get("on_undecodable", on_undecodable)
+    if on_undecodable not in ("skip", "raise"):
+        raise ValueError("on_undecodable must be 'skip' or 'raise'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from riko_spark.functions.avicodec import decode_avi_frames
+        from riko_spark.functions.avicodec import (avi_dib_payloads,
+                                                   decode_dib_payload)
 
         for pdf in batches:
             rows = []
             for rid, b in zip(pdf[id_col], pdf[field]):
                 if b is None:
                     continue
-                w, h, frames = decode_avi_frames(bytes(b))
-                for i, fi in enumerate(range(0, len(frames), every)):
+                try:
+                    w, h, bpp, payloads = avi_dib_payloads(bytes(b))
+                except ValueError:
+                    if on_undecodable == "raise":
+                        raise
+                    continue
+                for i, fi in enumerate(range(0, len(payloads), every)):
                     if i >= max_frames:
                         break
+                    px = decode_dib_payload(payloads[fi], w, h, bpp)
                     rows.append((rid, fi, w, h,
-                                 int(frames[fi].astype(np.int64).sum())))
+                                 int(px.astype(np.int64).sum())))
             yield pd.DataFrame(rows, columns=[
                 "id", "frame_idx", "width", "height", "px_sum"])
 

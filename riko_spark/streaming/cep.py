@@ -28,6 +28,13 @@ match is emitted exactly once, when every matched step is older than
 the watermark (late data beyond the watermark is impossible by
 contract, so the decision is final); its anchor is then evicted.
 Expired anchors evict without output.
+
+Checkpoint compatibility: the pandas STATE SCHEMAS are an internal
+representation and changed in round 5 (bucketed uid/done_uid arrays;
+per-user frontiers) — a stream checkpointed under an older build must
+restart from a FRESH checkpoint after upgrading (replay the source; the
+exactly-once sink deduplicates).  Spark surfaces the mismatch as a
+state-deserialization error rather than corrupting silently.
 """
 
 from __future__ import annotations

@@ -503,7 +503,6 @@ def test_image_dhash_properties(spark):
         (5, bytearray(b"\xff\xd8\xffJPEG junk")),
     ]
     df = spark.createDataFrame(rows, "id long, blob binary")
-    from riko_spark.operators.multimodal import image_dhash_op
     got = {r["id"]: r["dhash"] for r in image_dhash_op(df).collect()}
     assert 5 not in got  # undecodable skipped
     assert got[1] == got[2]  # same pixels, different container
@@ -512,3 +511,41 @@ def test_image_dhash_properties(spark):
 
     with pytest.raises(Exception):
         image_dhash_op(df, {"on_undecodable": "raise"}).collect()
+
+
+def test_avi_audio_stream_listed_before_video():
+    """Review regression: a spec-valid AVI lists strl(audio) BEFORE
+    strl(video); the walk must match strf chunks to their strh fccType
+    instead of grabbing the first strf (a 16-byte WAVEFORMATEX) as the
+    video format."""
+    from riko_spark.functions.avicodec import decode_avi_frames, encode_avi
+
+    frames = [_px(3, 4, 3, seed=50)]
+    base = bytearray(encode_avi(frames))
+
+    def ch(tag, body):
+        pad = b"\0" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def li(form, body):
+        return ch(b"LIST", form + body)
+
+    # audio strl: 'auds' strh + 16-byte WAVEFORMATEX strf (PCM mono)
+    astrh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\0\0\0\0",
+                        0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 2, 0, 0, 0, 0)
+    astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    audio_strl = li(b"strl", ch(b"strh", astrh) + ch(b"strf", astrf))
+    # splice the audio strl in FRONT of the video strl inside hdrl
+    i = bytes(base).index(b"LIST")  # hdrl LIST
+    hdrl_len = struct.unpack_from("<I", base, i + 4)[0]
+    vid_start = bytes(base).index(b"LIST", i + 8)  # first strl
+    patched = (bytes(base[:i + 8])  # up to 'hdrl' form tag end... keep avih
+               + bytes(base[i + 8:vid_start])  # avih chunk
+               + audio_strl
+               + bytes(base[vid_start:]))
+    # fix the hdrl LIST length
+    patched = bytearray(patched)
+    struct.pack_into("<I", patched, i + 4, hdrl_len + len(audio_strl))
+    w, h, got = decode_avi_frames(bytes(patched))
+    assert (w, h, len(got)) == (4, 3, 1)
+    np.testing.assert_array_equal(got[0], frames[0])
