@@ -285,6 +285,38 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, c, out
 
 
+# --------------------------------------------------------------- JPEG
+
+def parse_jpeg_dims(data: bytes) -> tuple[int, int, int]:
+    """JPEG header walk -> ``(width, height, components)`` WITHOUT
+    decoding pixels: scan the marker stream for the first SOF frame
+    header (SOF0-SOF15 minus DHT/DAC/RST markers, per ITU T.81 §B.2.2)
+    and read its dimensions.  Pixel decode still needs an entropy
+    decoder; this gives the metadata a corpus pipeline filters on
+    (size/aspect) for free."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1  # fill bytes / scan data: resync to next marker
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if ln < 8:
+                raise ValueError("JPEG: SOF segment too short")
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", data, pos + 4)
+            return w, h, ncomp
+        pos += 2 + ln
+    raise ValueError("JPEG: no SOF frame header found")
+
+
 # ---------------------------------------------------------- dispatch
 
 def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:

@@ -153,7 +153,19 @@ def image_features_op(df: DataFrame, conf: dict | None = None,
                         raise
                     if on_undecodable == "skip":
                         continue
-                    w, h, feat = _decode_image_stub(b)
+                    # stub path (channels=0 marks the FEATURE as
+                    # synthetic) — but JPEG headers parse without an
+                    # entropy decoder, so report the REAL dimensions
+                    # when available (the size/aspect filters a corpus
+                    # pipeline runs first work on real values)
+                    try:
+                        from riko_spark.functions.imagecodec import \
+                            parse_jpeg_dims
+
+                        w, h, _nc = parse_jpeg_dims(b)
+                        _, _, feat = _decode_image_stub(b)
+                    except ValueError:
+                        w, h, feat = _decode_image_stub(b)
                     rows.append((rid, w, h, 0, feat.tolist()))
                     continue
                 rows.append((rid, w, h, c, _grid_feature(px).tolist()))

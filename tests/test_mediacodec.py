@@ -549,3 +549,45 @@ def test_avi_audio_stream_listed_before_video():
     w, h, got = decode_avi_frames(bytes(patched))
     assert (w, h, len(got)) == (4, 3, 1)
     np.testing.assert_array_equal(got[0], frames[0])
+
+
+def test_jpeg_dims_parse():
+    """SOF marker walk on a hand-built JPEG header stream: APP0 +
+    comment + DQT-ish filler before SOF0, dims read without any pixel
+    decode; progressive SOF2 also parses; DHT (C4) is NOT a frame
+    marker."""
+    from riko_spark.functions.imagecodec import parse_jpeg_dims
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    com = seg(0xFE, b"hand built")
+    dht = seg(0xC4, b"\x00" + bytes(16) + b"\x01")  # must be skipped
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x11\x00" * 3)
+    data = b"\xff\xd8" + app0 + com + dht + sof0 + b"\xff\xd9"
+    assert parse_jpeg_dims(data) == (640, 480, 3)
+
+    sof2 = seg(0xC2, struct.pack(">BHHB", 8, 33, 77, 1) + b"\x01\x11\x00")
+    assert parse_jpeg_dims(b"\xff\xd8" + sof2) == (77, 33, 1)
+
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_dims(b"\x89PNG")
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_jpeg_dims(b"\xff\xd8" + app0 + b"\xff\xd9")
+
+
+def test_image_features_jpeg_real_dims_stub_features(spark):
+    from riko_spark.operators.multimodal import image_features_op
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    jpeg = (b"\xff\xd8"
+            + seg(0xC0, struct.pack(">BHHB", 8, 120, 200, 3) + b"\x01\x11\x00" * 3)
+            + b"\xff\xd9")
+    df = spark.createDataFrame([(1, bytearray(jpeg))], "id long, blob binary")
+    (r,) = image_features_op(df).collect()
+    assert (r["width"], r["height"]) == (200, 120)  # REAL header dims
+    assert r["channels"] == 0  # features remain marked synthetic
+    assert len(r["feature"]) == 16
