@@ -302,6 +302,9 @@ def parse_jpeg_dims(data: bytes) -> tuple[int, int, int]:
             pos += 1  # fill bytes / scan data: resync to next marker
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # T.81 B.1.1.2: 0xFF fill bytes may pad a marker
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length
             continue

@@ -83,6 +83,10 @@ def _decode_wav_body(data: bytes) -> tuple[int, int, np.ndarray]:
                          "(compressed codecs need an audio library)")
     if channels < 1:
         raise ValueError("WAV: zero channels")
+    if sample_rate < 1:
+        # a zero rate would surface later as an uncontrolled
+        # ZeroDivisionError in duration math (frames * 1000 // rate)
+        raise ValueError("WAV: zero sample rate")
     if bits == 16:
         s = np.frombuffer(raw, dtype="<i2")
     elif bits == 8:

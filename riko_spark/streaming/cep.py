@@ -436,13 +436,22 @@ def _grouped_stream(src: DataFrame, ts_col: str, watermark: str,
     return wm.groupBy(key)
 
 
-def _ingest_mask(pdf: pd.DataFrame, m, event_id_col: str, guard):
+def _ingest_mask(pdf: pd.DataFrame, m, event_id_col: str, guard,
+                 ts_col: str | None = None):
     """Final keep-mask over one micro-batch: ``m`` preselects
     pattern-relevant rows (numpy bool), the guard validates their ids
-    (raising in on_invalid='raise', returning a sub-mask in 'drop').
+    (raising in on_invalid='raise', returning a sub-mask in 'drop'),
+    and a null event-time drops the row in EVERY mode — the batch
+    composite renders a null ts as a NULL (unorderable) composite that
+    min() ignores, so buffering it here (where NaT would otherwise
+    become INT64_MIN) would be a batch/stream divergence.
     Relies on the Arrow batch's RangeIndex (positions == labels)."""
     import numpy as np
 
+    if ts_col is not None:
+        nat = pdf[ts_col].isna().to_numpy()
+        if nat.any():
+            m = m & ~nat
     ids_s = pdf[event_id_col][m]
     ok = guard(ids_s)
     if bool(ok.all()):
@@ -450,6 +459,58 @@ def _ingest_mask(pdf: pd.DataFrame, m, event_id_col: str, guard):
     m2 = np.zeros(len(pdf), dtype=bool)
     m2[ids_s.index[ok]] = True
     return m2
+
+
+def _ids_exact(pdf: pd.DataFrame, event_id_col: str, m, id_t: str):
+    """Masked id extraction that cannot silently round: when ANY row of
+    the micro-batch has a null id, the Arrow->pandas conversion has
+    already promoted the whole int64 column to float64 — at that point
+    ids >= 2**53 are unrepresentable and values are corrupted BEFORE
+    this code runs.  on_invalid='drop' prevents the case entirely with
+    a JVM-side null filter below the plan (see _drop_invalid_stream);
+    this is the defence for the residual path (e.g. on_invalid='raise'
+    with a null id on a pattern-IRRELEVANT row, which the per-row
+    contract does not reject): verify the surviving floats are exactly
+    representable and hand back real int64, raising loudly instead of
+    emitting rounded ids."""
+    import numpy as np
+
+    ids = pdf[event_id_col].to_numpy()[m]
+    if id_t != "string" and ids.dtype.kind == "f":
+        if len(ids) and bool(np.any(np.abs(ids) >= 2.0 ** 53)):
+            raise ValueError(
+                f"cep: micro-batch contains a null {event_id_col} "
+                "(float64 promotion) alongside ids >= 2^53, which "
+                "cannot survive the conversion exactly; clean the id "
+                "column or use on_invalid='drop' (which filters nulls "
+                "JVM-side before the stateful operator)"
+            )
+        ids = ids.astype("int64")
+    return ids
+
+
+def _drop_invalid_stream(src: DataFrame, ts_col: str, event_id_col: str,
+                         id_t: str, on_invalid: str) -> DataFrame:
+    """on_invalid='drop': filter malformed rows JVM-side BEFORE the
+    stateful operator.  This is not just an optimization — a null id
+    reaching applyInPandasWithState makes Arrow->pandas promote the
+    whole int64 id column to float64, silently rounding every
+    surviving id above 2^53 in that batch (snowflake-scale ids).
+    Dropping the rows in the plan keeps the column int64-exact
+    end-to-end, and the null-ts predicate mirrors the batch
+    ``__comp IS NOT NULL`` filter.  Like filter_types, Catalyst pushes
+    this below the EventTimeWatermark node, so dropped (malformed)
+    rows do not advance the watermark — consistent with the batch
+    path, where they do not exist at all."""
+    if on_invalid != "drop":
+        return src
+    valid = F.col(ts_col).isNotNull()
+    if id_t == "string":
+        valid = valid & F.col(event_id_col).isNotNull()
+    else:
+        # null-rejecting: CAST(null)>=0 is null -> filtered
+        valid = valid & (F.col(event_id_col).cast("bigint") >= 0)
+    return src.filter(valid)
 
 
 def _sequence_match_stream(
@@ -506,10 +567,10 @@ def _sequence_match_stream(
                 # scoped to relevant rows, as in the batch path
                 et_a = pdf[type_col].to_numpy()
                 m = _ingest_mask(pdf, np.isin(et_a, relevant),
-                                 event_id_col, guard)
+                                 event_id_col, guard, ts_col)
                 micros = (pdf[ts_col].astype("int64").to_numpy() // 1000)[m]
                 for u, t, e, x in zip(pdf[key].to_numpy()[m], micros,
-                                      pdf[event_id_col].to_numpy()[m],
+                                      _ids_exact(pdf, event_id_col, m, id_t),
                                       et_a[m]):
                     per_user.setdefault(u, []).append((t, e, x))
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -588,6 +649,7 @@ def _sequence_match_stream(
         # AUTO mode when a type_share histogram shows step-relevant
         # events are dense enough to carry the watermark themselves.
         src = df.filter(F.col(type_col).isin(relevant))
+    src = _drop_invalid_stream(src, ts_col, event_id_col, id_t, on_invalid)
     grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
@@ -718,9 +780,9 @@ def _absence_match_stream(
                 micros = pdf[ts_col].astype("int64").to_numpy() // 1000
                 et_a = pdf[type_col].to_numpy()
                 m = _ingest_mask(pdf, np.isin(et_a, relevant),
-                                 event_id_col, guard)
+                                 event_id_col, guard, ts_col)
                 for u, t, e, x in zip(pdf[key].to_numpy()[m], micros[m],
-                                      pdf[event_id_col].to_numpy()[m],
+                                      _ids_exact(pdf, event_id_col, m, id_t),
                                       et_a[m]):
                     per_user.setdefault(u, []).append((t, e, x))
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -784,6 +846,7 @@ def _absence_match_stream(
             })
 
     src = df.filter(F.col(type_col).isin(relevant)) if filter_types else df
+    src = _drop_invalid_stream(src, ts_col, event_id_col, id_t, on_invalid)
     grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
@@ -894,9 +957,9 @@ def _threshold_match_stream(
             for pdf in pdfs:
                 micros = pdf[ts_col].astype("int64").to_numpy() // 1000
                 m = _ingest_mask(pdf, pdf[type_col].isin(event_type).to_numpy(),
-                                 event_id_col, guard)
+                                 event_id_col, guard, ts_col)
                 for u, t, e in zip(pdf[key].to_numpy()[m], micros[m],
-                                   pdf[event_id_col].to_numpy()[m]):
+                                   _ids_exact(pdf, event_id_col, m, id_t)):
                     per_user.setdefault(u, []).append((t, e))
         wm_us = state.getCurrentWatermarkMs() * 1000
         horizon_us = within_ms * 1000
@@ -953,6 +1016,7 @@ def _threshold_match_stream(
             })
 
     src = df.filter(F.col(type_col).isin(event_type)) if filter_types else df
+    src = _drop_invalid_stream(src, ts_col, event_id_col, id_t, on_invalid)
     grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
