@@ -323,19 +323,22 @@ def parse_jpeg_dims(data: bytes) -> tuple[int, int, int]:
 # ---------------------------------------------------------- dispatch
 
 def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Sniff + decode: PNG or BMP -> (width, height, channels, pixels).
-    Raises ``ValueError`` for other formats (JPEG etc. need entropy
-    decoders this container doesn't ship) AND for corrupt/truncated
-    data of a recognized format — struct/zlib errors are normalized so
-    callers can catch one exception type (a text blob that happens to
-    start with 'BM' must hit an undecodable-handler, not abort a job
-    with a raw struct.error)."""
+    """Sniff + decode: PNG, BMP or baseline JPEG -> (width, height,
+    channels, pixels).  Raises ``ValueError`` for other formats AND for
+    corrupt/truncated data of a recognized format — struct/zlib errors
+    are normalized so callers can catch one exception type (a text blob
+    that happens to start with 'BM' must hit an undecodable-handler,
+    not abort a job with a raw struct.error)."""
     try:
         if data.startswith(PNG_MAGIC[:4]):
             return decode_png(data)
         if data[:2] == b"BM":
             return decode_bmp(data)
+        if data[:2] == b"\xff\xd8":
+            from riko_spark.functions.jpegcodec import decode_jpeg
+
+            return decode_jpeg(data)
     except (struct.error, zlib.error, IndexError) as e:
         raise ValueError(f"corrupt image data: {e}") from e
-    raise ValueError("unsupported image format (PNG and BMP decode "
-                     "natively; JPEG needs a codec library)")
+    raise ValueError("unsupported image format (PNG, BMP and baseline "
+                     "JPEG decode natively)")
