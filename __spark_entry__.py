@@ -780,6 +780,57 @@ def q_image_dhash(spark, sf):
                           {"on_undecodable": "raise"})
 
 
+_PAIR_N = 32
+
+
+def _planted_image_pairs(spark, sf):
+    """Near-dup image corpus: the 32 base gray-PNG formula images
+    (same planting as :func:`_planted_images`) PLUS a near-identical
+    copy of each at ``id+1000`` whose single pixel (0, 0) is perturbed
+    to ``(base + 7) % 251`` — a one-pixel edit, the canonical
+    near-duplicate.  Every pixel of every id is a closed form, so the
+    oracle recomputes the full dHash signatures AND the banded join
+    independently."""
+    base = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _PAIR_N).distinct()
+    ids = base.union(base.select((F.col("doc_id") + 1000).alias("doc_id")))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.imagecodec import encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = i % 1000
+                w = 8 + 4 * (b % 6)
+                h = 8 + 4 * ((b * 7 + 2) % 6)
+                v = ((np.add.outer(5 * np.arange(h), 3 * np.arange(w)) + b)
+                     % 251).astype(np.uint8)
+                if i >= 1000:
+                    v[0, 0] = (b + 7) % 251
+                rows.append((i, bytearray(encode_png(v))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_image_neardup(spark, sf):
+    """Image near-dup END-TO-END (round 6): decode -> perceptual dHash
+    -> banded bit-band self-join -> exact hamming verify, over a corpus
+    with planted one-pixel-edit near-duplicates.  The oracle recomputes
+    the signatures from the planting formula AND replays the banding +
+    hamming join in SQL — band extraction, pair generation, and the
+    <=7 verify are all independently recomputed."""
+    from riko_spark.operators.multimodal import image_neardup_op
+
+    return image_neardup_op(_planted_image_pairs(spark, sf),
+                            {"on_undecodable": "raise"})
+
+
 _JPEG_N = 48
 
 
@@ -1149,8 +1200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition,
         "pii_scrub": q_pii_scrub,
-        # -- NEW round 6: real baseline JPEG entropy decode --
+        # -- NEW round 6: real baseline JPEG entropy decode + banded
+        #    perceptual image near-dup --
         "image_features_jpeg": q_image_features_jpeg,
+        "image_neardup": q_image_neardup,
         # -- code changed round 6: CEP streaming id/ts contract,
         #    image decode dispatch (jpegcodec behind decode_image) --
         "sequence_match": q_sequence_match,
@@ -1178,9 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "pipe_graph": q_pipe_graph,
         "windowed_count": q_windowed_count,
-        "session_windows": q_session_windows,
         # -- past position 50: driver-green in CORRECTNESS_r05,
         #    code unchanged this round --
+        "session_windows": q_session_windows,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -1558,6 +1611,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cell_idx AS INT) AS cell_idx,
                    CAST(SUM(v) AS BIGINT) AS cell_sum
             FROM px GROUP BY id, width, height, channels, cell_idx
+        """,
+        "image_neardup": """
+            WITH base AS (
+              SELECT DISTINCT doc_id AS bid FROM documents WHERE doc_id < 32
+            ),
+            ids AS (
+              SELECT bid AS id, bid AS b, 0 AS tweak FROM base
+              UNION ALL
+              SELECT bid + 1000, bid, 1 FROM base
+            ),
+            dims AS (
+              SELECT id, b, tweak,
+                     8 + 4*(b % 6) AS width,
+                     8 + 4*((b*7 + 2) % 6) AS height
+              FROM ids
+            ),
+            px AS (
+              SELECT d.id, d.width, d.height, x.x AS x, y.y AS y,
+                     CASE WHEN d.tweak = 1 AND x.x = 0 AND y.y = 0
+                          THEN (d.b + 7) % 251
+                          ELSE (d.b + 3*x.x + 5*y.y) % 251 END AS v
+              FROM dims d
+              JOIN generate_series(0, 27) AS x(x) ON x.x < d.width
+              JOIN generate_series(0, 27) AS y(y) ON y.y < d.height
+            ),
+            blocks AS (
+              SELECT p.id, r.r, c.c,
+                     CAST(SUM(p.v) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS a
+              FROM px p
+              JOIN generate_series(0, 7) AS r(r)
+                ON p.y >= (p.height * r.r) // 8
+               AND p.y < (p.height * (r.r + 1)) // 8
+              JOIN generate_series(0, 8) AS c(c)
+                ON p.x >= (p.width * c.c) // 9
+               AND p.x < (p.width * (c.c + 1)) // 9
+              GROUP BY p.id, r.r, c.c
+            ),
+            bits AS (
+              SELECT b0.id, b0.r, b0.c
+              FROM blocks b0
+              JOIN blocks b1 ON b1.id = b0.id AND b1.r = b0.r
+                            AND b1.c = b0.c + 1
+              WHERE b0.c < 8 AND b1.s * b0.a > b0.s * b1.a
+            ),
+            sig AS (
+              SELECT i.id,
+                     CAST(COALESCE(
+                       SUM((1::UBIGINT << (b.r*8 + b.c))::HUGEINT),
+                       0::HUGEINT) AS UBIGINT) AS u
+              FROM ids i LEFT JOIN bits b ON b.id = i.id
+              GROUP BY i.id
+            ),
+            cand AS (
+              SELECT DISTINCT l.id AS left_id, r.id AS right_id,
+                     ls_xor.h AS hamming
+              FROM sig l
+              JOIN sig r ON l.id < r.id
+              JOIN generate_series(0, 7) AS bb(b)
+                ON ((l.u >> (bb.b*8)) & 255::UBIGINT)
+                 = ((r.u >> (bb.b*8)) & 255::UBIGINT),
+              LATERAL (SELECT CAST(bit_count(xor(l.u, r.u)) AS INT) AS h)
+                AS ls_xor
+            )
+            SELECT left_id, right_id, hamming
+            FROM cand WHERE hamming <= 7
         """,
         "image_features_jpeg": """
             WITH ids AS (

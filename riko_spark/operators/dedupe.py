@@ -443,11 +443,34 @@ def simhash_neardup_op(
     conf = conf or {}
     bands = int(conf.get("bands", bands))
     max_hamming = conf.get("max_hamming", max_hamming)
-    max_hamming = bands - 1 if max_hamming is None else int(max_hamming)
     max_bucket_size = conf.get("max_bucket_size", max_bucket_size)
+    hashed = df.withColumn("__sh64", simhash64(F.col(field))).select(id_col, "__sh64")
+    return banded_hamming_pairs(
+        hashed, "__sh64", id_col=id_col, bands=bands,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+        log_dropped=bool(conf.get("log_dropped", True)),
+        what="simhash_neardup")
+
+
+def banded_hamming_pairs(
+    df: DataFrame, hash_col: str, id_col: str = "doc_id", bands: int = 8,
+    max_hamming: int | None = None, max_bucket_size: int | None = 1000,
+    log_dropped: bool = True, what: str = "hash64_neardup",
+) -> DataFrame:
+    """Near-dup pairs over ANY signed-64-bit signature column by banded
+    bit-bands (Manku et al., WWW'07 §3) — the shared scale path behind
+    :func:`simhash_neardup_op` (text) and ``image_neardup`` (perceptual
+    dHash, operators/multimodal.py).  One shuffle keyed on (band,
+    band-bits); pigeonhole guarantees every pair with hamming <=
+    bands-1 shares a band.  Candidates verify exactly (bit_count of the
+    XOR, JVM-side); oversized buckets are excluded with non-silent drop
+    accounting (:func:`cap_buckets`).  Arithmetic shiftright
+    sign-extends, so the mask is applied AFTER the shift — the top
+    band's bits come out identical to a logical shift."""
+    max_hamming = bands - 1 if max_hamming is None else int(max_hamming)
     width = 64 // bands
     mask = (1 << width) - 1
-    hashed = df.withColumn("__sh64", simhash64(F.col(field))).select(id_col, "__sh64")
+    hashed = df.select(id_col, F.col(hash_col).alias("__sh64"))
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -460,7 +483,7 @@ def simhash_neardup_op(
     ).select(id_col, "__sh64", F.col("__b.band").alias("__band"),
              F.col("__b.bits").alias("__bits"))
     banded = cap_buckets(banded, ["__band", "__bits"], max_bucket_size,
-                         log_dropped=bool(conf.get("log_dropped", True)), what="simhash_neardup")
+                         log_dropped=log_dropped, what=what)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, (F.col("l.__band") == F.col("r.__band"))

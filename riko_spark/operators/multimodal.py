@@ -341,6 +341,39 @@ def image_dhash_op(df: DataFrame, conf: dict | None = None,
     return df.mapInPandas(run, IMAGE_DHASH_SCHEMA)
 
 
+@register("image_neardup")
+def image_neardup_op(df: DataFrame, conf: dict | None = None,
+                     field: str = "blob", id_col: str = "id",
+                     bands: int = 8, max_hamming: int | None = None,
+                     max_bucket_size: int | None = 1000,
+                     on_undecodable: str = "skip") -> DataFrame:
+    """Near-duplicate IMAGE pairs end-to-end: perceptual dHash over
+    real decoded pixels (:func:`image_dhash_op`) -> banded bit-band
+    self-join -> exact hamming verify, reusing the SimHash banding
+    machinery (operators/dedupe.py:banded_hamming_pairs) — the corpus
+    near-dup join for a multimodal training pipeline.
+
+    100 TB shape: decode + hash is one mapInPandas scan (Arrow batch of
+    blobs per task); candidate generation is ONE shuffle keyed on
+    (band, band-bits) with pigeonhole recall for hamming <= bands-1;
+    frequent buckets (solid-color boilerplate images all hash alike)
+    are capped with non-silent drop accounting, and verification is a
+    JVM-side bit_count on candidates only — no pairwise pixel
+    comparison ever happens."""
+    conf = conf or {}
+    from riko_spark.operators.dedupe import banded_hamming_pairs
+
+    sig = image_dhash_op(df, conf, field=field, id_col=id_col,
+                         on_undecodable=on_undecodable)
+    return banded_hamming_pairs(
+        sig, "dhash", id_col="id",
+        bands=int(conf.get("bands", bands)),
+        max_hamming=conf.get("max_hamming", max_hamming),
+        max_bucket_size=conf.get("max_bucket_size", max_bucket_size),
+        log_dropped=bool(conf.get("log_dropped", True)),
+        what="image_neardup")
+
+
 VIDEO_FRAMES_SCHEMA = (
     "id bigint, frame_idx int, width int, height int, px_sum bigint"
 )

@@ -591,3 +591,46 @@ def test_image_features_jpeg_real_dims_stub_features(spark):
     assert (r["width"], r["height"]) == (200, 120)  # REAL header dims
     assert r["channels"] == 0  # features remain marked synthetic
     assert len(r["feature"]) == 16
+
+
+def test_image_neardup_planted_recall_and_parity(spark):
+    """image_neardup (dHash -> banded self-join -> exact hamming) must
+    find every planted one-pixel-edit copy pair, and its full output
+    must equal a brute-force hamming join over image_dhash_op
+    signatures (the banding may only lose pairs with hamming > bands-1,
+    which the brute force filters identically)."""
+    import numpy as np
+    import pandas as pd
+
+    from riko_spark.functions.imagecodec import encode_png
+    from riko_spark.operators.multimodal import (image_dhash_op,
+                                                 image_neardup_op)
+
+    rows = []
+    rng = np.random.RandomState(42)
+    for i in range(12):
+        w, h = 8 + 4 * (i % 4), 8 + 4 * ((i * 3 + 1) % 4)
+        v = ((np.add.outer(5 * np.arange(h), 3 * np.arange(w)) + 17 * i)
+             % 251).astype(np.uint8)
+        rows.append((i, bytearray(encode_png(v))))
+        vc = v.copy()
+        vc[0, 0] = (int(vc[0, 0]) + 7) % 251  # one-pixel near dup
+        rows.append((100 + i, bytearray(encode_png(vc))))
+        noise = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        rows.append((200 + i, bytearray(encode_png(noise))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "blob"]))
+
+    out = {(r.left_id, r.right_id): r.hamming
+           for r in image_neardup_op(df).collect()}
+    sigs = {r.id: r.dhash for r in image_dhash_op(df).collect()}
+    brute = {}
+    ids = sorted(sigs)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ham = bin((sigs[ids[a]] ^ sigs[ids[b]]) & (2**64 - 1)).count("1")
+            if ham <= 7:
+                # banding recall is GUARANTEED for hamming <= bands-1
+                brute[(ids[a], ids[b])] = ham
+    assert out == brute
+    for i in range(12):  # every planted copy pair is found
+        assert (i, 100 + i) in out, f"missed planted pair {i}"
