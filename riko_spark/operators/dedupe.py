@@ -624,3 +624,22 @@ def embedding_neardup_op(
         )
         .filter(F.col("cosine") >= thr)
     )
+
+
+@register("neardup_dedupe", kind="operator", sub_kind="aggregator")
+def neardup_dedupe_op(df: DataFrame, conf: dict | None = None,
+                      field: str = "text", ts_col: str = "warc_ts",
+                      delay: str = "30 seconds",
+                      mode: str = "exact") -> DataFrame:
+    """Pipe-registry shim for the streaming content near-dup dedupe
+    (implementation: riko_spark/streaming/dedupe.py — exact-md5 or
+    full-SimHash key through dropDuplicatesWithinWatermark; batch
+    input falls back to dropDuplicates on the same key)."""
+    from riko_spark.streaming.dedupe import neardup_dedupe_within_watermark
+
+    conf = conf or {}
+    return neardup_dedupe_within_watermark(
+        df, field=conf.get("field", field),
+        ts_col=conf.get("ts_col", ts_col),
+        delay=conf.get("delay", delay),
+        mode=conf.get("mode", mode))

@@ -486,3 +486,84 @@ def test_iceberg_upsert_replay_latest_wins(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "ICEBERG-CONTRACT-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_neardup_dedupe_within_watermark_exact(spark, tmp_path, pages_path):
+    """Streaming CONTENT dedupe (exact-md5 mode): case/spacing variants
+    of the same text dedupe to one row per normalized content; stream
+    output keys == batch twin keys (stream ≡ batch parity)."""
+    from riko_spark.streaming.dedupe import neardup_dedupe_within_watermark
+
+    base = spark.read.parquet(pages_path).select(
+        "url", "warc_ts", "text").limit(120)
+    # case/spacing near-identical variants: same normalized content
+    variants = base.select(
+        F.concat(F.col("url"), F.lit("#v")).alias("url"), "warc_ts",
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"))
+    dup_path = str(tmp_path / "dup")
+    base.unionAll(variants).repartition(4).write.parquet(dup_path)
+
+    batch = neardup_dedupe_within_watermark(
+        spark.read.parquet(dup_path), field="text", mode="exact")
+    assert batch.count() == 120  # batch twin: one row per content
+
+    stream = _read_stream(spark, dup_path)
+    deduped = neardup_dedupe_within_watermark(
+        stream, field="text", delay="1 hour", mode="exact")
+    rows = []
+    q = (deduped.writeStream
+         .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(rows) == 120
+    # parity on the surviving content keys, not row identity (first
+    # seen within a micro-batch is arrival-dependent across variants)
+    norm = lambda t: " ".join(t.lower().split())  # noqa: E731
+    assert {norm(r["text"]) for r in rows} == {
+        norm(r["text"]) for r in batch.collect()}
+
+
+def test_neardup_dedupe_simhash_mode(spark, tmp_path, pages_path):
+    """simhash mode drops token-reordered rewrites (hamming-0 pairs)
+    that exact-md5 mode keeps — stream and batch twins agree."""
+    from riko_spark.streaming.dedupe import neardup_dedupe_within_watermark
+
+    base = spark.read.parquet(pages_path).select(
+        "url", "warc_ts", "text").limit(60)
+    # token-reordered rewrite: different md5-norm, SAME simhash
+    reordered = base.select(
+        F.concat(F.col("url"), F.lit("#r")).alias("url"), "warc_ts",
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"))
+    dup_path = str(tmp_path / "dup")
+    base.unionAll(reordered).repartition(4).write.parquet(dup_path)
+
+    batch_exact = neardup_dedupe_within_watermark(
+        spark.read.parquet(dup_path), field="text", mode="exact")
+    batch_sim = neardup_dedupe_within_watermark(
+        spark.read.parquet(dup_path), field="text", mode="simhash")
+    n_exact, n_sim = batch_exact.count(), batch_sim.count()
+    assert n_sim == 60  # every reordering collapses onto its base
+    assert n_exact > n_sim  # exact mode keeps the reorderings
+
+    stream = _read_stream(spark, dup_path)
+    deduped = neardup_dedupe_within_watermark(
+        stream, field="text", delay="1 hour", mode="simhash")
+    rows = []
+    q = (deduped.writeStream
+         .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(rows) == 60
+
+
+def test_neardup_dedupe_registered_pipe(spark):
+    from riko_spark.operators import get_operator
+
+    fn = get_operator("neardup_dedupe")
+    df = spark.createDataFrame(
+        [("a b", 1), ("A  B", 2), ("c", 3)], "text string, i long")
+    assert fn(df, {"mode": "exact"}).count() == 2
