@@ -200,32 +200,46 @@ def _unfilter_image(raw: bytes, off: int, pw: int, ph: int,
 
 
 def _unfilter(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
-    """Inverse PNG filter.  Sub/Paeth/Average recur on the
-    just-reconstructed left neighbour, so those run as a left-to-right
-    scan; None/Up vectorize."""
+    """Inverse PNG filter, vectorized per class of recurrence:
+
+    * None/Up have no left dependency — whole-line numpy.
+    * Sub is ``out[i] = filt[i] + out[i-bpp]``, i.e. a per-channel-lane
+      prefix sum — cumsum in a wide dtype then mod 256 (mod distributes
+      over the sum), no scan loop at all.
+    * Average/Paeth genuinely recur on the just-reconstructed left
+      neighbour, but the recurrence is independent ACROSS the bpp
+      channel lanes, so the scan runs per PIXEL with all channels as a
+      vector — w iterations instead of w*bpp (the round-5 per-byte
+      loop), a 3-4x constant for RGB(A) corpora."""
     if ft == 0:
         return line.copy()
     if ft == 2:
         return (line.astype(np.int16) + prev).astype(np.uint8)
-    out = np.zeros(len(line), dtype=np.int16)
-    li = line.astype(np.int16)
-    pv = prev.astype(np.int16)
-    for i in range(len(line)):
-        a = out[i - bpp] if i >= bpp else 0
-        b = pv[i]
-        cc = pv[i - bpp] if i >= bpp else 0
-        if ft == 1:
-            pred = a
-        elif ft == 3:
-            pred = (a + b) // 2
-        elif ft == 4:
+    if ft == 1:
+        lanes = line.reshape(-1, bpp).astype(np.uint64)
+        return (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(-1)
+    w = len(line) // bpp
+    li = line.reshape(w, bpp).astype(np.int16)
+    pv = prev.reshape(w, bpp).astype(np.int16)
+    out = np.zeros((w, bpp), dtype=np.int16)
+    a = np.zeros(bpp, dtype=np.int16)   # left neighbour (whole pixel)
+    cc = np.zeros(bpp, dtype=np.int16)  # upper-left neighbour
+    if ft == 3:
+        for x in range(w):
+            out[x] = (li[x] + (a + pv[x]) // 2) % 256
+            a = out[x]
+        return out.astype(np.uint8).reshape(-1)
+    if ft == 4:
+        for x in range(w):
+            b = pv[x]
             p = a + b - cc
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-        else:
-            raise ValueError(f"PNG: unknown filter type {ft}")
-        out[i] = (li[i] + pred) % 256
-    return out.astype(np.uint8)
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, b, cc))
+            out[x] = (li[x] + pred) % 256
+            a, cc = out[x], b
+        return out.astype(np.uint8).reshape(-1)
+    raise ValueError(f"PNG: unknown filter type {ft}")
 
 
 # --------------------------------------------------------------- BMP
