@@ -421,6 +421,19 @@ def _stream_types(df: DataFrame, key: str, event_id_col: str) -> tuple[str, str]
     return key_t, id_t
 
 
+def _prune_stream_cols(src: DataFrame, *cols: str) -> DataFrame:
+    """Project the stream to the columns the stateful operator reads
+    (key, event time, type, id) BEFORE the keyed shuffle.  Payload
+    columns (values, props, bodies) never reach the operator's output
+    schema, so carrying them through the exchange and the Arrow
+    round-trip into the Python state function is pure waste — on a
+    wide event row the payload dominates the four bookkeeping columns.
+    Catalyst does not prune through applyInPandasWithState on its own
+    (the pandas function is opaque), so the projection must be
+    explicit."""
+    return src.select(*dict.fromkeys(cols))
+
+
 def _grouped_stream(src: DataFrame, ts_col: str, watermark: str,
                     key: str, state_buckets: int | None):
     """Watermark + state grouping for the three stream operators: by a
@@ -649,6 +662,7 @@ def _sequence_match_stream(
         # AUTO mode when a type_share histogram shows step-relevant
         # events are dense enough to carry the watermark themselves.
         src = df.filter(F.col(type_col).isin(relevant))
+    src = _prune_stream_cols(src, key, ts_col, type_col, event_id_col)
     src = _drop_invalid_stream(src, ts_col, event_id_col, id_t, on_invalid)
     grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
@@ -846,6 +860,7 @@ def _absence_match_stream(
             })
 
     src = df.filter(F.col(type_col).isin(relevant)) if filter_types else df
+    src = _prune_stream_cols(src, key, ts_col, type_col, event_id_col)
     src = _drop_invalid_stream(src, ts_col, event_id_col, id_t, on_invalid)
     grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
@@ -1016,6 +1031,7 @@ def _threshold_match_stream(
             })
 
     src = df.filter(F.col(type_col).isin(event_type)) if filter_types else df
+    src = _prune_stream_cols(src, key, ts_col, type_col, event_id_col)
     src = _drop_invalid_stream(src, ts_col, event_id_col, id_t, on_invalid)
     grouped = _grouped_stream(src, ts_col, watermark, key, state_buckets)
     return grouped.applyInPandasWithState(
