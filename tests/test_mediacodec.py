@@ -160,6 +160,10 @@ def test_bmp_roundtrip_and_dispatch():
     assert decode_image(data)[:3] == (3, 5, 3)
     assert decode_image(encode_png(px))[:3] == (3, 5, 3)
     with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"GIF89a not a supported format")
+    # a JPEG SOI magic now dispatches into the real baseline decoder,
+    # which raises its own diagnostic for a truncated/garbage stream
+    with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xffJPEG...")
 
 
