@@ -232,18 +232,20 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
     """Sample every Nth frame from a video blob (UDTF shape: one row
     in → many rows out).
 
-    RIFF/AVI blobs with raw-DIB streams get REAL frame extraction
-    (functions/avicodec.py): the emitted ``frame`` is the Nth frame's
-    actual DIB payload.  Other/compressed formats fall back to the
-    documented deterministic stub slice (real impl for those: ffmpeg),
-    so the op keeps its one-in/many-out plumbing contract on any input.
+    RIFF/AVI blobs with raw-DIB or Motion-JPEG streams get REAL frame
+    extraction (functions/avicodec.py): the emitted ``frame`` is the
+    Nth frame's actual chunk payload (a DIB pixel array or a
+    standalone baseline JPEG).  Other/compressed formats fall back to
+    the documented deterministic stub slice (real impl for those:
+    ffmpeg), so the op keeps its one-in/many-out plumbing contract on
+    any input.
     """
     conf = conf or {}
     every = int(conf.get("every", every))
     max_frames = int(conf.get("max_frames", max_frames))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from riko_spark.functions.avicodec import avi_dib_payloads
+        from riko_spark.functions.avicodec import avi_frame_payloads
 
         for pdf in batches:
             rows = []
@@ -253,7 +255,8 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
                 b = bytes(b)
                 if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                     try:
-                        _w, _h, _bpp, payloads = avi_dib_payloads(b)
+                        _w, _h, _bpp, _codec, payloads = \
+                            avi_frame_payloads(b)
                         for i, fi in enumerate(range(0, len(payloads), every)):
                             if i >= max_frames:
                                 break
@@ -384,14 +387,17 @@ def video_frames_op(df: DataFrame, conf: dict | None = None,
                     field: str = "blob", id_col: str = "id",
                     every: int = 2, max_frames: int = 8,
                     on_undecodable: str = "skip") -> DataFrame:
-    """REAL video decode stats: extract every Nth raw-DIB frame from an
-    AVI blob and emit its dimensions + exact pixel sum (int64 over all
-    RGB samples) — the decode-verification shape: a broken chunk walk,
-    wrong row order, or BGR mix-up changes ``px_sum``.  Only the
-    SAMPLED payloads decode (avi_dib_payloads + decode_dib_payload —
-    no wasted work on skipped frames).  Undecodable/compressed blobs
-    follow ``on_undecodable``: "skip" (default — a mixed corpus never
-    aborts on one MP4; no fabricated stats either) or "raise"."""
+    """REAL video decode stats: extract every Nth frame from an AVI
+    blob — raw-DIB or Motion-JPEG (each '00dc' chunk a standalone
+    baseline JPEG through functions/jpegcodec.py) — and emit its
+    dimensions + exact pixel sum (int64 over all channel samples) —
+    the decode-verification shape: a broken chunk walk, wrong row
+    order, BGR mix-up, or Huffman/IDCT bug changes ``px_sum``.  Only
+    the SAMPLED payloads decode (avi_frame_payloads +
+    decode_frame_payload — no wasted work on skipped frames).
+    Undecodable/compressed blobs follow ``on_undecodable``: "skip"
+    (default — a mixed corpus never aborts on one MP4; no fabricated
+    stats either) or "raise"."""
     conf = conf or {}
     every = int(conf.get("every", every))
     max_frames = int(conf.get("max_frames", max_frames))
@@ -400,8 +406,8 @@ def video_frames_op(df: DataFrame, conf: dict | None = None,
         raise ValueError("on_undecodable must be 'skip' or 'raise'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from riko_spark.functions.avicodec import (avi_dib_payloads,
-                                                   decode_dib_payload)
+        from riko_spark.functions.avicodec import (avi_frame_payloads,
+                                                   decode_frame_payload)
 
         for pdf in batches:
             rows = []
@@ -409,7 +415,8 @@ def video_frames_op(df: DataFrame, conf: dict | None = None,
                 if b is None:
                     continue
                 try:
-                    w, h, bpp, payloads = avi_dib_payloads(bytes(b))
+                    w, h, bpp, codec, payloads = \
+                        avi_frame_payloads(bytes(b))
                 except ValueError:
                     if on_undecodable == "raise":
                         raise
@@ -417,7 +424,15 @@ def video_frames_op(df: DataFrame, conf: dict | None = None,
                 for i, fi in enumerate(range(0, len(payloads), every)):
                     if i >= max_frames:
                         break
-                    px = decode_dib_payload(payloads[fi], w, h, bpp)
+                    try:
+                        px = decode_frame_payload(payloads[fi], w, h,
+                                                  bpp, codec)
+                    except ValueError:
+                        # one truncated DIB / corrupt MJPEG frame
+                        # drops that frame, not the whole blob/corpus
+                        if on_undecodable == "raise":
+                            raise
+                        continue
                     rows.append((rid, fi, w, h,
                                  int(px.astype(np.int64).sum())))
             yield pd.DataFrame(rows, columns=[

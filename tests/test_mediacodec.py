@@ -638,3 +638,124 @@ def test_image_neardup_planted_recall_and_parity(spark):
     assert out == brute
     for i in range(12):  # every planted copy pair is found
         assert (i, 100 + i) in out, f"missed planted pair {i}"
+
+
+# ------------------------------------------------------------ MJPEG AVI
+
+def _mjpeg_gray_frames(n, bh=2, bw=3, seed=60):
+    """Block-constant 8x8-tiled gray frames — the ones-quant JPEG
+    round trip is EXACT for these (only the integer DC survives), so
+    MJPEG AVI assertions stay integer-exact like the DIB ones."""
+    rng = np.random.RandomState(seed)
+    return [np.repeat(np.repeat(
+        rng.randint(0, 256, size=(bh, bw)).astype(np.uint8), 8, 0), 8, 1)
+        for _ in range(n)]
+
+
+def test_avi_mjpeg_roundtrip_gray_exact():
+    from riko_spark.functions.avicodec import (avi_frame_payloads,
+                                               decode_avi_frames,
+                                               encode_avi)
+
+    frames = _mjpeg_gray_frames(3)
+    avi = encode_avi(frames, codec="mjpg")
+    w, h, bpp, codec, payloads = avi_frame_payloads(avi)
+    assert (w, h, codec, len(payloads)) == (24, 16, "mjpg", 3)
+    for p in payloads:  # each chunk is a standalone SOI..EOI JPEG
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    gw, gh, got = decode_avi_frames(avi)
+    assert (gw, gh, len(got)) == (24, 16, 3)
+    for a, b in zip(got, frames):
+        assert a.shape == (16, 24, 1)
+        np.testing.assert_array_equal(a[:, :, 0], b)
+
+
+def test_avi_mjpeg_rgb_exact_and_dim_mismatch():
+    from riko_spark.functions.avicodec import (decode_avi_frames,
+                                               decode_frame_payload,
+                                               encode_avi)
+    from riko_spark.functions.jpegcodec import encode_jpeg
+
+    # R=G=B block-constant: Y==v, Cb==Cr==128 -> bit-exact round trip
+    rng = np.random.RandomState(61)
+    bv = rng.randint(0, 251, size=(2, 2)).astype(np.uint8)
+    g = np.repeat(np.repeat(bv, 8, 0), 8, 1)
+    frames = [np.stack([g, g, g], axis=2), np.stack([g.T, g.T, g.T], axis=2).transpose(1, 0, 2)]
+    w, h, got = decode_avi_frames(encode_avi(frames, codec="mjpg"))
+    assert (w, h, len(got)) == (16, 16, 2)
+    np.testing.assert_array_equal(got[0], frames[0])
+
+    # a frame whose own SOF dims disagree with the container strf raises
+    wrong = encode_jpeg(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="container strf"):
+        decode_frame_payload(wrong, 16, 16, 24, "mjpg")
+
+
+def test_avi_mjpeg_dib_backcompat_rejects():
+    """avi_dib_payloads is the raw-DIB-only compatibility surface: an
+    MJPEG stream must raise there, not hand back JPEG bytes as DIBs."""
+    from riko_spark.functions.avicodec import avi_dib_payloads, encode_avi
+
+    avi = encode_avi(_mjpeg_gray_frames(2), codec="mjpg")
+    with pytest.raises(ValueError, match="raw DIB"):
+        avi_dib_payloads(avi)
+
+
+def test_video_frames_op_mjpeg_pixel_sums(spark):
+    from riko_spark.functions.avicodec import encode_avi
+    from riko_spark.operators.multimodal import video_frames_op
+
+    frames = _mjpeg_gray_frames(5, seed=62)
+    df = spark.createDataFrame([(7, bytearray(encode_avi(frames,
+                                                         codec="mjpg")))],
+                               "id long, blob binary")
+    out = sorted(video_frames_op(df, {"every": 2, "max_frames": 8}).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        assert (r["width"], r["height"]) == (24, 16)
+        # gray MJPEG decodes to one channel: sum == planted pixel sum
+        assert r["px_sum"] == int(frames[r["frame_idx"]].astype(np.int64).sum())
+
+
+def test_video_frames_op_mjpeg_corrupt_frame_skips(spark):
+    """One zeroed-out '00dc' chunk body drops that frame in skip mode
+    (the rest of the blob still decodes) and aborts in raise mode."""
+    from riko_spark.functions.avicodec import encode_avi
+    from riko_spark.operators.multimodal import video_frames_op
+
+    frames = _mjpeg_gray_frames(3, seed=63)
+    avi = bytearray(encode_avi(frames, codec="mjpg"))
+    # find the SECOND frame chunk and zero its body in place
+    first = bytes(avi).index(b"00dc")
+    second = bytes(avi).index(b"00dc", first + 4)
+    (ln,) = struct.unpack_from("<I", avi, second + 4)
+    avi[second + 8: second + 8 + ln] = b"\0" * ln
+    df = spark.createDataFrame([(1, bytearray(avi))], "id long, blob binary")
+    out = sorted(video_frames_op(df, {"every": 1, "max_frames": 8}).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 2]
+    for r in out:
+        assert r["px_sum"] == int(frames[r["frame_idx"]].astype(np.int64).sum())
+    with pytest.raises(Exception):
+        video_frames_op(df, {"every": 1, "on_undecodable": "raise"}).collect()
+
+
+def test_frame_sample_mjpeg_payloads(spark):
+    """frame_sample forwards the sampled '00dc' payloads verbatim —
+    each emitted frame is a standalone baseline JPEG."""
+    from riko_spark.functions.avicodec import encode_avi
+    from riko_spark.operators.multimodal import frame_sample_op
+
+    frames = _mjpeg_gray_frames(6, seed=64)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi(frames, codec="mjpg")))],
+        "id long, blob binary")
+    out = sorted(frame_sample_op(df, {"every": 3, "max_frames": 2}).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 3]
+    from riko_spark.functions.jpegcodec import decode_jpeg
+    for r in out:
+        w, h, c, px = decode_jpeg(bytes(r["frame"]))
+        assert (w, h, c) == (24, 16, 1)
+        np.testing.assert_array_equal(px[:, :, 0], frames[r["frame_idx"]])
