@@ -995,6 +995,56 @@ def q_video_frames(spark, sf):
                            {"every": 2, "max_frames": 8})
 
 
+def _planted_video_mjpeg(spark, sf):
+    """Planted Motion-JPEG AVIs: each '00dc' chunk is a standalone
+    baseline JPEG (functions/jpegcodec.py) of a GRAY frame that is
+    constant on every 8x8 block — block (bx, by) of frame f of doc i
+    has value v = (i + 2f + 3bx + 5by) mod 251, so the ones-quant
+    entropy round trip is integer-EXACT (only the DC coefficient is
+    nonzero) and the oracle recomputes per-frame pixel sums as
+    64 * sum(v) over the block grid (riko_spark/functions/avicodec.py
+    walk + jpegcodec.py decode)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _AVI_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.avicodec import encode_avi
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                bw = 2 + i % 3
+                bh = 2 + (i * 7 + 2) % 3
+                nf = 4 + i % 5
+                frames = []
+                for f in range(nf):
+                    v = ((np.add.outer(5 * np.arange(bh),
+                                       3 * np.arange(bw))
+                          + i + 2 * f) % 251).astype(np.uint8)
+                    frames.append(np.repeat(np.repeat(v, 8, 0), 8, 1))
+                rows.append((i, bytearray(encode_avi(frames,
+                                                     codec="mjpg"))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_video_frames_mjpeg(spark, sf):
+    """REAL Motion-JPEG video decode: every 2nd '00dc' frame decodes
+    through the baseline JPEG kernel (Huffman entropy decode + IDCT)
+    and emits its exact pixel sum — a broken chunk walk, Huffman table
+    mix-up, or IDCT bug changes the sum; the oracle recomputes it from
+    the planted block formula with generate_series."""
+    from riko_spark.operators.multimodal import video_frames_op
+
+    return video_frames_op(_planted_video_mjpeg(spark, sf),
+                           {"every": 2, "max_frames": 8})
+
+
 def q_sequence_match(spark, sf):
     """CEP sequence detection (view → click → purchase per user within
     2 days, earliest-completion-per-anchor semantics) — the
@@ -1217,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "video_frames_mjpeg": q_video_frames_mjpeg,
         "frame_sample": q_frame_sample,
         # -- heavyweight LLM-pipeline / streaming ops --
         "exact_dedupe": q_exact_dedupe,
@@ -1783,6 +1834,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(height AS INT) AS height,
                    CAST(3 * SUM(v) AS BIGINT) AS px_sum
             FROM px GROUP BY id, frame_idx, width, height
+        """,
+        "video_frames_mjpeg": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 24
+            ),
+            dims AS (
+              SELECT id,
+                     2 + (id % 3) AS bw,
+                     2 + ((id*7 + 2) % 3) AS bh,
+                     4 + id % 5 AS nf
+              FROM ids
+            ),
+            fr AS (
+              SELECT d.*, f.f AS frame_idx
+              FROM dims d JOIN generate_series(0, 7) AS f(f)
+                ON f.f % 2 = 0 AND f.f < d.nf
+            ),
+            blk AS (
+              SELECT fr.id, fr.frame_idx, fr.bw, fr.bh,
+                     (fr.id + 2*fr.frame_idx + 3*bx.bx + 5*by.by) % 251 AS v
+              FROM fr
+              JOIN generate_series(0, 4) AS bx(bx) ON bx.bx < fr.bw
+              JOIN generate_series(0, 4) AS by(by) ON by.by < fr.bh
+            )
+            SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(8 * bw AS INT) AS width,
+                   CAST(8 * bh AS INT) AS height,
+                   CAST(64 * SUM(v) AS BIGINT) AS px_sum
+            FROM blk GROUP BY id, frame_idx, bw, bh
         """,
         "audio_features": """
             WITH ids AS (
