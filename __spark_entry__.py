@@ -949,6 +949,58 @@ def q_audio_features(spark, sf):
     )
 
 
+#: µ-law code bytes planted by _planted_audio_g711 and their ITU G.711
+#: linear expansions — the oracle pins the SAME eight spec values in a
+#: CASE, so a wrong expansion table cannot self-certify.
+_G711_CODES = (0x00, 0x80, 0xFF, 0x9A, 0x1A, 0xD5, 0x55, 0x3C)
+
+
+def _planted_audio_g711(spark, sf):
+    """Planted µ-law (wFormatTag 7) mono WAVs: code byte j of doc i is
+    _G711_CODES[(i*31 + j*13) mod 8], written VERBATIM (no linear->
+    G.711 compressor exists in the repo); the oracle recomputes each
+    window's sum-of-squares from the selector formula plus the
+    spec-pinned expansion values (riko_spark/functions/wavcodec.py)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _WAV_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.wavcodec import encode_wav_g711
+
+        for pdf in batches:
+            rows = []
+            codes = np.array(_G711_CODES, dtype=np.uint8)
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = 600 + 100 * (i % 5)
+                j = np.arange(frames, dtype=np.int64)
+                sel = (i * 31 + j * 13) % 8
+                rows.append((i, bytearray(encode_wav_g711(codes[sel],
+                                                          8000))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_audio_features_g711(spark, sf):
+    """REAL G.711 µ-law decode + windowed loudness: companded code
+    bytes expand through the spec table and the per-256-frame
+    sum-of-squares is checked value-exactly against the oracle's CASE
+    over the eight spec-pinned linear values — a wrong segment shift,
+    bias, or sign in the expansion changes win_sumsq."""
+    from riko_spark.operators.multimodal import audio_features_op
+
+    out = audio_features_op(_planted_audio_g711(spark, sf),
+                            {"window_frames": 256})
+    return out.select(
+        "id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "win_idx", "win_frames", "win_sumsq",
+    )
+
+
 _AVI_N = 24
 
 
@@ -1266,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
+        "audio_features_g711": q_audio_features_g711,
         "video_frames": q_video_frames,
         "video_frames_mjpeg": q_video_frames_mjpeg,
         "frame_sample": q_frame_sample,
@@ -1901,6 +1954,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * v) AS BIGINT) AS win_sumsq
             FROM s
             GROUP BY id, sample_rate, channels, n_frames, win_idx, win_frames
+        """,
+        "audio_features_g711": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 48
+            ),
+            p AS (
+              SELECT id, 600 + 100*(id % 5) AS n_frames FROM ids
+            ),
+            wins AS (
+              SELECT p.*, w.w AS win_idx
+              FROM p JOIN generate_series(0, 3) AS w(w)
+                ON w.w * 256 < p.n_frames
+            ),
+            s AS (
+              SELECT wn.id, wn.n_frames, wn.win_idx,
+                     LEAST(wn.n_frames, (wn.win_idx + 1) * 256)
+                       - wn.win_idx * 256 AS win_frames,
+                     -- ITU G.711 table values for the eight planted
+                     -- u-law codes 00/80/FF/9A/1A/D5/55/3C (spec-
+                     -- pinned, independent of the engine's table)
+                     CASE (wn.id*31 + j.j*13) % 8
+                       WHEN 0 THEN -32124 WHEN 1 THEN 32124
+                       WHEN 2 THEN 0      WHEN 3 THEN 10876
+                       WHEN 4 THEN -10876 WHEN 5 THEN 716
+                       WHEN 6 THEN -716   WHEN 7 THEN -2364
+                     END AS v
+              FROM wins wn
+              JOIN generate_series(0, 999) AS j(j)
+                ON j.j >= wn.win_idx * 256
+               AND j.j < LEAST(wn.n_frames, (wn.win_idx + 1) * 256)
+            )
+            SELECT id, CAST(8000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS channels,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   CAST(win_idx AS INT) AS win_idx,
+                   CAST(win_frames AS INT) AS win_frames,
+                   CAST(SUM(v * v) AS BIGINT) AS win_sumsq
+            FROM s
+            GROUP BY id, n_frames, win_idx, win_frames
         """,
         "token_totals": """
             WITH n AS (

@@ -1,11 +1,14 @@
-"""Dependency-free WAV/PCM codec: RIFF chunk walk + 8/16-bit PCM
-decode with stdlib ``struct``/``numpy`` alone.
+"""Dependency-free WAV codec: RIFF chunk walk + 8/16-bit PCM decode,
+plus ITU-T G.711 µ-law/A-law (wFormatTag 7/6) companded 8-bit decode,
+with stdlib ``struct``/``numpy`` alone.
 
 This is the REAL audio kernel the round-4 review asked for — it
 replaces the ``audio_decode_stub`` NotImplementedError.  Compressed
-codecs (MP3/AAC/FLAC) still need external libraries and stay out of
-scope; PCM WAV is the training-pipeline interchange format and decodes from
-the public RIFF/WAVE spec with no dependencies.
+transform codecs (MP3/AAC/FLAC) still need external libraries and stay
+out of scope; PCM WAV is the training-pipeline interchange format, and
+G.711 is the telephony-capture interchange format — both decode from
+public specs (RIFF/WAVE layout; G.711's segmented companding formulas)
+with no dependencies.
 """
 
 from __future__ import annotations
@@ -14,11 +17,50 @@ import struct
 
 import numpy as np
 
-#: wFormatTag values we decode: 1 = PCM, 0xFFFE = EXTENSIBLE (PCM
-#: subformat is verified via the GUID prefix)
+#: wFormatTag values we decode: 1 = PCM, 6 = A-law, 7 = µ-law,
+#: 0xFFFE = EXTENSIBLE (PCM subformat is verified via the GUID prefix)
 _WAVE_FORMAT_PCM = 1
+_WAVE_FORMAT_ALAW = 6
+_WAVE_FORMAT_MULAW = 7
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 _KSDATAFORMAT_PCM_PREFIX = b"\x01\x00\x00\x00"
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """256-entry µ-law byte -> linear int16 expansion table from the
+    G.711 formula: the transmitted byte is the 1's complement of
+    sign(1) | segment(3) | quantization(4); magnitude rebuilds as
+    ((quant << 3) + 33*4/... bias 0x84) shifted by the segment, bias
+    removed.  Spot values pinned by the spec: 0x00 -> -32124,
+    0x80 -> +32124, 0xFF/0x7F -> 0."""
+    codes = np.arange(256, dtype=np.uint16)
+    u = (~codes) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84).astype(np.int32)
+    t <<= (u & 0x70) >> 4
+    out = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    return out.astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """256-entry A-law byte -> linear int16 expansion table from the
+    G.711 formula: the transmitted byte is XOR 0x55 (even-bit
+    inversion) of sign(1) | segment(3) | quantization(4); segment 0 is
+    linear (step 16, offset 8), higher segments double the step.  Spot
+    values pinned by the spec: 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256,
+    0xAA -> +32256."""
+    codes = np.arange(256, dtype=np.uint16) ^ 0x55
+    quant = ((codes & 0x0F) << 4).astype(np.int32)
+    seg = (codes & 0x70) >> 4
+    mag = np.where(
+        seg == 0, quant + 8,
+        np.where(seg == 1, quant + 0x108,
+                 (quant + 0x108) << np.maximum(seg - 1, 0)))
+    out = np.where(codes & 0x80, mag, -mag)
+    return out.astype(np.int16)
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -32,6 +74,29 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", _WAVE_FORMAT_PCM, channels, sample_rate,
                       byte_rate, channels * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(codes: np.ndarray, sample_rate: int,
+                    law: str = "ulaw") -> bytes:
+    """G.711 WAV from RAW companded code bytes — ``(frames,)`` mono or
+    ``(frames, channels)`` uint8 arrays written verbatim under
+    wFormatTag 7 (µ-law) / 6 (A-law), bits=8.  Deliberately NOT a
+    linear->G.711 compressor: fixtures plant code bytes directly and
+    assert the decoder's expansion against spec-pinned values, so the
+    decode table cannot certify itself through a matching encoder."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    s = np.asarray(codes, dtype=np.uint8)
+    if s.ndim == 1:
+        s = s[:, None]
+    _frames, channels = s.shape
+    tag = _WAVE_FORMAT_MULAW if law == "ulaw" else _WAVE_FORMAT_ALAW
+    fmt = struct.pack("<HHIIHH", tag, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
+    data = s.tobytes()
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -78,16 +143,24 @@ def _decode_wav_body(data: bytes) -> tuple[int, int, np.ndarray]:
         # cbSize(2) + validbits(2) + channelmask(4) + GUID(16) at off 16
         if len(fmt) < 40 or fmt[24:28] != _KSDATAFORMAT_PCM_PREFIX:
             raise ValueError("WAV: EXTENSIBLE subformat is not PCM")
-    elif wformat != _WAVE_FORMAT_PCM:
-        raise ValueError(f"WAV: only PCM supported, got format {wformat} "
-                         "(compressed codecs need an audio library)")
+    elif wformat not in (_WAVE_FORMAT_PCM, _WAVE_FORMAT_ALAW,
+                         _WAVE_FORMAT_MULAW):
+        raise ValueError(f"WAV: only PCM and G.711 supported, got format "
+                         f"{wformat} (transform codecs need an audio "
+                         "library)")
     if channels < 1:
         raise ValueError("WAV: zero channels")
     if sample_rate < 1:
         # a zero rate would surface later as an uncontrolled
         # ZeroDivisionError in duration math (frames * 1000 // rate)
         raise ValueError("WAV: zero sample rate")
-    if bits == 16:
+    if wformat in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
+        if bits != 8:
+            raise ValueError(f"WAV: G.711 is 8-bit, got {bits}")
+        table = (_ULAW_TABLE if wformat == _WAVE_FORMAT_MULAW
+                 else _ALAW_TABLE)
+        s = table[np.frombuffer(raw, dtype=np.uint8)]
+    elif bits == 16:
         s = np.frombuffer(raw, dtype="<i2")
     elif bits == 8:
         # 8-bit PCM is UNSIGNED with midpoint 128: recentre and scale

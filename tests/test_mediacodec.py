@@ -759,3 +759,91 @@ def test_frame_sample_mjpeg_payloads(spark):
         w, h, c, px = decode_jpeg(bytes(r["frame"]))
         assert (w, h, c) == (24, 16, 1)
         np.testing.assert_array_equal(px[:, :, 0], frames[r["frame_idx"]])
+
+
+# ------------------------------------------------------------ G.711 WAV
+
+def _g711_expand_scalar(code, law):
+    """Independent per-sample G.711 expansion written from the ITU
+    spec text (segmented companding), NOT the codec's vectorized
+    table build — loop/branch structure, no numpy."""
+    if law == "ulaw":
+        u = (~code) & 0xFF
+        seg = (u >> 4) & 0x07
+        quant = u & 0x0F
+        mag = (((quant << 3) + 0x84) << seg) - 0x84
+        return -mag if u & 0x80 else mag
+    a = code ^ 0x55
+    seg = (a >> 4) & 0x07
+    quant = a & 0x0F
+    if seg == 0:
+        mag = (quant << 4) + 8
+    elif seg == 1:
+        mag = (quant << 4) + 0x108
+    else:
+        mag = ((quant << 4) + 0x108) << (seg - 1)
+    return mag if a & 0x80 else -mag
+
+
+def test_g711_tables_spec_values_and_full_sweep():
+    from riko_spark.functions.wavcodec import _ALAW_TABLE, _ULAW_TABLE
+
+    # spec-pinned spot values (G.711 tables 1a/2a endpoints)
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256 and _ALAW_TABLE[0xAA] == 32256
+    # full 256-code sweep against the independent scalar expansion
+    for c in range(256):
+        assert _ULAW_TABLE[c] == _g711_expand_scalar(c, "ulaw"), hex(c)
+        assert _ALAW_TABLE[c] == _g711_expand_scalar(c, "alaw"), hex(c)
+    # each positive half is monotone in code order (companding is
+    # order-preserving) and mirrors the negative half exactly
+    ut = _ULAW_TABLE.astype(int)
+    assert all(ut[0x80 + i] >= ut[0x80 + i + 1] for i in range(127))
+    assert all(ut[i] == -ut[0x80 + i] for i in range(128))
+
+
+def test_g711_wav_decode_roundtrip_and_rejects():
+    from riko_spark.functions.wavcodec import decode_wav, encode_wav_g711
+
+    codes = np.array([[0x00, 0xFF], [0x80, 0x7F], [0x9A, 0x2A]], np.uint8)
+    rate, ch, s = decode_wav(encode_wav_g711(codes, 8000, "ulaw"))
+    assert (rate, ch, s.shape) == (8000, 2, (3, 2))
+    expect = [[_g711_expand_scalar(int(c), "ulaw") for c in row]
+              for row in codes]
+    assert s.tolist() == expect
+
+    rate, ch, s = decode_wav(encode_wav_g711(codes[:, 0], 16000, "alaw"))
+    assert (rate, ch) == (16000, 1)
+    assert s[:, 0].tolist() == [
+        _g711_expand_scalar(int(c), "alaw") for c in codes[:, 0]]
+
+    # G.711 fmt with a non-8 bit depth is corrupt -> clean error
+    blob = bytearray(encode_wav_g711(codes[:, 0], 8000, "ulaw"))
+    i = bytes(blob).index(b"fmt ")
+    struct.pack_into("<H", blob, i + 8 + 14, 16)  # wBitsPerSample
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_wav(bytes(blob))
+    with pytest.raises(ValueError):
+        encode_wav_g711(codes, 8000, "g722")
+
+
+def test_audio_features_g711(spark):
+    """audio_features over a µ-law WAV: windowed sum-of-squares of the
+    EXPANDED samples, expectation built from the independent scalar
+    expansion."""
+    from riko_spark.functions.wavcodec import encode_wav_g711
+    from riko_spark.operators.multimodal import audio_features_op
+
+    codes = np.array([0x00, 0xFF, 0x80, 0x55, 0xD5, 0x2A], np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_g711(codes, 8000, "ulaw")))],
+        "id long, blob binary")
+    rows = sorted(audio_features_op(df, {"window_frames": 4}).collect(),
+                  key=lambda r: r["win_idx"])
+    lin = [_g711_expand_scalar(int(c), "ulaw") for c in codes]
+    assert [r["win_frames"] for r in rows] == [4, 2]
+    assert rows[0]["win_sumsq"] == sum(v * v for v in lin[:4])
+    assert rows[1]["win_sumsq"] == sum(v * v for v in lin[4:])
+    assert rows[0]["sample_rate"] == 8000 and rows[0]["channels"] == 1
