@@ -655,7 +655,8 @@ def q_media_metadata(spark, sf):
     text bytes as the octet-stream control; expected types recomputed
     by the oracle from the planting id arithmetic (round 5: the RIFF
     branch now checks the WAVE form type at bytes 9-12, so a real WAV
-    header is required to classify as audio/wav)."""
+    header is required to classify as audio/wav; round 6: real GIF89a
+    blobs exercise the new image/gif branch)."""
     from riko_spark.operators.multimodal import media_metadata_op
 
     imgs = _planted_images(spark, sf)
@@ -664,7 +665,9 @@ def q_media_metadata(spark, sf):
     txt = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
         (F.col("doc_id") + F.lit(200000)).alias("id"),
         F.encode("text", "utf-8").alias("blob"))
-    return media_metadata_op(imgs.union(wavs).union(txt)).select(
+    gifs = _planted_gifs(spark, sf).select(
+        (F.col("id") + F.lit(300000)).alias("id"), "blob")
+    return media_metadata_op(imgs.union(wavs).union(txt).union(gifs)).select(
         "id", "media_type")
 
 
@@ -756,6 +759,60 @@ def q_image_features_real(spark, sf):
 
     feats = image_features_op(
         _planted_images(spark, sf), {"on_undecodable": "raise"}
+    )
+    cellpix = (F.col("width") / 4) * (F.col("height") / 4)
+    return feats.select(
+        "id", "width", "height", "channels",
+        F.posexplode("feature").alias("cell_idx", "f"),
+    ).select(
+        "id", "width", "height", "channels", "cell_idx",
+        F.round(F.col("f") * 255 * cellpix).cast("bigint").alias("cell_sum"),
+    )
+
+
+def _planted_gifs(spark, sf):
+    """Planted GIF blobs with the SAME generative pixel formula as
+    _planted_images — v(x, y) = (id + 3x + 5y) mod 251 as R=G=B,
+    palette-encoded (<=251 distinct colors), alternating sequential /
+    interlaced frames — so the oracle recomputes every 4×4-cell pixel
+    sum from the formula alone; a broken LZW state machine, palette
+    lookup, or interlace reassembly changes the sums
+    (riko_spark/functions/gifcodec.py)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _IMG_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.gifcodec import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w = 8 + 4 * (i % 6)
+                h = 8 + 4 * ((i * 7 + 2) % 6)
+                v = ((np.add.outer(5 * np.arange(h), 3 * np.arange(w)) + i)
+                     % 251).astype(np.uint8)
+                blob = encode_gif(np.repeat(v[:, :, None], 3, axis=2),
+                                  interlace=bool(i % 2))
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_image_features_gif(spark, sf):
+    """REAL GIF decode (variable-width LZW + palette + Adam-style
+    interlace passes) through the same feature kernel: each 4×4-grid
+    feature converts back to its cell's exact integer pixel sum and
+    the oracle recomputes the sums from the planted formula with
+    generate_series — fully independent of the decoder."""
+    from riko_spark.operators.multimodal import image_features_op
+
+    feats = image_features_op(
+        _planted_gifs(spark, sf), {"on_undecodable": "raise"}
     )
     cellpix = (F.col("width") / 4) * (F.col("height") / 4)
     return feats.select(
@@ -1315,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_match": q_threshold_match,
         "image_features": q_image_features,
         "image_features_real": q_image_features_real,
+        "image_features_gif": q_image_features_gif,
         "image_dhash": q_image_dhash,
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
@@ -1715,6 +1773,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cell_idx AS INT) AS cell_idx,
                    CAST(SUM(v) AS BIGINT) AS cell_sum
             FROM px GROUP BY id, width, height, channels, cell_idx
+        """,
+        "image_features_gif": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 64
+            ),
+            dims AS (
+              SELECT id,
+                     8 + 4*(id % 6) AS width,
+                     8 + 4*((id*7 + 2) % 6) AS height
+              FROM ids
+            ),
+            px AS (
+              SELECT d.id, d.width, d.height,
+                     ((y.y * 4) // d.height) * 4
+                       + ((x.x * 4) // d.width) AS cell_idx,
+                     (d.id + 3*x.x + 5*y.y) % 251 AS v
+              FROM dims d
+              JOIN generate_series(0, 27) AS x(x) ON x.x < d.width
+              JOIN generate_series(0, 27) AS y(y) ON y.y < d.height
+            )
+            SELECT id, CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(cell_idx AS INT) AS cell_idx,
+                   CAST(SUM(v) AS BIGINT) AS cell_sum
+            FROM px GROUP BY id, width, height, cell_idx
         """,
         "image_neardup": """
             WITH base AS (
@@ -2164,11 +2248,16 @@ def oracle_sql() -> dict[str, str]:
             txt AS (
               SELECT DISTINCT doc_id + 200000 AS id FROM documents
               WHERE doc_id < 200
+            ),
+            gif AS (
+              SELECT DISTINCT doc_id + 300000 AS id FROM documents
+              WHERE doc_id < 64
             )
             SELECT id, CASE WHEN id % 3 = 1 THEN 'image/bmp'
                             ELSE 'image/png' END AS media_type FROM img
             UNION ALL SELECT id, 'audio/wav' FROM wav
             UNION ALL SELECT id, 'application/octet-stream' FROM txt
+            UNION ALL SELECT id, 'image/gif' FROM gif
         """,
         "sequence_match": """
             WITH ev AS (

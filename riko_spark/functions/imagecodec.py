@@ -337,12 +337,12 @@ def parse_jpeg_dims(data: bytes) -> tuple[int, int, int]:
 # ---------------------------------------------------------- dispatch
 
 def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Sniff + decode: PNG, BMP or baseline JPEG -> (width, height,
-    channels, pixels).  Raises ``ValueError`` for other formats AND for
-    corrupt/truncated data of a recognized format — struct/zlib errors
-    are normalized so callers can catch one exception type (a text blob
-    that happens to start with 'BM' must hit an undecodable-handler,
-    not abort a job with a raw struct.error)."""
+    """Sniff + decode: PNG, BMP, GIF or baseline JPEG -> (width,
+    height, channels, pixels).  Raises ``ValueError`` for other formats
+    AND for corrupt/truncated data of a recognized format — struct/zlib
+    errors are normalized so callers can catch one exception type (a
+    text blob that happens to start with 'BM' must hit an
+    undecodable-handler, not abort a job with a raw struct.error)."""
     try:
         if data.startswith(PNG_MAGIC[:4]):
             return decode_png(data)
@@ -352,7 +352,11 @@ def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
             from riko_spark.functions.jpegcodec import decode_jpeg
 
             return decode_jpeg(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from riko_spark.functions.gifcodec import decode_gif
+
+            return decode_gif(data)
     except (struct.error, zlib.error, IndexError) as e:
         raise ValueError(f"corrupt image data: {e}") from e
-    raise ValueError("unsupported image format (PNG, BMP and baseline "
-                     "JPEG decode natively)")
+    raise ValueError("unsupported image format (PNG, BMP, GIF and "
+                     "baseline JPEG decode natively)")

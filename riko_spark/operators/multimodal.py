@@ -42,6 +42,7 @@ _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"BM": "image/bmp",
+    b"GIF8": "image/gif",
     b"\x00\x00\x00": "video/mp4",
 }
 
@@ -89,6 +90,7 @@ def media_metadata_op(df: DataFrame, conf: dict | None = None,
         F.when(magic.startswith("89504E47"), "image/png")
         .when(magic.startswith("FFD8FF"), "image/jpeg")
         .when(magic.startswith("424D"), "image/bmp")
+        .when(magic.startswith("47494638"), "image/gif")
         .when(magic.startswith("52494646") & (form == "57415645"), "audio/wav")
         .when(magic.startswith("52494646") & (form == "41564920"), "video/avi")
         .when(magic.startswith("52494646") & (form == "57454250"), "image/webp")

@@ -160,11 +160,13 @@ def test_bmp_roundtrip_and_dispatch():
     assert decode_image(data)[:3] == (3, 5, 3)
     assert decode_image(encode_png(px))[:3] == (3, 5, 3)
     with pytest.raises(ValueError, match="unsupported image format"):
-        decode_image(b"GIF89a not a supported format")
-    # a JPEG SOI magic now dispatches into the real baseline decoder,
-    # which raises its own diagnostic for a truncated/garbage stream
+        decode_image(b"TIFFII* not a supported format")
+    # JPEG SOI / GIF magics now dispatch into the real decoders, which
+    # raise their own diagnostics for a truncated/garbage stream
     with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xffJPEG...")
+    with pytest.raises(ValueError, match="GIF"):
+        decode_image(b"GIF89a not a real gif")
 
 
 def test_wav_decode_hand_built_with_list_chunk():
