@@ -1154,6 +1154,63 @@ def q_video_frames_mjpeg(spark, sf):
                            {"every": 2, "max_frames": 8})
 
 
+def _planted_gif_anim(spark, sf):
+    """Planted ANIMATED GIFs exercising the compositing path itself:
+    frame 0 fills the logical screen with v0(x, y) = (i + 3x + 5y)
+    mod 251 (R=G=B); frame 1 overlays the inner rect [2, w-2) × [2,
+    h-2) with v1(x, y) = (i + 7x + 11y + 13) mod 251 at SCREEN
+    coordinates, TRANSPARENT wherever v1 % 5 == 0 — so frame 1's
+    composited pixel is v1 inside the opaque overlay and v0 everywhere
+    else, and the oracle recomputes both frames' pixel sums from the
+    two formulas alone.  A broken LZW stream, local-palette lookup,
+    transparency mask, or overlay placement changes the sums
+    (riko_spark/functions/gifcodec.py)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _AVI_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.gifcodec import encode_gif_animated
+
+        sentinel = (255, 0, 255)  # v % 251 <= 250 can never collide
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w = 8 + 4 * (i % 6)
+                h = 8 + 4 * ((i * 7 + 2) % 6)
+                v0 = ((np.add.outer(5 * np.arange(h), 3 * np.arange(w))
+                       + i) % 251).astype(np.uint8)
+                f0 = np.repeat(v0[:, :, None], 3, axis=2)
+                v1 = ((np.add.outer(11 * np.arange(h), 7 * np.arange(w))
+                       + i + 13) % 251).astype(np.uint8)
+                f1 = np.repeat(v1[:, :, None], 3, axis=2)
+                f1[v1 % 5 == 0] = sentinel
+                frames = [(0, 0, f0, 1),
+                          (2, 2, f1[2:h - 2, 2:w - 2], 1)]
+                blob = encode_gif_animated(frames, (w, h),
+                                           transparent_color=sentinel)
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_video_frames_gif(spark, sf):
+    """REAL animated-GIF decode through the video path: both frames'
+    exact composited pixel sums — frame 1 is a transparent partial
+    overlay, so the sum mixes the overlay formula with show-through
+    from frame 0; the oracle recomputes every sum from the two planted
+    formulas with generate_series, fully independent of the decoder."""
+    from riko_spark.operators.multimodal import video_frames_op
+
+    return video_frames_op(_planted_gif_anim(spark, sf),
+                           {"every": 1, "max_frames": 4,
+                            "on_undecodable": "raise"})
+
+
 def q_sequence_match(spark, sf):
     """CEP sequence detection (view → click → purchase per user within
     2 days, earliest-completion-per-anchor semantics) — the
@@ -1379,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_g711": q_audio_features_g711,
         "video_frames": q_video_frames,
         "video_frames_mjpeg": q_video_frames_mjpeg,
+        "video_frames_gif": q_video_frames_gif,
         "frame_sample": q_frame_sample,
         # -- heavyweight LLM-pipeline / streaming ops --
         "exact_dedupe": q_exact_dedupe,
@@ -2000,6 +2058,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * bh AS INT) AS height,
                    CAST(64 * SUM(v) AS BIGINT) AS px_sum
             FROM blk GROUP BY id, frame_idx, bw, bh
+        """,
+        "video_frames_gif": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 24
+            ),
+            dims AS (
+              SELECT id,
+                     8 + 4*(id % 6) AS w,
+                     8 + 4*((id*7 + 2) % 6) AS h
+              FROM ids
+            ),
+            px AS (
+              SELECT d.id, f.f, d.w, d.h,
+                     CASE WHEN f.f = 1
+                               AND x.x >= 2 AND x.x < d.w - 2
+                               AND y.y >= 2 AND y.y < d.h - 2
+                               AND ((d.id + 7*x.x + 11*y.y + 13) % 251) % 5
+                                   <> 0
+                          THEN (d.id + 7*x.x + 11*y.y + 13) % 251
+                          ELSE (d.id + 3*x.x + 5*y.y) % 251 END AS v
+              FROM dims d
+              CROSS JOIN generate_series(0, 1) AS f(f)
+              JOIN generate_series(0, 27) AS x(x) ON x.x < d.w
+              JOIN generate_series(0, 27) AS y(y) ON y.y < d.h
+            )
+            SELECT id, CAST(f AS INT) AS frame_idx,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(3 * SUM(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY id, f, w, h
         """,
         "audio_features": """
             WITH ids AS (

@@ -13,7 +13,14 @@ dictionary growth to 12 bits, the deferred-clear self-reference case).
 ``decode_gif`` composites the FIRST frame onto the logical screen —
 the still-image semantics every image op here needs (image_features /
 image_dhash / image_neardup); ``decode_gif_frames`` yields every
-frame's raw indices for frame-level callers.
+frame's raw indices for frame-level callers, and
+``composite_gif_frames`` applies the full ANIMATION semantics
+(per-frame overlay + disposal methods 0/1 leave, 2 restore-background,
+3 restore-previous) so video-style ops can treat an animated GIF as a
+frame sequence.  Divergence from browsers: "restore to background"
+paints the logical-screen background color, not transparent black —
+this codec has no alpha channel, matching decode_png/decode_bmp's
+(h, w, 3) contract.
 
 The encoder exists only to build fixtures; tests additionally
 hand-pack LZW code sequences bit-by-bit (independent of the encoder)
@@ -184,8 +191,10 @@ def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
 def decode_gif_frames(data: bytes):
     """GIF bytes -> ``(screen_w, screen_h, background_rgb, frames)``
     where each frame is ``(left, top, palette (n,3) uint8,
-    transparent_index | None, indices uint8 (fh, fw))`` — raw decoded
-    state for every image block, no compositing."""
+    transparent_index | None, indices uint8 (fh, fw), disposal)`` —
+    raw decoded state for every image block, no compositing.
+    ``disposal`` is the GCE method (0 unspecified / 1 leave /
+    2 restore-background / 3 restore-previous)."""
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF (bad magic)")
     try:
@@ -208,6 +217,7 @@ def _decode_gif_body(data: bytes):
 
     frames = []
     transparent = None  # from the GCE preceding the next image
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -220,6 +230,7 @@ def _decode_gif_body(data: bytes):
             if label == 0xF9 and len(payload) >= 4:
                 flags, _delay, tidx = struct.unpack_from("<BHB", payload, 0)
                 transparent = tidx if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
             continue
         if b != 0x2C:
             raise ValueError(f"GIF: unknown block {b:#x}")
@@ -244,8 +255,9 @@ def _decode_gif_body(data: bytes):
             idx = _deinterlace(idx, fh)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF: palette index out of range")
-        frames.append((left, top, pal, transparent, idx))
+        frames.append((left, top, pal, transparent, idx, disposal))
         transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF: no image data")
     return sw, sh, bg_rgb, frames
@@ -258,24 +270,58 @@ def decode_gif(data: bytes) -> tuple[int, int, int, np.ndarray]:
     index), matching decode_png/decode_bmp conventions for the image
     ops."""
     sw, sh, bg_rgb, frames = decode_gif_frames(data)
-    left, top, pal, transparent, idx = frames[0]
+    left, top, pal, transparent, idx, _disp = frames[0]
     if left + idx.shape[1] > sw or top + idx.shape[0] > sh:
         raise ValueError("GIF: frame exceeds the logical screen")
     out = np.empty((sh, sw, 3), dtype=np.uint8)
     out[:, :] = bg_rgb
-    px = pal[idx]
-    if transparent is not None:
-        keep = idx != transparent
-        region = out[top: top + idx.shape[0], left: left + idx.shape[1]]
-        region[keep] = px[keep]
-    else:
-        out[top: top + idx.shape[0], left: left + idx.shape[1]] = px
+    _draw(out, left, top, pal, transparent, idx)
     return sw, sh, 3, out
 
 
-def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
-    """Fixture GIF from ``(h, w, 3)`` uint8 RGB with <=256 distinct
-    colors: exact palette build + real LZW, GIF89a container."""
+def _draw(canvas: np.ndarray, left: int, top: int, pal: np.ndarray,
+          transparent: int | None, idx: np.ndarray) -> None:
+    px = pal[idx]
+    region = canvas[top: top + idx.shape[0], left: left + idx.shape[1]]
+    if transparent is not None:
+        keep = idx != transparent
+        region[keep] = px[keep]
+    else:
+        region[:, :] = px
+
+
+def composite_gif_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """GIF bytes -> ``(screen_w, screen_h, [frame (sh, sw, 3), ...])``
+    with the full animation semantics: each image block overlays the
+    running canvas (transparent indices show what's underneath), then
+    its disposal method runs BEFORE the next frame draws — 0/1 leave
+    the canvas, 2 restores the frame's rectangle to the background
+    color, 3 restores it to the canvas as it was before this frame.
+    Every emitted frame is the complete logical screen, so a video-op
+    caller gets browser-visible frames, not raw deltas."""
+    sw, sh, bg_rgb, frames = decode_gif_frames(data)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    out = []
+    for left, top, pal, transparent, idx, disposal in frames:
+        fh, fw = idx.shape
+        if left + fw > sw or top + fh > sh:
+            raise ValueError("GIF: frame exceeds the logical screen")
+        saved = canvas[top: top + fh, left: left + fw].copy() \
+            if disposal == 3 else None
+        _draw(canvas, left, top, pal, transparent, idx)
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[top: top + fh, left: left + fw] = bg_rgb
+        elif disposal == 3:
+            canvas[top: top + fh, left: left + fw] = saved
+    return sw, sh, out
+
+
+def _palette_table(px: np.ndarray, transparent_color=None):
+    """Exact-palette build for the fixture encoders: ``(h, w, 3)`` RGB
+    -> (power-of-two table (n,3) uint8, table-size bits, index array
+    (h, w) uint8, transparent index | None)."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_gif takes (h, w, 3) RGB")
@@ -284,12 +330,30 @@ def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
     pal, inv = np.unique(flat, axis=0, return_inverse=True)
     if len(pal) > 256:
         raise ValueError("encode_gif needs <=256 distinct colors")
+    tidx = None
+    if transparent_color is not None:
+        tc = np.asarray(transparent_color, dtype=np.uint8)
+        hit = np.flatnonzero((pal == tc).all(axis=1))
+        if len(hit):
+            tidx = int(hit[0])
     # color table size must be a power of two >= 2
     bits = max(1, int(len(pal) - 1).bit_length())
     n = 1 << bits
     table = np.zeros((n, 3), dtype=np.uint8)
     table[: len(pal)] = pal
-    idx = inv.astype(np.uint8).reshape(h, w)
+    return table, bits, inv.astype(np.uint8).reshape(h, w), tidx
+
+
+def _image_block(out: bytearray, left: int, top: int, idx: np.ndarray,
+                 table: np.ndarray, bits: int, *, local: bool,
+                 interlace: bool) -> None:
+    h, w = idx.shape
+    packed = (0x40 if interlace else 0)
+    if local:
+        packed |= 0x80 | (bits - 1)
+    out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, packed)
+    if local:
+        out += table.tobytes()
     if interlace:
         parts = [idx[off::step] for off, step in INTERLACE_PASSES]
         stream_idx = np.concatenate(parts).reshape(-1)
@@ -297,16 +361,51 @@ def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
         stream_idx = idx.reshape(-1)
     min_code = max(2, bits)
     lzw = lzw_encode(stream_idx, min_code)
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
-    out += table.tobytes()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
-                       0x40 if interlace else 0)
     out.append(min_code)
     for off in range(0, len(lzw), 255):
         blk = lzw[off: off + 255]
         out.append(len(blk))
         out += blk
     out.append(0)
+
+
+def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
+    """Fixture GIF from ``(h, w, 3)`` uint8 RGB with <=256 distinct
+    colors: exact palette build + real LZW, GIF89a container (single
+    frame, global color table)."""
+    table, bits, idx, _t = _palette_table(px)
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    _image_block(out, 0, 0, idx, table, bits, local=False,
+                 interlace=interlace)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def encode_gif_animated(frames, screen: tuple[int, int],
+                        background=(0, 0, 0), transparent_color=None,
+                        delay_cs: int = 4) -> bytes:
+    """Fixture ANIMATED GIF: ``frames`` is a list of ``(left, top,
+    px (fh, fw, 3), disposal)``; each image block carries its own
+    LOCAL color table (exercising the local-palette decode path) and a
+    graphic control extension with the given disposal method.  Pixels
+    equal to ``transparent_color`` map to that frame's transparent
+    index (showing through to the canvas underneath).  The logical
+    screen gets a 2-entry global table holding the background color."""
+    sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | 0, 0, 0)  # 2-color GCT
+    out += bytes(background) + bytes(background)
+    for left, top, px, disposal in frames:
+        table, bits, idx, tidx = _palette_table(px, transparent_color)
+        flags = (disposal & 0x07) << 2
+        if tidx is not None:
+            flags |= 0x01
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, flags, delay_cs,
+                           tidx or 0, 0)
+        _image_block(out, left, top, idx, table, bits, local=True,
+                     interlace=False)
     out.append(0x3B)
     return bytes(out)

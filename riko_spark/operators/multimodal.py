@@ -237,10 +237,14 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
     RIFF/AVI blobs with raw-DIB or Motion-JPEG streams get REAL frame
     extraction (functions/avicodec.py): the emitted ``frame`` is the
     Nth frame's actual chunk payload (a DIB pixel array or a
-    standalone baseline JPEG).  Other/compressed formats fall back to
-    the documented deterministic stub slice (real impl for those:
-    ffmpeg), so the op keeps its one-in/many-out plumbing contract on
-    any input.
+    standalone baseline JPEG).  Animated GIFs get REAL frame
+    extraction too (functions/gifcodec.py): each sampled frame is the
+    fully-composited logical screen re-encoded as a standalone PNG —
+    a self-contained image blob every downstream image op decodes
+    natively (the video → frames → image_features pipeline shape).
+    Other/compressed formats fall back to the documented deterministic
+    stub slice (real impl for those: ffmpeg), so the op keeps its
+    one-in/many-out plumbing contract on any input.
     """
     conf = conf or {}
     every = int(conf.get("every", every))
@@ -248,6 +252,9 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from riko_spark.functions.avicodec import avi_frame_payloads
+        from riko_spark.functions.gifcodec import (GIF_MAGICS,
+                                                   composite_gif_frames)
+        from riko_spark.functions.imagecodec import encode_png
 
         for pdf in batches:
             rows = []
@@ -266,6 +273,16 @@ def frame_sample_op(df: DataFrame, conf: dict | None = None,
                         continue
                     except ValueError:
                         pass  # compressed/corrupt AVI: stub below
+                if b[:6] in GIF_MAGICS:
+                    try:
+                        _w, _h, comp = composite_gif_frames(b)
+                        for i, fi in enumerate(range(0, len(comp), every)):
+                            if i >= max_frames:
+                                break
+                            rows.append((rid, fi, encode_png(comp[fi])))
+                        continue
+                    except ValueError:
+                        pass  # corrupt GIF: stub below
                 chunk = max(1, len(b) // max(1, max_frames * every))
                 for i, off in enumerate(range(0, len(b), chunk * every)):
                     if i >= max_frames:
@@ -391,15 +408,19 @@ def video_frames_op(df: DataFrame, conf: dict | None = None,
                     on_undecodable: str = "skip") -> DataFrame:
     """REAL video decode stats: extract every Nth frame from an AVI
     blob — raw-DIB or Motion-JPEG (each '00dc' chunk a standalone
-    baseline JPEG through functions/jpegcodec.py) — and emit its
-    dimensions + exact pixel sum (int64 over all channel samples) —
-    the decode-verification shape: a broken chunk walk, wrong row
-    order, BGR mix-up, or Huffman/IDCT bug changes ``px_sum``.  Only
-    the SAMPLED payloads decode (avi_frame_payloads +
-    decode_frame_payload — no wasted work on skipped frames).
-    Undecodable/compressed blobs follow ``on_undecodable``: "skip"
-    (default — a mixed corpus never aborts on one MP4; no fabricated
-    stats either) or "raise"."""
+    baseline JPEG through functions/jpegcodec.py) — or an ANIMATED GIF
+    (functions/gifcodec.py: every sampled frame is the composited
+    logical screen with overlay/transparency/disposal applied) and
+    emit its dimensions + exact pixel sum (int64 over all channel
+    samples) — the decode-verification shape: a broken chunk walk,
+    wrong row order, BGR mix-up, Huffman/IDCT bug, or LZW/disposal bug
+    changes ``px_sum``.  For AVI only the SAMPLED payloads decode
+    (avi_frame_payloads + decode_frame_payload — no wasted work on
+    skipped frames); GIF frames are deltas against a running canvas,
+    so the format itself forces decoding every frame up to the last
+    sampled one.  Undecodable/compressed blobs follow
+    ``on_undecodable``: "skip" (default — a mixed corpus never aborts
+    on one MP4; no fabricated stats either) or "raise"."""
     conf = conf or {}
     every = int(conf.get("every", every))
     max_frames = int(conf.get("max_frames", max_frames))
@@ -410,15 +431,31 @@ def video_frames_op(df: DataFrame, conf: dict | None = None,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from riko_spark.functions.avicodec import (avi_frame_payloads,
                                                    decode_frame_payload)
+        from riko_spark.functions.gifcodec import (GIF_MAGICS,
+                                                   composite_gif_frames)
 
         for pdf in batches:
             rows = []
             for rid, b in zip(pdf[id_col], pdf[field]):
                 if b is None:
                     continue
+                b = bytes(b)
+                if b[:6] in GIF_MAGICS:
+                    try:
+                        gw, gh, comp = composite_gif_frames(b)
+                    except ValueError:
+                        if on_undecodable == "raise":
+                            raise
+                        continue
+                    for i, fi in enumerate(range(0, len(comp), every)):
+                        if i >= max_frames:
+                            break
+                        rows.append((rid, fi, gw, gh,
+                                     int(comp[fi].sum(dtype=np.int64))))
+                    continue
                 try:
                     w, h, bpp, codec, payloads = \
-                        avi_frame_payloads(bytes(b))
+                        avi_frame_payloads(b)
                 except ValueError:
                     if on_undecodable == "raise":
                         raise

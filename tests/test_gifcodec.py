@@ -239,7 +239,7 @@ def test_gif_multi_frame_and_ops(spark):
     two = gif[:-1] + bytes(second) + b"\x3b"
     sw, sh, _bg, frames = decode_gif_frames(two)
     assert (sw, sh, len(frames)) == (16, 16, 2)
-    f_left, f_top, f_pal, _ft, f_idx = frames[0]
+    f_left, f_top, f_pal, _ft, f_idx, _disp = frames[0]
     assert (f_left, f_top) == (0, 0)
     np.testing.assert_array_equal(f_pal[f_idx], img)
     # first-frame semantics: the composite equals frame 0
@@ -253,3 +253,98 @@ def test_gif_multi_frame_and_ops(spark):
     types = {r["id"]: r["media_type"]
              for r in media_metadata_op(df).collect()}
     assert types == {1: "image/png", 2: "image/gif"}
+
+
+def test_gif_animation_disposal_semantics():
+    """composite_gif_frames vs an INDEPENDENT numpy re-implementation
+    of the spec's animation model: overlay + transparency show-through,
+    disposal 1 (leave), 2 (restore background), 3 (restore previous) —
+    all four in one stream, partial frames at offsets."""
+    from riko_spark.functions.gifcodec import (composite_gif_frames,
+                                               encode_gif_animated)
+
+    rng = np.random.RandomState(3)
+    sw, sh = 20, 14
+    bg = (7, 7, 7)
+
+    def rnd(h, w):
+        return (rng.randint(0, 6, size=(h, w, 3)) * 40).astype(np.uint8)
+
+    tc = (255, 0, 255)
+    f0 = rnd(sh, sw)
+    f1 = rnd(8, 10)
+    f1[rng.rand(8, 10) < 0.3] = tc
+    f2 = rnd(5, 6)
+    f3 = rnd(4, 4)
+    frames = [(0, 0, f0, 1), (3, 2, f1, 1), (6, 5, f2, 2), (1, 1, f3, 3)]
+    blob = encode_gif_animated(frames, (sw, sh), background=bg,
+                               transparent_color=tc)
+
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:, :] = bg
+    expected = []
+    for left, top, px, disp in frames:
+        fh, fw = px.shape[:2]
+        saved = canvas[top:top + fh, left:left + fw].copy() \
+            if disp == 3 else None
+        region = canvas[top:top + fh, left:left + fw]
+        keep = ~np.all(px == np.array(tc, np.uint8), axis=2)
+        region[keep] = px[keep]
+        expected.append(canvas.copy())
+        if disp == 2:
+            canvas[top:top + fh, left:left + fw] = bg
+        elif disp == 3:
+            canvas[top:top + fh, left:left + fw] = saved
+
+    w2, h2, got = composite_gif_frames(blob)
+    assert (w2, h2, len(got)) == (sw, sh, 4)
+    for g, e in zip(got, expected):
+        np.testing.assert_array_equal(g, e)
+
+    # first-frame still semantics match frame 0's composite
+    _w, _h, _c, still = decode_gif(blob)
+    np.testing.assert_array_equal(still, expected[0])
+    # disposal methods and transparency survive the container round-trip
+    _sw, _sh, _bg, raw = decode_gif_frames(blob)
+    assert [f[5] for f in raw] == [1, 1, 2, 3]
+    assert raw[1][3] is not None and raw[0][3] is None
+
+
+def test_gif_video_ops(spark):
+    """Animated GIFs through the Spark video ops: video_frames emits
+    per-frame composited pixel sums matching the numpy composite, and
+    frame_sample emits standalone PNGs that decode back to the exact
+    composited frames (the video -> frames -> image pipeline shape)."""
+    from riko_spark.functions.gifcodec import (composite_gif_frames,
+                                               encode_gif_animated)
+    from riko_spark.functions.imagecodec import decode_png
+    from riko_spark.operators.multimodal import (frame_sample_op,
+                                                 video_frames_op)
+
+    rng = np.random.RandomState(11)
+    tc = (255, 0, 255)
+    frames = []
+    for f in range(5):
+        px = (rng.randint(0, 6, size=(6, 9, 3)) * 40).astype(np.uint8)
+        if f % 2:
+            px[rng.rand(6, 9) < 0.4] = tc
+        frames.append((1 if f else 0, 1 if f else 0,
+                       px if f else (rng.randint(0, 6, size=(8, 11, 3))
+                                     * 40).astype(np.uint8), f % 4))
+    blob = encode_gif_animated(frames, (11, 8), transparent_color=tc)
+    _w, _h, comp = composite_gif_frames(blob)
+
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "id long, blob binary")
+    rows = video_frames_op(df, {"every": 2, "max_frames": 8}).collect()
+    assert [(r["frame_idx"], r["width"], r["height"]) for r in rows] \
+        == [(0, 11, 8), (2, 11, 8), (4, 11, 8)]
+    for r in rows:
+        assert r["px_sum"] == int(comp[r["frame_idx"]].sum(dtype=np.int64))
+
+    samples = frame_sample_op(df, {"every": 2, "max_frames": 8}).collect()
+    assert [r["frame_idx"] for r in samples] == [0, 2, 4]
+    for r in samples:
+        w, h, c, px = decode_png(bytes(r["frame"]))
+        assert (w, h, c) == (11, 8, 3)
+        np.testing.assert_array_equal(px, comp[r["frame_idx"]])
