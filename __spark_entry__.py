@@ -1058,6 +1058,104 @@ def q_audio_features_g711(spark, sf):
     )
 
 
+def _planted_audio_float(spark, sf):
+    """Planted IEEE-float32 WAVs: sample j of doc i is k/32767 with
+    k = (i*37 + j*17) mod 2001 - 1000 — float32 carries k/32767 with
+    relative error < 2^-24, so the decoder's ×32767 half-up rounding
+    recovers k EXACTLY and the oracle recomputes every window sum from
+    the integer formula alone (riko_spark/functions/wavcodec.py)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _WAV_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.wavcodec import encode_wav_float
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ch = 1 + (i % 2)
+                frames = 500 + 100 * (i % 4)
+                j = np.arange(frames * ch, dtype=np.int64)
+                k = (i * 37 + j * 17) % 2001 - 1000
+                f = (k / 32767.0).astype(np.float32)
+                rows.append((i, bytearray(encode_wav_float(
+                    f.reshape(frames, ch), 22050))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_audio_features_float(spark, sf):
+    """REAL IEEE-float WAV decode (wFormatTag 3) + windowed loudness:
+    the float32 payload, fact-chunk walk and [-1,1]->int16 scaling are
+    checked value-exactly — win_sumsq is an exact int64 the oracle
+    recomputes from the planted integer formula."""
+    from riko_spark.operators.multimodal import audio_features_op
+
+    out = audio_features_op(_planted_audio_float(spark, sf),
+                            {"window_frames": 256})
+    return out.select(
+        "id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "win_idx", "win_frames", "win_sumsq",
+    )
+
+
+_ADPCM_N = 16
+
+
+def _planted_audio_adpcm(spark, sf):
+    """Planted IMA ADPCM WAVs (wFormatTag 0x11): mono, ONE 44-byte
+    block per doc — header predictor (i*211) mod 1024 - 512, step
+    index (i*11) mod 89, then 320 raw 4-bit codes nib(i,j) =
+    (i*7 + j*5) mod 16 written verbatim (no linear->ADPCM compressor
+    exists in the repo).  The oracle REPLAYS the IMA step/index
+    recurrence in a recursive CTE over a spec-pinned 89-row step
+    table, so the kernel's expansion cannot self-certify
+    (riko_spark/functions/wavcodec.py)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _ADPCM_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.wavcodec import encode_wav_ima
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                j = np.arange(320, dtype=np.int64)
+                nib = ((i * 7 + j * 5) % 16).astype(np.uint8)
+                pred = np.array([(i * 211) % 1024 - 512], np.int16)
+                idx = np.array([(i * 11) % 89], np.uint8)
+                rows.append((i, bytearray(encode_wav_ima(
+                    nib[None, :], pred, idx, 8000))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_audio_features_adpcm(spark, sf):
+    """REAL IMA ADPCM decode + windowed loudness: the 4-bit codes
+    expand through the step/index recurrence and the per-64-frame
+    sum-of-squares is checked value-exactly against a recursive-CTE
+    replay of the SAME recurrence in the oracle — a wrong step table
+    entry, clamp bound, or index adjustment diverges immediately."""
+    from riko_spark.operators.multimodal import audio_features_op
+
+    out = audio_features_op(_planted_audio_adpcm(spark, sf),
+                            {"window_frames": 64})
+    return out.select(
+        "id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "win_idx", "win_frames", "win_sumsq",
+    )
+
+
 _AVI_N = 24
 
 
@@ -1434,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
         "audio_features_g711": q_audio_features_g711,
+        "audio_features_float": q_audio_features_float,
+        "audio_features_adpcm": q_audio_features_adpcm,
         "video_frames": q_video_frames,
         "video_frames_mjpeg": q_video_frames_mjpeg,
         "video_frames_gif": q_video_frames_gif,
@@ -2165,6 +2265,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * v) AS BIGINT) AS win_sumsq
             FROM s
             GROUP BY id, n_frames, win_idx, win_frames
+        """,
+        "audio_features_float": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 48
+            ),
+            p AS (
+              SELECT id,
+                     1 + (id % 2) AS channels,
+                     500 + 100*(id % 4) AS n_frames
+              FROM ids
+            ),
+            wins AS (
+              SELECT p.*, w.w AS win_idx
+              FROM p JOIN generate_series(0, 3) AS w(w)
+                ON w.w * 256 < p.n_frames
+            ),
+            s AS (
+              SELECT wn.id, wn.channels, wn.n_frames, wn.win_idx,
+                     LEAST(wn.n_frames, (wn.win_idx + 1) * 256)
+                       - wn.win_idx * 256 AS win_frames,
+                     -- the planted float32 payload k/32767 decodes
+                     -- back to exactly k (relative error < 2^-24)
+                     ((wn.id*37 + j.j*17) % 2001 - 1000) AS v
+              FROM wins wn
+              JOIN generate_series(0, 1599) AS j(j)
+                ON j.j >= wn.win_idx * 256 * wn.channels
+               AND j.j < LEAST(wn.n_frames, (wn.win_idx + 1) * 256)
+                           * wn.channels
+            )
+            SELECT id, CAST(22050 AS INT) AS sample_rate,
+                   CAST(channels AS INT) AS channels,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(n_frames * 1000 // 22050 AS BIGINT) AS duration_ms,
+                   CAST(win_idx AS INT) AS win_idx,
+                   CAST(win_frames AS INT) AS win_frames,
+                   CAST(SUM(v * v) AS BIGINT) AS win_sumsq
+            FROM s
+            GROUP BY id, channels, n_frames, win_idx, win_frames
+        """,
+        "audio_features_adpcm": """
+            WITH RECURSIVE ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 16
+            ),
+            -- the IMA quantizer step table, pinned from the published
+            -- spec values (independent of the engine's numpy table)
+            steps AS (
+              SELECT t.i AS sidx, l.l[t.i + 1] AS step
+              FROM (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,
+                            31,34,37,41,45,50,55,60,66,73,80,88,97,107,
+                            118,130,143,157,173,190,209,230,253,279,307,
+                            337,371,408,449,494,544,598,658,724,796,876,
+                            963,1060,1166,1282,1411,1552,1707,1878,2066,
+                            2272,2499,2749,3024,3327,3660,4026,4428,4871,
+                            5358,5894,6484,7132,7845,8630,9493,10442,
+                            11487,12635,13899,15289,16818,18500,20350,
+                            22385,24623,27086,29794,32767] AS l) l,
+                   generate_series(0, 88) AS t(i)
+            ),
+            -- replay the IMA expansion recurrence: sample 0 is the
+            -- block-header predictor; nibble j yields sample j+1
+            dec(id, j, pred, sidx) AS (
+              SELECT id, 0, (id*211) % 1024 - 512, (id*11) % 89 FROM ids
+              UNION ALL
+              SELECT x.id, x.j + 1,
+                     GREATEST(-32768, LEAST(32767, x.pred
+                       + CASE WHEN x.nib >= 8 THEN -x.diff
+                              ELSE x.diff END)),
+                     GREATEST(0, LEAST(88, x.sidx
+                       + CASE x.nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                              WHEN 6 THEN 6 WHEN 7 THEN 8
+                              ELSE -1 END))
+              FROM (
+                SELECT d.id, d.j, d.pred, d.sidx,
+                       (d.id*7 + d.j*5) % 16 AS nib,
+                       (s.step // 8)
+                         + CASE WHEN ((d.id*7 + d.j*5) % 16) % 8 >= 4
+                                THEN s.step ELSE 0 END
+                         + CASE WHEN ((d.id*7 + d.j*5) % 16) % 4 >= 2
+                                THEN s.step // 2 ELSE 0 END
+                         + CASE WHEN ((d.id*7 + d.j*5) % 16) % 2 = 1
+                                THEN s.step // 4 ELSE 0 END AS diff
+                FROM dec d JOIN steps s ON s.sidx = d.sidx
+                WHERE d.j < 320
+              ) x
+            )
+            SELECT id, CAST(8000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS channels,
+                   CAST(321 AS BIGINT) AS n_frames,
+                   CAST(40 AS BIGINT) AS duration_ms,
+                   CAST(j // 64 AS INT) AS win_idx,
+                   CAST(LEAST(321, (j // 64 + 1) * 64)
+                        - (j // 64) * 64 AS INT) AS win_frames,
+                   CAST(SUM(pred * pred) AS BIGINT) AS win_sumsq
+            FROM dec
+            GROUP BY id, j // 64
         """,
         "token_totals": """
             WITH n AS (
