@@ -958,6 +958,71 @@ def q_image_features_jpeg(spark, sf):
     )
 
 
+def _planted_jpegs_progressive(spark, sf):
+    """Planted PROGRESSIVE JPEG blobs (SOF2) with the same
+    block-constant pixel formula as :func:`_planted_jpegs` — the DC-only
+    exactness contract survives the multi-scan reordering, so the
+    spectral-selection / successive-approximation decode path (T.81
+    G.2: DC first+refine, AC first with EOBn runs, AC refinement
+    correction bits) is value-checked against the identical independent
+    oracle.  Format cycles grayscale / RGB 4:2:0 / RGB 4:4:4 with
+    restart markers (riko_spark/functions/jpegcodec.py)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _JPEG_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.jpegcodec import encode_jpeg_progressive
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w = 16 + 16 * (i % 3)
+                h = 16 + 16 * ((i * 5 + 1) % 3)
+                mb = ((11 * i
+                       + 7 * (np.arange(w) // 16)[None, :]
+                       + 13 * (np.arange(h) // 16)[:, None])
+                      % 251).astype(np.uint8)
+                if i % 3 == 0:
+                    blob = encode_jpeg_progressive(mb)
+                elif i % 3 == 1:
+                    blob = encode_jpeg_progressive(
+                        np.repeat(mb[:, :, None], 3, axis=2), "420")
+                else:
+                    blob = encode_jpeg_progressive(
+                        np.repeat(mb[:, :, None], 3, axis=2), "444",
+                        restart_interval=3)
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_image_features_jpeg_prog(spark, sf):
+    """REAL progressive-JPEG decode (SOF2 multi-scan coefficient
+    accumulation) through the mapInPandas kernel: each 4x4-grid
+    feature converts back to the exact integer pixel sum of its cell,
+    recomputed by the oracle from the planting formula — the same
+    fully-independent check as the baseline JPEG row, over a stream
+    the baseline entropy decoder cannot read."""
+    from riko_spark.operators.multimodal import image_features_op
+
+    feats = image_features_op(
+        _planted_jpegs_progressive(spark, sf), {"on_undecodable": "raise"}
+    )
+    cellpix = (F.col("width") / 4) * (F.col("height") / 4)
+    return feats.select(
+        "id", "width", "height", "channels",
+        F.posexplode("feature").alias("cell_idx", "f"),
+    ).select(
+        "id", "width", "height", "channels", "cell_idx",
+        F.round(F.col("f") * 255 * cellpix).cast("bigint").alias("cell_sum"),
+    )
+
+
 _WAV_N = 48
 
 
@@ -1517,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round 6: real baseline JPEG entropy decode + banded
         #    perceptual image near-dup --
         "image_features_jpeg": q_image_features_jpeg,
+        "image_features_jpeg_prog": q_image_features_jpeg_prog,
         "image_neardup": q_image_neardup,
         # -- code changed round 6: CEP streaming id/ts contract,
         #    image decode dispatch (jpegcodec behind decode_image) --
@@ -2025,6 +2091,33 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE hamming <= 7
         """,
         "image_features_jpeg": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 48
+            ),
+            dims AS (
+              SELECT id,
+                     16 + 16*(id % 3) AS width,
+                     16 + 16*((id*5 + 1) % 3) AS height,
+                     CASE WHEN id % 3 = 0 THEN 1 ELSE 3 END AS channels
+              FROM ids
+            ),
+            px AS (
+              SELECT d.id, d.width, d.height, d.channels,
+                     ((y.y * 4) // d.height) * 4
+                       + ((x.x * 4) // d.width) AS cell_idx,
+                     (11*d.id + 7*(x.x // 16) + 13*(y.y // 16)) % 251 AS v
+              FROM dims d
+              JOIN generate_series(0, 47) AS x(x) ON x.x < d.width
+              JOIN generate_series(0, 47) AS y(y) ON y.y < d.height
+            )
+            SELECT id, CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST(channels AS INT) AS channels,
+                   CAST(cell_idx AS INT) AS cell_idx,
+                   CAST(SUM(v) AS BIGINT) AS cell_sum
+            FROM px GROUP BY id, width, height, channels, cell_idx
+        """,
+        "image_features_jpeg_prog": """
             WITH ids AS (
               SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 48
             ),

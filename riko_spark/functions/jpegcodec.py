@@ -235,14 +235,11 @@ def _category(v: int) -> int:
 
 # ----------------------------------------------------------- encode
 
-def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
-                quant_luma: np.ndarray | None = None,
-                quant_chroma: np.ndarray | None = None,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JPEG from ``(h, w)`` gray or ``(h, w, 3)`` RGB uint8.
-    Default quant tables are ALL ONES (lossless-in-coefficients, the
-    fixture exactness contract); pass Annex-K-style tables for lossy
-    output.  ``restart_interval`` (MCUs) inserts RSTn markers."""
+def _prepare_components(pixels: np.ndarray, subsampling: str,
+                        quant_luma, quant_chroma):
+    """Shared encoder front half: color transform, subsample, FDCT,
+    quantize.  Returns (gray, h, w, samp, quants, mcux, mcuy, comps)
+    with comps as (by, bx, 8, 8) quantized coefficient grids."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h_img, w_img = px.shape[:2]
@@ -290,6 +287,20 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
             raise ValueError("encode_jpeg: coefficient exceeds baseline "
                              "11-bit range; use larger quant values")
         comps.append(qd.reshape(by, bx, 8, 8))
+    return gray, h_img, w_img, samp, (ql, qc), mcux, mcuy, comps
+
+
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
+                quant_luma: np.ndarray | None = None,
+                quant_chroma: np.ndarray | None = None,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JPEG from ``(h, w)`` gray or ``(h, w, 3)`` RGB uint8.
+    Default quant tables are ALL ONES (lossless-in-coefficients, the
+    fixture exactness contract); pass Annex-K-style tables for lossy
+    output.  ``restart_interval`` (MCUs) inserts RSTn markers."""
+    (gray, h_img, w_img, samp, (ql, qc), mcux, mcuy,
+     comps) = _prepare_components(pixels, subsampling, quant_luma,
+                                  quant_chroma)
 
     dc_tabs = [_encode_table(*_K_DC_LUMA), _encode_table(*_K_DC_CHROMA)]
     ac_tabs = [_encode_table(*_K_AC_LUMA), _encode_table(*_K_AC_CHROMA)]
@@ -386,6 +397,283 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
     return bytes(out)
 
 
+# Flat AC Huffman spec for the progressive ENCODER's DHT segments:
+# every RRRRSSSS symbol (incl. the EOBn family the Annex-K tables lack)
+# at length 8/9, leaving the all-ones code unused per T.81 C.2.
+_FLAT_AC_SPEC = ([0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(256)))
+
+
+def _default_scan_script(gray: bool) -> list[tuple]:
+    """A libjpeg-style spectral-selection + successive-approximation
+    script: (component indices, Ss, Se, Ah, Al).  Exercises interleaved
+    DC first/refine, banded AC first scans, and AC refinement."""
+    if gray:
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                ([0], 1, 63, 1, 0), ([0], 0, 0, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, subsampling: str = "444",
+                            quant_luma: np.ndarray | None = None,
+                            quant_chroma: np.ndarray | None = None,
+                            scans: list[tuple] | None = None,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive JPEG (SOF2) from the same inputs as
+    :func:`encode_jpeg` — identical quantized coefficients, re-ordered
+    into spectral-selection / successive-approximation scans (T.81
+    G.1.2): DC first scans send diffs of ``DC >> Al`` (arithmetic
+    shift), AC first scans send sign-truncated band coefficients with
+    EOBn run accumulation, refinement scans send one correction bit per
+    already-nonzero coefficient plus ±1<<Al insertions.  Exists for
+    fixture generation; the DECODER rebuilds all tables from DHT and
+    reconstructs coefficients by an independent bit-level procedure, so
+    round-trips are cross-checked against the baseline path rather than
+    self-certified."""
+    (gray, h_img, w_img, samp, (ql, qc), mcux, mcuy,
+     comps) = _prepare_components(pixels, subsampling, quant_luma,
+                                  quant_chroma)
+    script = scans if scans is not None else _default_scan_script(gray)
+    ncomp = 1 if gray else 3
+    zz_r = np.array([r for r, _ in ZIGZAG])
+    zz_c = np.array([c for _, c in ZIGZAG])
+    # zigzag-ordered coefficient vectors per component block grid
+    zz = [g[:, :, zz_r, zz_c].astype(np.int64) for g in comps]
+    dc_tabs = [_encode_table(*_K_DC_LUMA), _encode_table(*_K_DC_CHROMA)]
+    ac_tab = _encode_table(*_FLAT_AC_SPEC)
+
+    def nc_dims(ci):
+        ch, cv = samp[ci]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        cw = -(-w_img * ch // hmax)
+        chh = -(-h_img * cv // vmax)
+        return -(-cw // 8), -(-chh // 8)
+
+    def encode_scan(cis, ss, se, ah, al):
+        """One scan's entropy segments (list; RSTn separates them)."""
+        segments = []
+        w = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+
+        def flush_eobrun():
+            n = state["eobrun"]
+            if not n:
+                return
+            r = n.bit_length() - 1
+            code, ln = ac_tab[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(n - (1 << r), r)
+            for bit in state["pending"]:
+                w.put(bit, 1)
+            state["eobrun"] = 0
+            state["pending"] = []
+
+        def dc_first_block(ci, blk, preds):
+            ti = 0 if ci == 0 else 1
+            v = int(blk[0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            code, ln = dc_tabs[ti][s]
+            w.put(code, ln)
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+        def dc_refine_block(blk):
+            w.put((int(blk[0]) >> al) & 1, 1)
+
+        def ac_first_block(blk):
+            band = blk[ss:se + 1]
+            cur = np.sign(band) * (np.abs(band) >> al)
+            nz = np.nonzero(cur)[0]
+            if len(nz) == 0:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+                return
+            flush_eobrun()
+            run = 0
+            last = nz[-1]
+            for k in range(last + 1):
+                v = int(cur[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_tab[0xF0]
+                    w.put(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_tab[(run << 4) | s]
+                w.put(code, ln)
+                w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < se - ss:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+
+        def ac_refine_block(blk):
+            # absvalue at this precision: 0 = still zero, 1 = newly
+            # significant (legal only with Ah == Al+1), >1 = history-
+            # nonzero -> one correction bit
+            band = blk[ss:se + 1]
+            absv = np.abs(band) >> al
+            newly = np.nonzero(absv == 1)[0]
+            last = newly[-1] if len(newly) else -1
+            run = 0
+            bits = []  # correction bits since the last emitted symbol
+            for k in range(last + 1):
+                t = int(absv[k])
+                if t == 0:
+                    run += 1
+                    continue
+                # at any nonzero absvalue, pending ZRLs flush first so
+                # buffered correction bits stay within the decoder's
+                # 16-zero walk
+                while run >= 16:
+                    flush_eobrun()
+                    code, ln = ac_tab[0xF0]
+                    w.put(code, ln)
+                    for bit in bits:
+                        w.put(bit, 1)
+                    bits = []
+                    run -= 16
+                if t > 1:
+                    bits.append(t & 1)
+                    continue
+                flush_eobrun()
+                code, ln = ac_tab[(run << 4) | 1]
+                w.put(code, ln)
+                w.put(1 if band[k] > 0 else 0, 1)
+                for bit in bits:
+                    w.put(bit, 1)
+                bits = []
+                run = 0
+            # tail: roll leftover correction bits into the EOB run
+            tail = [int(absv[k]) & 1
+                    for k in range(last + 1, se - ss + 1) if absv[k] > 1]
+            if run or bits or tail or last < se - ss:
+                state["eobrun"] += 1
+                state["pending"] += bits + tail
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+
+        if ss == 0:
+            # DC scan: interleaved over MCUs when multi-component
+            preds = {ci: 0 for ci in cis}
+            nmcu = 0
+            interleaved = len(cis) > 1
+            if interleaved:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (restart_interval and nmcu
+                                and nmcu % restart_interval == 0):
+                            segments.append(w.flush())
+                            w = _BitWriter()
+                            preds = {ci: 0 for ci in cis}
+                        for ci in cis:
+                            ch, cv = samp[ci]
+                            for dv in range(cv):
+                                for dh in range(ch):
+                                    blk = zz[ci][my * cv + dv,
+                                                 mx * ch + dh]
+                                    if ah == 0:
+                                        dc_first_block(ci, blk, preds)
+                                    else:
+                                        dc_refine_block(blk)
+                        nmcu += 1
+            else:
+                ci = cis[0]
+                bx, by = nc_dims(ci)
+                for iy in range(by):
+                    for ix in range(bx):
+                        if (restart_interval and nmcu
+                                and nmcu % restart_interval == 0):
+                            segments.append(w.flush())
+                            w = _BitWriter()
+                            preds = {ci: 0 for ci in cis}
+                        blk = zz[ci][iy, ix]
+                        if ah == 0:
+                            dc_first_block(ci, blk, preds)
+                        else:
+                            dc_refine_block(blk)
+                        nmcu += 1
+        else:
+            ci = cis[0]
+            bx, by = nc_dims(ci)
+            nblk = 0
+            for iy in range(by):
+                for ix in range(bx):
+                    if (restart_interval and nblk
+                            and nblk % restart_interval == 0):
+                        flush_eobrun()
+                        segments.append(w.flush())
+                        w = _BitWriter()
+                    blk = zz[ci][iy, ix]
+                    if ah == 0:
+                        ac_first_block(blk)
+                    else:
+                        ac_refine_block(blk)
+                    nblk += 1
+            flush_eobrun()
+        segments.append(w.flush())
+        return segments
+
+    # ---- marker stream
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = lambda q: bytes(int(q[r, c]) & 0xFF for r, c in ZIGZAG)
+    out += seg(0xDB, b"\x00" + zz_q(ql))
+    if not gray:
+        out += seg(0xDB, b"\x01" + zz_q(qc))
+    sof = struct.pack(">BHHB", 8, h_img, w_img, ncomp)
+    for ci in range(ncomp):
+        ch, cv = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (ch << 4) | cv,
+                           0 if ci == 0 else 1)
+    out += seg(0xC2, sof)
+    dht = bytearray()
+    specs = [(0x00, _K_DC_LUMA), (0x10, _FLAT_AC_SPEC)]
+    if not gray:
+        specs += [(0x01, _K_DC_CHROMA)]
+    for tc_th, (bits_, vals) in specs:
+        dht += bytes([tc_th]) + bytes(bits_) + bytes(vals)
+    out += seg(0xC4, bytes(dht))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for cis, ss, se, ah, al in script:
+        for ci in cis:
+            if ci >= ncomp:
+                raise ValueError("scan script references missing component")
+        if ss > 0 and len(cis) != 1:
+            raise ValueError("AC scans take exactly one component")
+        sos = bytes([len(cis)])
+        for ci in cis:
+            td = 0 if ci == 0 else 1
+            sos += struct.pack(">BB", ci + 1,
+                               (td << 4) | (0 if ss == 0 else 0))
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        segments = encode_scan(cis, ss, se, ah, al)
+        for i, s in enumerate(segments):
+            if i:
+                out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            out += s
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
     """Chroma subsample by box mean (pad to factor multiples first)."""
     if fh == 1 and fv == 1:
@@ -421,6 +709,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> tables
     frame = None
+    progressive = False
+    grids: dict[int, np.ndarray] = {}  # comp id -> (by, bx, 64) coeffs
     ri = 0
     pos = 2
     n = len(data)
@@ -465,7 +755,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 vals = list(body[o + 17:o + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits_, vals)
                 o += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h_img, w_img, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"JPEG: {prec}-bit precision unsupported")
@@ -475,12 +765,13 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = (w_img, h_img, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "JPEG: only baseline/extended sequential Huffman (SOF0/"
-                f"SOF1) is supported, got SOF marker 0x{marker:02X} "
-                "(progressive/lossless/arithmetic)")
+                "JPEG: only sequential (SOF0/SOF1) and progressive "
+                f"(SOF2) Huffman are supported, got SOF marker "
+                f"0x{marker:02X} (lossless/hierarchical/arithmetic)")
         elif marker == 0xDD:
             (ri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
@@ -492,8 +783,23 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
             scan_start = pos + 2 + ln
-            return _decode_scan(data, scan_start, frame, scan, qt, huff, ri)
+            if not progressive:
+                return _decode_scan(data, scan_start, frame, scan, qt,
+                                    huff, ri)
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if not grids:
+                grids = _make_grids(frame)
+            pos = _decode_scan_progressive(
+                data, scan_start, frame, scan, huff, ri, grids,
+                ss, se, ahal >> 4, ahal & 0x0F)
+            continue
         pos += 2 + ln
+    if progressive and grids:
+        w_img, h_img, comps = frame
+        order = [c["id"] for c in comps]
+        return _assemble_image(w_img, h_img, comps, order, grids, qt)
     raise ValueError("JPEG: no scan data (missing SOS)")
 
 
@@ -609,11 +915,22 @@ def _decode_scan(data, start, frame, scan, qt, huff, ri):
                 pred = blk[0]
                 nblk += 1
 
-    # dequantize + IDCT + assemble planes
+    order = [c["id"] for c in comps]
+    return _assemble_image(w_img, h_img, comps, order, grids, qt)
+
+
+def _assemble_image(w_img, h_img, comps, order, grids, qt):
+    """Dequantize + IDCT + upsample + color transform the zigzag
+    coefficient grids (comp id -> (by, bx, 64)) into the final
+    (w, h, channels, uint8 pixels) tuple — shared by the sequential
+    and progressive decode paths."""
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     zz_r = np.array([r for r, _ in ZIGZAG])
     zz_c = np.array([c for _, c in ZIGZAG])
     planes = {}
-    for cs, _, _ in scan:
+    for cs in order:
         c = by_id[cs]
         bx = grids[cs].shape[1]
         by = grids[cs].shape[0]
@@ -631,7 +948,6 @@ def _decode_scan(data, start, frame, scan, qt, huff, ri):
             plane = np.repeat(plane, fv, axis=0)
         planes[cs] = plane[:h_img, :w_img]
 
-    order = [c["id"] for c in comps]
     if len(order) == 1:
         y = np.clip(np.floor(planes[order[0]] + 0.5), 0, 255)
         return w_img, h_img, 1, y.astype(np.uint8)[:, :, None]
@@ -645,3 +961,177 @@ def _decode_scan(data, start, frame, scan, qt, huff, ri):
     rgb = np.stack([r, g, b], axis=2)
     return (w_img, h_img, 3,
             np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8))
+
+
+def _make_grids(frame):
+    """MCU-padded zigzag coefficient grids for every frame component —
+    progressive scans accumulate into these across the whole stream."""
+    w_img, h_img, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int32)
+            for c in comps}
+
+
+def _nc_dims(frame, c):
+    """Non-interleaved (single-component scan) block coverage: T.81
+    counts blocks over the component's TRUE sample dims, not the
+    MCU-padded grid."""
+    w_img, h_img, comps = frame
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    cw = -(-w_img * c["h"] // hmax)
+    chh = -(-h_img * c["v"] // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _decode_scan_progressive(data, start, frame, scan, huff, ri, grids,
+                             ss, se, ah, al):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved
+    or single-component), AC first with EOBn run-lengths, AC refinement
+    with positional correction bits.  Mutates ``grids`` in place and
+    returns the stream position after the scan's entropy data."""
+    w_img, h_img, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    segs, endpos = _split_entropy(data, start)
+    readers = iter(segs)
+    rd = _BitReader(next(readers))
+    p1 = 1 << al
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: DC scan must have Se = 0")
+
+        preds = {cs: 0 for cs, _, _ in scan}
+
+        def dc_block(vals, cs, td):
+            if ah == 0:
+                s = rd.huff(huff[(0, td)])
+                diff = _extend(rd.take(s), s) if s else 0
+                preds[cs] += diff
+                vals[0] = preds[cs] << al
+            elif rd.take(1):
+                vals[0] = int(vals[0]) | p1
+
+        if len(scan) > 1:  # interleaved MCU order over padded grids
+            mcux = -(-w_img // (8 * hmax))
+            mcuy = -(-h_img // (8 * vmax))
+            nmcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and nmcu and nmcu % ri == 0:
+                        rd = _BitReader(next(readers))
+                        preds = {cs: 0 for cs, _, _ in scan}
+                    for cs, td, _ta in scan:
+                        c = by_id[cs]
+                        g = grids[cs]
+                        for dv in range(c["v"]):
+                            for dh in range(c["h"]):
+                                dc_block(g[my * c["v"] + dv,
+                                           mx * c["h"] + dh], cs, td)
+                    nmcu += 1
+        else:
+            cs, td, _ta = scan[0]
+            bx, by = _nc_dims(frame, by_id[cs])
+            g = grids[cs]
+            nblk = 0
+            for iy in range(by):
+                for ix in range(bx):
+                    if ri and nblk and nblk % ri == 0:
+                        rd = _BitReader(next(readers))
+                        preds = {cs: 0}
+                    dc_block(g[iy, ix], cs, td)
+                    nblk += 1
+        return endpos
+
+    # AC scan: exactly one component, non-interleaved block order
+    if len(scan) != 1:
+        raise ValueError("JPEG: progressive AC scans take one component")
+    cs, _td, ta = scan[0]
+    bx, by = _nc_dims(frame, by_id[cs])
+    g = grids[cs]
+    eobrun = 0
+
+    def ac_first(vals):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rd.huff(huff[(1, ta)])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.take(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC run exceeds spectral band")
+            vals[k] = _extend(rd.take(s), s) << al
+            k += 1
+
+    def _correct(vals, k):
+        """One correction bit for a history-nonzero coefficient."""
+        v = int(vals[k])
+        if rd.take(1) and (v & p1) == 0:
+            vals[k] = v + (p1 if v > 0 else -p1)
+
+    def ac_refine(vals):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rd.huff(huff[(1, ta)])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.take(r)
+                        break
+                    newval = 0  # ZRL: 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if rd.take(1) else -p1
+                else:
+                    raise ValueError(
+                        "JPEG: AC refinement amplitude must be 1")
+                while k <= se:
+                    if vals[k] != 0:
+                        _correct(vals, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    vals[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if vals[k] != 0:
+                    _correct(vals, k)
+                k += 1
+            eobrun -= 1
+
+    nblk = 0
+    for iy in range(by):
+        for ix in range(bx):
+            if ri and nblk and nblk % ri == 0:
+                rd = _BitReader(next(readers))
+                eobrun = 0
+            if ah == 0:
+                ac_first(g[iy, ix])
+            else:
+                ac_refine(g[iy, ix])
+            nblk += 1
+    return endpos

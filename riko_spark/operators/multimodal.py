@@ -127,11 +127,12 @@ def image_features_op(df: DataFrame, conf: dict | None = None,
     """Decode → feature-extract over Arrow batches.
 
     ``mapInPandas`` so each task holds one Arrow batch of images — the
-    right shape for batched GPU/CPU inference.  PNG, BMP and baseline
-    JPEG decode with the REAL stdlib/numpy kernels (functions/
-    imagecodec.py, functions/jpegcodec.py): actual pixel grids, actual
+    right shape for batched GPU/CPU inference.  PNG, BMP, GIF and
+    JPEG (baseline AND progressive SOF2) decode with the REAL
+    stdlib/numpy kernels (functions/imagecodec.py, functions/
+    jpegcodec.py, functions/gifcodec.py): actual pixel grids, actual
     width/height/channels, and a 4×4 mean-intensity grid feature.
-    Formats without a native kernel (progressive JPEG, WebP, ...)
+    Formats without a native kernel (arithmetic JPEG, WebP, ...)
     follow ``on_undecodable``: "stub" (default) emits the deterministic
     fake with ``channels=0`` marking the row synthetic, "skip" drops
     the row, "raise" aborts."""

@@ -142,11 +142,16 @@ def test_sixteen_bit_dqt():
     assert px[0, 0, 0] == 200
 
 
-def test_progressive_rejected_clearly():
+def test_lossless_and_arithmetic_rejected_clearly():
     blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = bytes(blob).index(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    blob[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+    with pytest.raises(ValueError, match="lossless"):
+        decode_jpeg(bytes(blob))
+    # a sequential scan header mislabeled as progressive is corrupt:
+    # its Se=63 is illegal for a DC scan
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se = 0"):
         decode_jpeg(bytes(blob))
 
 
@@ -212,3 +217,141 @@ def test_image_features_op_jpeg_real(spark):
         assert r["width"] == 16 and r["height"] == 16
         for f in r["feature"]:
             assert round(f * 255 * 16) == v * 16
+
+
+# ----------------------------------------------------- progressive JPEG
+
+def test_progressive_matches_baseline_bit_exactly():
+    """With identical quant tables both encoders quantize to the SAME
+    coefficients, so the progressive decode (a completely different
+    entropy procedure: DC/AC first scans, EOBn runs, correction bits)
+    must reproduce the baseline decode bit-for-bit."""
+    from riko_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(3)
+    cases = [
+        (rng.randint(0, 256, (24, 40)).astype(np.uint8), "444", 0),
+        (rng.randint(0, 256, (37, 21, 3)).astype(np.uint8), "420", 0),
+        (rng.randint(0, 256, (16, 16, 3)).astype(np.uint8), "422", 2),
+        (rng.randint(0, 256, (50, 66, 3)).astype(np.uint8), "444", 3),
+    ]
+    for px, sub, ri in cases:
+        base = decode_jpeg(encode_jpeg(px, sub))
+        prog = decode_jpeg(encode_jpeg_progressive(px, sub,
+                                                   restart_interval=ri))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3]), (px.shape, sub, ri)
+
+
+def test_progressive_lossy_and_custom_script():
+    """Annex-K quant tables (large coefficients, real EOB statistics)
+    plus a many-band script with staged successive approximation —
+    still coefficient-identical to the baseline path."""
+    from riko_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    ql = np.array(
+        [[16, 11, 10, 16, 24, 40, 51, 61],
+         [12, 12, 14, 19, 26, 58, 60, 55],
+         [14, 13, 16, 24, 40, 57, 69, 56],
+         [14, 17, 22, 29, 51, 87, 80, 62],
+         [18, 22, 37, 56, 68, 109, 103, 77],
+         [24, 35, 55, 64, 81, 104, 113, 92],
+         [49, 64, 78, 87, 103, 121, 120, 101],
+         [72, 92, 95, 98, 112, 100, 103, 99]])
+    script = [([0], 0, 0, 0, 3),
+              ([0], 1, 2, 0, 1), ([0], 3, 15, 0, 2), ([0], 16, 63, 0, 2),
+              ([0], 3, 15, 2, 1), ([0], 16, 63, 2, 1),
+              ([0], 1, 2, 1, 0), ([0], 3, 15, 1, 0), ([0], 16, 63, 1, 0),
+              ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0)]
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (45, 59)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, "444", ql))
+    prog = decode_jpeg(encode_jpeg_progressive(px, "444", ql,
+                                               scans=script,
+                                               restart_interval=2))
+    assert np.array_equal(base[3], prog[3])
+    # long EOB runs: a smooth gradient is almost all EOBn symbols
+    grad = (np.add.outer(np.arange(64), np.arange(96)) // 2 % 256
+            ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(grad, "444", ql))[3],
+        decode_jpeg(encode_jpeg_progressive(grad, "444", ql))[3])
+
+
+def test_progressive_hand_packed_stream():
+    """A progressive stream assembled BYTE BY HAND from the T.81 scan
+    procedures (no encoder involved): 8x8 gray, all-ones quant,
+    target coefficients DC=-25, (0,1)=3, (1,1)=-5 delivered over four
+    scans — DC first at Al=1, AC first at Al=1 (run/size + EOB), AC
+    refinement at Al=0 (EOB-run correction bits), DC refinement
+    (exercises the negative two's-complement OR).  Expected pixels
+    come from the independent naive cosine IDCT."""
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + b"\x01" * 64)          # all-ones quant
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1)
+               + struct.pack(">BBB", 1, 0x11, 0))      # SOF2 8x8 1-comp
+    # DC table: symbols 0..5 at length 3 (codes 000..101)
+    dc_bits = bytes([0, 0, 6] + [0] * 13)
+    # AC table: 00/01/21/22/F0 at length 3 (codes 000..100)
+    ac_bits = bytes([0, 0, 5] + [0] * 13)
+    out += seg(0xC4, b"\x00" + dc_bits + bytes([0, 1, 2, 3, 4, 5])
+               + b"\x10" + ac_bits + bytes([0x00, 0x01, 0x21, 0x22, 0xF0]))
+
+    def sos(ss, se, ah, al, bits):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        padded = bits + "1" * (-len(bits) % 8)
+        raw = bytes(int(padded[i:i + 8], 2) for i in range(0, len(padded), 8))
+        return seg(0xDA, body) + raw.replace(b"\xff", b"\xff\x00")
+
+    # scan 1 (DC first, Al=1): diff = -25 >> 1 = -13, category 4,
+    # DC code '100', magnitude bits -13+15 = 2 -> '0010'
+    out += sos(0, 0, 0, 1, "100" + "0010")
+    # scan 2 (AC first, Ss=1 Se=63, Al=1): k1 -> +1 (sym 0x01 '001',
+    # bit '1'); k4 -> -2 after run 2 (sym 0x22 '011', bits '01'); EOB
+    out += sos(1, 63, 0, 1, "001" + "1" + "011" + "01" + "000")
+    # scan 3 (AC refine, Al=0): no new coefficients -> EOB1 '000' then
+    # positional correction bits |3|&1=1 and |-5|&1=1
+    out += sos(1, 63, 1, 0, "000" + "1" + "1")
+    # scan 4 (DC refine): bit (-25)&1 = 1 -> -26 | 1 = -25
+    out += sos(0, 0, 1, 0, "1")
+    out += b"\xff\xd9"
+
+    w, h, c, px = decode_jpeg(bytes(out))
+    assert (w, h, c) == (8, 8, 1)
+    coef = np.zeros((8, 8))
+    coef[0, 0] = -25
+    coef[0, 1] = 3
+    coef[1, 1] = -5
+    expect = np.clip(np.floor(_naive_idct(coef) + 128.0 + 0.5),
+                     0, 255).astype(np.uint8)
+    assert np.array_equal(px[:, :, 0], expect)
+
+
+def test_progressive_dc_only_block_constant_exact():
+    """The driver-fixture exactness contract holds on the progressive
+    path too: block-constant pixels + all-ones quant -> bit-exact."""
+    from riko_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(21)
+    bv = rng.randint(0, 256, size=(3, 5))
+    img = np.repeat(np.repeat(bv.astype(np.uint8), 8, 0), 8, 1)[:22, :36]
+    gw, gh, gc, px = decode_jpeg(encode_jpeg_progressive(img))
+    assert (gw, gh, gc) == (36, 22, 1)
+    assert np.array_equal(px[:, :, 0], img)
+    # and through the dispatch (SOF2 sniffs as plain JPEG magic)
+    gw2, gh2, gc2, px2 = decode_image(encode_jpeg_progressive(img))
+    assert np.array_equal(px2, px)
+
+
+def test_progressive_scan_script_validation():
+    from riko_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="one component"):
+        encode_jpeg_progressive(px, scans=[([0, 1], 1, 5, 0, 0)])
+    with pytest.raises(ValueError, match="missing component"):
+        encode_jpeg_progressive(np.zeros((8, 8), np.uint8),
+                                scans=[([1], 0, 0, 0, 0)])

@@ -209,7 +209,7 @@ def test_wav_8bit_and_extensible():
     bad[24] = 2  # ADPCM subformat
     body = (b"WAVEfmt " + struct.pack("<I", len(bad)) + bytes(bad)
             + b"data" + struct.pack("<I", 6) + frames.tobytes())
-    with pytest.raises(ValueError, match="not PCM"):
+    with pytest.raises(ValueError, match="neither PCM nor IEEE float"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
