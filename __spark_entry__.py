@@ -1023,6 +1023,67 @@ def q_image_features_jpeg_prog(spark, sf):
     )
 
 
+_TIFF_N = 48
+
+
+def _planted_tiffs(spark, sf):
+    """Planted TIFF blobs (functions/tiffcodec.py): pixel v(x, y) =
+    (7*id + 3*x + 5*y) mod 256 — TIFF decode is LOSSLESS so no
+    block-constant contract is needed; every pixel is exact.  Format
+    cycles the four compressions (none / PackBits / LZW+predictor /
+    Deflate) x grayscale / RGB (R=G=B=v so intensity == v) x both byte
+    orders, dims multiples of 4 so the 4x4 grid cells are exact."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _TIFF_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.tiffcodec import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w = 20 + 8 * (i % 4)
+                h = 12 + 8 * ((i * 3 + 1) % 4)
+                v = ((7 * i + 3 * np.arange(w)[None, :]
+                      + 5 * np.arange(h)[:, None]) % 256).astype(np.uint8)
+                px = v if i % 2 == 0 else np.repeat(v[:, :, None], 3,
+                                                    axis=2)
+                comp = ("none", "packbits", "lzw", "deflate")[i % 4]
+                blob = encode_tiff(px, comp, predictor=(comp == "lzw"),
+                                   rows_per_strip=8,
+                                   big_endian=(i % 8) >= 4)
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_image_features_tiff(spark, sf):
+    """REAL TIFF decode (IFD walk, strip assembly, PackBits / TIFF-LZW
+    early-change / Deflate decompression, horizontal predictor, both
+    byte orders) through the mapInPandas kernel: each 4x4-grid feature
+    converts back to the exact integer pixel sum of its cell,
+    recomputed by the oracle from the planting formula — decode is
+    lossless so the check covers every pixel of every codec path."""
+    from riko_spark.operators.multimodal import image_features_op
+
+    feats = image_features_op(
+        _planted_tiffs(spark, sf), {"on_undecodable": "raise"}
+    )
+    cellpix = (F.col("width") / 4) * (F.col("height") / 4)
+    return feats.select(
+        "id", "width", "height", "channels",
+        F.posexplode("feature").alias("cell_idx", "f"),
+    ).select(
+        "id", "width", "height", "channels", "cell_idx",
+        F.round(F.col("f") * 255 * cellpix).cast("bigint").alias("cell_sum"),
+    )
+
+
 _WAV_N = 48
 
 
@@ -1583,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    perceptual image near-dup --
         "image_features_jpeg": q_image_features_jpeg,
         "image_features_jpeg_prog": q_image_features_jpeg_prog,
+        "image_features_tiff": q_image_features_tiff,
         "image_neardup": q_image_neardup,
         # -- code changed round 6: CEP streaming id/ts contract,
         #    image decode dispatch (jpegcodec behind decode_image) --
@@ -2136,6 +2198,33 @@ def oracle_sql() -> dict[str, str]:
               FROM dims d
               JOIN generate_series(0, 47) AS x(x) ON x.x < d.width
               JOIN generate_series(0, 47) AS y(y) ON y.y < d.height
+            )
+            SELECT id, CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST(channels AS INT) AS channels,
+                   CAST(cell_idx AS INT) AS cell_idx,
+                   CAST(SUM(v) AS BIGINT) AS cell_sum
+            FROM px GROUP BY id, width, height, channels, cell_idx
+        """,
+        "image_features_tiff": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 48
+            ),
+            dims AS (
+              SELECT id,
+                     20 + 8*(id % 4) AS width,
+                     12 + 8*((id*3 + 1) % 4) AS height,
+                     CASE WHEN id % 2 = 0 THEN 1 ELSE 3 END AS channels
+              FROM ids
+            ),
+            px AS (
+              SELECT d.id, d.width, d.height, d.channels,
+                     ((y.y * 4) // d.height) * 4
+                       + ((x.x * 4) // d.width) AS cell_idx,
+                     (7*d.id + 3*x.x + 5*y.y) % 256 AS v
+              FROM dims d
+              JOIN generate_series(0, 43) AS x(x) ON x.x < d.width
+              JOIN generate_series(0, 35) AS y(y) ON y.y < d.height
             )
             SELECT id, CAST(width AS INT) AS width,
                    CAST(height AS INT) AS height,

@@ -356,7 +356,11 @@ def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
             from riko_spark.functions.gifcodec import decode_gif
 
             return decode_gif(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            from riko_spark.functions.tiffcodec import decode_tiff
+
+            return decode_tiff(data)
     except (struct.error, zlib.error, IndexError) as e:
         raise ValueError(f"corrupt image data: {e}") from e
-    raise ValueError("unsupported image format (PNG, BMP, GIF and "
-                     "baseline JPEG decode natively)")
+    raise ValueError("unsupported image format (PNG, BMP, GIF, TIFF "
+                     "and JPEG decode natively)")

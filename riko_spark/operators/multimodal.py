@@ -43,6 +43,8 @@ _MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"BM": "image/bmp",
     b"GIF8": "image/gif",
+    b"II*\x00": "image/tiff",
+    b"MM\x00*": "image/tiff",
     b"\x00\x00\x00": "video/mp4",
 }
 
@@ -91,6 +93,8 @@ def media_metadata_op(df: DataFrame, conf: dict | None = None,
         .when(magic.startswith("FFD8FF"), "image/jpeg")
         .when(magic.startswith("424D"), "image/bmp")
         .when(magic.startswith("47494638"), "image/gif")
+        .when(magic.startswith("49492A00"), "image/tiff")
+        .when(magic.startswith("4D4D002A"), "image/tiff")
         .when(magic.startswith("52494646") & (form == "57415645"), "audio/wav")
         .when(magic.startswith("52494646") & (form == "41564920"), "video/avi")
         .when(magic.startswith("52494646") & (form == "57454250"), "image/webp")
