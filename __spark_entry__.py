@@ -649,6 +649,96 @@ def q_repetition(spark, sf):
     )
 
 
+# Multi-line "web page" corpus planted from the flat documents table:
+# unique prose lines keyed by doc_id interleaved with boilerplate that
+# repeats across documents (newsletter/cookie banners on residue
+# classes, a per-source footer shared by ~1/5 of docs), C4 trigger
+# markers (lorem ipsum on %11, curly braces on %13), Gopher trigger
+# lines (bullets on %7, trailing ellipsis on %17), and one
+# no-terminal-punctuation fragment per page.  The SAME expression runs
+# in Spark (F.expr) and the DuckDB oracle, so every cleaning signal is
+# recomputed independently from the planting arithmetic.
+_PAGED_SQL = (
+    "'Document ' || CAST(doc_id AS STRING) || "
+    "' begins with a clean opening sentence.' || chr(10) || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter today.' "
+    "ELSE 'Filler opening ' || CAST(doc_id AS STRING) || "
+    "' adds unique prose here.' END || chr(10) || "
+    "substr(text, 1, 40) || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'Accept all cookies to continue browsing.' "
+    "ELSE 'Second filler ' || CAST(doc_id AS STRING) || "
+    "' keeps the page going.' END || chr(10) || "
+    "'Shared footer text for source ' || CAST(doc_id % 5 AS STRING) || "
+    "' of this site.' || chr(10) || "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'Lorem ipsum dolor sit amet consectetur.' "
+    "ELSE 'Body sentence number ' || CAST(doc_id AS STRING) || "
+    "' carries real content forward.' END || chr(10) || "
+    "CASE WHEN doc_id % 13 = 0 THEN 'var config = { debug: false };' "
+    "ELSE 'More unique body text ' || CAST(doc_id AS STRING) || "
+    "' flows naturally.' END || chr(10) || "
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "'- bullet item one' || chr(10) || '- bullet item two' "
+    "ELSE 'A very readable paragraph ' || CAST(doc_id AS STRING) || "
+    "' without bullets.' END || chr(10) || "
+    "CASE WHEN doc_id % 17 = 0 THEN "
+    "'This sentence trails off into nothing...' "
+    "ELSE 'The closing remark ' || CAST(doc_id AS STRING) || "
+    "' ends the page properly.' END"
+)
+
+
+def _planted_paged(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return d.withColumn("text", F.expr(_PAGED_SQL))
+
+
+def q_c4_line_filter(spark, sf):
+    """C4 line-level gate over the planted paged corpus: keep lines
+    with >= 5 words ending in terminal punctuation — one native
+    higher-order-function projection, no explode/shuffle.  The oracle
+    recomputes kept/dropped counts and the md5 of the rebuilt text
+    with DuckDB list lambdas over the same planting expression."""
+    from riko_spark.operators.cleaning import c4_line_filter_op
+
+    out = c4_line_filter_op(_planted_paged(spark, sf))
+    return out.select(
+        "doc_id", "n_lines_kept", "n_lines_dropped",
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+def q_c4_doc_filter(spark, sf):
+    """C4 + Gopher document-level quality gate: word/sentence counts,
+    mean word length, lorem-ipsum / curly-brace markers, bullet and
+    ellipsis line fractions, and the combined keep flag — all native
+    single-scan expressions; every signal recomputed by the oracle."""
+    from riko_spark.operators.cleaning import c4_doc_filter_op
+
+    out = c4_doc_filter_op(_planted_paged(spark, sf))
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "n_sentences",
+        "has_lorem", "has_curly", "bullet_line_frac",
+        "ellipsis_line_frac", "keep",
+    )
+
+
+def q_line_dedupe(spark, sf):
+    """RefinedWeb corpus-level boilerplate removal: lines appearing in
+    >= 3 distinct documents (planted banners/footers) are dropped from
+    every page; per-doc kept text is rebuilt in original order.  The
+    oracle recomputes document frequency and the rebuilt md5 from the
+    same planting expression with an independent zip-unnest +
+    NOT IN + ordered string_agg plan."""
+    from riko_spark.operators.cleaning import line_dedupe_op
+
+    out = line_dedupe_op(_planted_paged(spark, sf), min_docs=3)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_kept", "n_dropped",
+    )
+
+
 def q_media_metadata(spark, sf):
     """Magic-sniff classification over REAL planted blobs — PNG and BMP
     from the image planting formula, RIFF/WAVE from the audio one, raw
@@ -1646,6 +1736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_jpeg_prog": q_image_features_jpeg_prog,
         "image_features_tiff": q_image_features_tiff,
         "image_neardup": q_image_neardup,
+        # -- NEW round 6 (this session): web-corpus cleaning family --
+        "c4_line_filter": q_c4_line_filter,
+        "c4_doc_filter": q_c4_doc_filter,
+        "line_dedupe": q_line_dedupe,
         # -- code changed round 6: CEP streaming id/ts contract,
         #    image decode dispatch (jpegcodec behind decode_image) --
         "sequence_match": q_sequence_match,
@@ -2700,6 +2794,121 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
                        '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g')) AS scrub_md5
             FROM t
+        """),
+        "c4_line_filter": (
+            r"""
+            WITH t AS (
+                SELECT doc_id, """ + _PAGED_SQL + r""" AS text
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM t
+            ),
+            k AS (
+                SELECT doc_id, lines,
+                       list_filter(lines, x ->
+                           len(list_filter(string_split_regex(x, '\s+'),
+                                           w -> w <> '')) >= 5
+                           AND regexp_matches(x, '[.!?"”]$')) AS kept
+                FROM l
+            )
+            SELECT doc_id,
+                   CAST(len(kept) AS INT) AS n_lines_kept,
+                   CAST(len(lines) - len(kept) AS INT) AS n_lines_dropped,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5
+            FROM k
+        """),
+        "c4_doc_filter": (
+            r"""
+            WITH t AS (
+                SELECT doc_id, """ + _PAGED_SQL + r""" AS text
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM t
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_words,
+                       round(CASE WHEN len(toks) > 0 THEN
+                           CAST(list_aggregate(list_transform(toks,
+                               x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+                           ELSE 0.0 END, 6) AS mean_word_len,
+                       CAST(len(regexp_extract_all(text, '[.!?]')) AS INT)
+                           AS n_sentences,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{') AS has_curly,
+                       round(CASE WHEN len(lines) > 0 THEN
+                           CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '^[-*•]')))
+                               AS DOUBLE) / len(lines)
+                           ELSE 0.0 END, 6) AS bullet_line_frac,
+                       round(CASE WHEN len(lines) > 0 THEN
+                           CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '(\.\.\.|…)$')))
+                               AS DOUBLE) / len(lines)
+                           ELSE 0.0 END, 6) AS ellipsis_line_frac
+                FROM s
+            )
+            SELECT *,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND n_sentences >= 3
+                    AND NOT has_lorem AND NOT has_curly
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3) AS keep
+            FROM sig
+        """),
+        "line_dedupe": (
+            r"""
+            WITH t AS (
+                SELECT doc_id, """ + _PAGED_SQL + r""" AS text
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, unnest(lines) AS line,
+                       unnest(generate_series(1, len(lines))) AS pos
+                FROM l
+            ),
+            freq AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS df
+                    FROM e GROUP BY line
+                ) WHERE df >= 3
+            ),
+            kept AS (
+                SELECT doc_id, pos, line FROM e
+                WHERE line NOT IN (SELECT line FROM freq)
+            ),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   md5(coalesce(reb.clean, '')) AS clean_md5,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(len(l.lines) - coalesce(reb.n_kept, 0) AS BIGINT)
+                       AS n_dropped
+            FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id
         """),
         "media_metadata": """
             WITH img AS (

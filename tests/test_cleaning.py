@@ -1,0 +1,165 @@
+"""Web-corpus cleaning operators (riko_spark/operators/cleaning.py):
+C4 line/document gates and RefinedWeb corpus-level line dedupe.
+
+Expectations are hand-computed from small literal corpora, not
+round-tripped through the operators.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from riko_spark.operators.cleaning import (
+    c4_doc_filter_op,
+    c4_line_filter_op,
+    line_dedupe_op,
+)
+
+from tests.conftest import rows
+
+
+def _docs(spark, items):
+    return spark.createDataFrame(items, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- line filter
+
+def test_c4_line_filter_terminal_and_min_words(spark):
+    text = "\n".join([
+        "This line has enough words right here.",   # kept
+        "Too short here.",                           # < 5 words
+        "this line has five words no terminal",      # no terminal punct
+        "Does a question mark count as terminal?",   # kept
+        "",                                          # blank: not counted
+        "  Padded line still ends with a period after trimming.  ",
+    ])
+    out = rows(c4_line_filter_op(_docs(spark, [(1, text)])))
+    assert out[0]["n_lines_kept"] == 3
+    assert out[0]["n_lines_dropped"] == 2  # blank lines aren't lines
+    assert out[0]["text"] == "\n".join([
+        "This line has enough words right here.",
+        "Does a question mark count as terminal?",
+        "Padded line still ends with a period after trimming.",
+    ])
+
+
+def test_c4_line_filter_conf_overrides(spark):
+    text = "one two three\nfour five six."
+    out = rows(c4_line_filter_op(
+        _docs(spark, [(1, text)]),
+        conf={"min_words": 3, "require_terminal": False}))
+    assert out[0]["n_lines_kept"] == 2
+    out2 = rows(c4_line_filter_op(_docs(spark, [(1, text)]),
+                                  conf={"min_words": 3}))
+    assert out2[0]["text"] == "four five six."
+
+
+# ----------------------------------------------------------------- doc filter
+
+def test_c4_doc_filter_signals(spark):
+    good = " ".join(f"word{i} filler." for i in range(30))  # 60 words, 30 '.'
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, good)])))[0]
+    assert out["n_words"] == 60
+    assert out["n_sentences"] == 30
+    assert not out["has_lorem"] and not out["has_curly"]
+    assert out["keep"] is True
+
+    lorem = good + " Lorem Ipsum dolor."
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, lorem)])))[0]
+    assert out["has_lorem"] is True and out["keep"] is False
+
+    curly = good + " { nope }"
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, curly)])))[0]
+    assert out["has_curly"] is True and out["keep"] is False
+
+
+def test_c4_doc_filter_word_and_sentence_bounds(spark):
+    short = "Just a few words here. And again. Third one."  # 9 words
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, short)])))[0]
+    assert out["n_words"] == 9 and out["n_sentences"] == 3
+    assert out["keep"] is False  # below the 50-word Gopher floor
+
+    two_sent = " ".join(f"w{i}" for i in range(60)) + " end. and done."
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, two_sent)])))[0]
+    assert out["n_sentences"] == 2 and out["keep"] is False
+
+
+def test_c4_doc_filter_line_fractions(spark):
+    base = " ".join(f"word{i} okay." for i in range(30))
+    bullets = "\n".join([base, "- bullet item one", "- bullet item two",
+                         "* bullet item three", "And a trailing thought..."])
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, bullets)])))[0]
+    assert out["bullet_line_frac"] == 0.6  # 3 of 5 lines
+    assert out["ellipsis_line_frac"] == 0.2
+    assert out["keep"] is True  # 0.6 <= 0.9 and 0.2 <= 0.3
+
+    mostly_bullets = "\n".join(["- b"] * 19 + [base])
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, mostly_bullets)])))[0]
+    assert out["bullet_line_frac"] == 0.95 and out["keep"] is False
+
+
+def test_c4_doc_filter_mean_word_len(spark):
+    text = "aa bbbb. " * 30  # mean (2+5)/2 = 3.5 ('bbbb.' counts the dot)
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, text.strip())])))[0]
+    assert out["mean_word_len"] == pytest.approx(3.5)
+    long_words = ("pneumonoultramicroscopic " * 60).strip() + " end. a. b."
+    out = rows(c4_doc_filter_op(_docs(spark, [(1, long_words)])))[0]
+    assert out["keep"] is False  # mean word length above 10
+
+
+# ---------------------------------------------------------------- line dedupe
+
+def test_line_dedupe_drops_frequent_lines(spark):
+    banner = "Accept cookies to continue."
+    docs = [
+        (1, f"{banner}\nUnique one body.\nFooter A"),
+        (2, f"{banner}\nUnique two body.\nFooter A"),
+        (3, f"{banner}\nUnique three body.\nFooter B"),
+        (4, "Unique four body.\nFooter B"),
+    ]
+    out = {r["doc_id"]: r for r in rows(
+        line_dedupe_op(_docs(spark, docs), min_docs=3))}
+    # banner in 3 docs -> dropped; footers in 2 docs each -> kept
+    assert out[1]["text"] == "Unique one body.\nFooter A"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    assert out[4]["text"] == "Unique four body.\nFooter B"
+    assert out[4]["n_dropped"] == 0
+
+
+def test_line_dedupe_preserves_order_and_empty_docs(spark):
+    boiler = "same line everywhere"
+    docs = [(i, f"alpha {i}\n{boiler}\nomega {i}") for i in range(1, 4)]
+    docs.append((9, f"{boiler}\n{boiler}"))  # all lines boilerplate
+    out = {r["doc_id"]: r for r in rows(
+        line_dedupe_op(_docs(spark, docs), min_docs=3))}
+    assert out[2]["text"] == "alpha 2\nomega 2"  # original order kept
+    assert out[9]["text"] == "" and out[9]["n_kept"] == 0
+    assert out[9]["n_dropped"] == 2
+
+
+def test_line_dedupe_frequency_is_per_document_not_per_occurrence(spark):
+    # a line repeated 5x inside ONE doc must not count as df=5
+    docs = [(1, "echo\necho\necho\necho\necho"), (2, "echo\nother two")]
+    out = {r["doc_id"]: r for r in rows(
+        line_dedupe_op(_docs(spark, docs), min_docs=3))}
+    assert out[1]["n_dropped"] == 0 and out[2]["n_dropped"] == 0
+
+
+def test_line_dedupe_trims_before_matching(spark):
+    docs = [
+        (1, "  padded banner  \nbody one"),
+        (2, "padded banner\nbody two"),
+        (3, "padded banner \nbody three"),
+    ]
+    out = {r["doc_id"]: r for r in rows(
+        line_dedupe_op(_docs(spark, docs), min_docs=3))}
+    assert all(out[i]["n_dropped"] == 1 for i in (1, 2, 3))
+
+
+def test_registry_names():
+    from riko_spark.operators import get_operator
+
+    assert get_operator("c4_line_filter") is c4_line_filter_op
+    assert get_operator("c4_doc_filter") is c4_doc_filter_op
+    assert get_operator("line_dedupe") is line_dedupe_op
