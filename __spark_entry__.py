@@ -1372,6 +1372,74 @@ def q_audio_features_adpcm(spark, sf):
     )
 
 
+_AFP_N = 48      # 12 clusters x 4 members
+_AFP_GROUP = 4   # members per cluster
+
+
+def _planted_audio_clusters(spark, sf):
+    """Planted near-duplicate audio clusters for the acoustic
+    fingerprint: member m of cluster g (id = g*4 + m) is the SAME
+    9-sinusoid mixture — one component per fingerprint frequency band,
+    amplitudes stepping x1.5 up/down according to the bits of the
+    cluster's spectral pattern ``(g*21 + 1) % 256`` — under a uniform
+    gain (1 + m/100) and an integer-sample time shift (7*m), the
+    transforms the gradient-sign fingerprint is invariant to.  Every
+    component sits on an exact 512-sample rFFT bin (freq = bin *
+    sr/512 with sr=4096, n=4096), so band energies are concentrated
+    and the x2.25 adjacent-band energy margin dwarfs int16
+    quantization noise: members fingerprint identically (hamming 0)
+    while distinct clusters differ in >= 8 bits (8 frames x >= 1
+    differing gradient sign), outside the banded join's default
+    max_hamming=7.  Expected pairs are therefore pure id arithmetic —
+    the oracle recomputes them as id//4 equality."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _AFP_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.wavcodec import encode_wav
+
+        flen, n, sr = 512, 4096, 4096
+        # one exact-bin frequency centred in each of the 9 bands of
+        # the 257-bin rFFT half-spectrum
+        bins = [(257 * b) // 9 + 14 for b in range(9)]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, m = i // _AFP_GROUP, i % _AFP_GROUP
+                pattern = (g * 21 + 1) % 256
+                amps = [1.0]
+                for b in range(8):
+                    amps.append(amps[-1] * (1.5 if (pattern >> b) & 1
+                                            else 1 / 1.5))
+                amps = np.array(amps) * (12000.0 / sum(amps))
+                j = np.arange(n, dtype=np.float64) + 7 * m
+                s = np.zeros(n)
+                for a, k in zip(amps, bins):
+                    s += a * np.sin(2 * np.pi * k * j / flen)
+                s = np.round(s * (1 + m / 100.0)).astype(np.int16)
+                rows.append((i, bytearray(encode_wav(s.reshape(-1, 1),
+                                                     sr))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_audio_neardup(spark, sf):
+    """Acoustic near-dup end-to-end: Chromaprint-style spectral
+    gradient fingerprint over REAL decoded PCM -> banded bit-band
+    self-join -> exact hamming verify (the same banding machinery as
+    SimHash and image dHash).  Planted-recall oracle: the 72
+    within-cluster pairs (and nothing else) must surface with
+    hamming 0, recomputed from the planting id arithmetic."""
+    from riko_spark.operators.multimodal import audio_neardup_op
+
+    return audio_neardup_op(_planted_audio_clusters(spark, sf))
+
+
 _AVI_N = 24
 
 
@@ -1740,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "c4_doc_filter": q_c4_doc_filter,
         "line_dedupe": q_line_dedupe,
+        "audio_neardup": q_audio_neardup,
         # -- code changed round 6: CEP streaming id/ts contract,
         #    image decode dispatch (jpegcodec behind decode_image) --
         "sequence_match": q_sequence_match,
@@ -2910,6 +2979,16 @@ def oracle_sql() -> dict[str, str]:
                        AS n_dropped
             FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id
         """),
+        "audio_neardup": """
+            WITH ids AS (
+                SELECT DISTINCT doc_id AS id FROM documents
+                WHERE doc_id < 48
+            )
+            SELECT a.id AS left_id, b.id AS right_id,
+                   CAST(0 AS INT) AS hamming
+            FROM ids a JOIN ids b
+              ON a.id < b.id AND a.id // 4 = b.id // 4
+        """,
         "media_metadata": """
             WITH img AS (
               SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 64

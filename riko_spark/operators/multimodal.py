@@ -485,3 +485,110 @@ def video_frames_op(df: DataFrame, conf: dict | None = None,
     return df.mapInPandas(run, VIDEO_FRAMES_SCHEMA)
 
 
+
+
+AUDIO_FP_SCHEMA = "id bigint, afp bigint"
+
+
+@register("audio_fingerprint")
+def audio_fingerprint_op(df: DataFrame, conf: dict | None = None,
+                         field: str = "blob", id_col: str = "id",
+                         frames: int = 8, bands: int = 9,
+                         on_undecodable: str = "skip") -> DataFrame:
+    """Chromaprint-style 64-bit acoustic fingerprint over REAL decoded
+    PCM (functions/wavcodec.py): the mono downmix is cut into
+    ``frames`` equal time frames, each frame's rFFT power is summed
+    into ``bands`` equal-width frequency bands, and bit ``t*(bands-1)
+    + b`` is 1 iff ``E[t][b+1] > E[t][b]`` (spectral-gradient sign,
+    the same comparison scheme Chromaprint/AcoustID publishes).  The
+    default 8 frames x 8 band-diffs fills exactly 64 bits, so the
+    signature feeds the same banded-hamming join strategy as SimHash
+    and image dHash (operators/dedupe.py:banded_hamming_pairs).
+
+    Gradient signs are invariant to uniform gain and phase shifts —
+    the transforms a near-duplicate encode/transcode applies — while
+    any re-ordering of spectral energy flips bits.  Rectangular
+    framing (no overlap, no window) keeps the kernel deterministic and
+    exactly reproducible from the spec'd arithmetic.  Runs in
+    mapInPandas, one Arrow batch of blobs per task; undecodable blobs
+    follow ``on_undecodable``: "skip" (default) / "raise"."""
+    conf = conf or {}
+    frames = int(conf.get("frames", frames))
+    bands = int(conf.get("bands", bands))
+    on_undecodable = conf.get("on_undecodable", on_undecodable)
+    if on_undecodable not in ("skip", "raise"):
+        raise ValueError("on_undecodable must be 'skip' or 'raise'")
+    if frames * (bands - 1) > 64:
+        raise ValueError("frames * (bands-1) must fit in 64 bits")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from riko_spark.functions.wavcodec import decode_wav
+
+        def fingerprint(samples: np.ndarray) -> int:
+            mono = samples.astype(np.float64).mean(axis=1)
+            flen = len(mono) // frames
+            if flen < 2 * bands:
+                raise ValueError(
+                    f"audio too short for {frames}x{bands} fingerprint")
+            trimmed = mono[: flen * frames].reshape(frames, flen)
+            power = np.abs(np.fft.rfft(trimmed, axis=1)) ** 2
+            nbins = power.shape[1]
+            edges = [nbins * b // bands for b in range(bands + 1)]
+            energy = np.stack(
+                [power[:, edges[b]:edges[b + 1]].sum(axis=1)
+                 for b in range(bands)], axis=1)
+            out = 0
+            for t in range(frames):
+                for b in range(bands - 1):
+                    if energy[t, b + 1] > energy[t, b]:
+                        out |= 1 << (t * (bands - 1) + b)
+            return out - (1 << 64) if out >= 1 << 63 else out
+
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[field]):
+                if b is None:
+                    continue
+                try:
+                    _rate, _ch, samples = decode_wav(bytes(b))
+                    rows.append((rid, fingerprint(samples)))
+                except ValueError:
+                    if on_undecodable == "raise":
+                        raise
+                    continue
+            yield pd.DataFrame(rows, columns=["id", "afp"])
+
+    return df.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+@register("audio_neardup")
+def audio_neardup_op(df: DataFrame, conf: dict | None = None,
+                     field: str = "blob", id_col: str = "id",
+                     bands: int = 8, max_hamming: int | None = None,
+                     max_bucket_size: int | None = 1000,
+                     on_undecodable: str = "skip") -> DataFrame:
+    """Near-duplicate AUDIO pairs end-to-end: acoustic fingerprint
+    over real decoded PCM (:func:`audio_fingerprint_op`) -> banded
+    bit-band self-join -> exact hamming verify — the third modality on
+    the shared banding machinery (text SimHash, image dHash, now
+    audio), completing corpus near-dup coverage for a multimodal
+    training pipeline.
+
+    100 TB shape is identical to image_neardup: decode + fingerprint
+    is one mapInPandas scan, candidate generation is ONE shuffle keyed
+    on (band, band-bits) with pigeonhole recall for hamming <=
+    bands-1, frequent buckets (silence hashes alike) are capped with
+    non-silent drop accounting, and verification is a JVM bit_count on
+    candidates only."""
+    conf = conf or {}
+    from riko_spark.operators.dedupe import banded_hamming_pairs
+
+    sig = audio_fingerprint_op(df, conf, field=field, id_col=id_col,
+                               on_undecodable=on_undecodable)
+    return banded_hamming_pairs(
+        sig, "afp", id_col="id",
+        bands=int(conf.get("bands", bands)),
+        max_hamming=conf.get("max_hamming", max_hamming),
+        max_bucket_size=conf.get("max_bucket_size", max_bucket_size),
+        log_dropped=bool(conf.get("log_dropped", True)),
+        what="audio_neardup")
