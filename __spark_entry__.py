@@ -1440,6 +1440,68 @@ def q_audio_neardup(spark, sf):
     return audio_neardup_op(_planted_audio_clusters(spark, sf))
 
 
+_FLAC_N = 32
+
+
+def _planted_flac(spark, sf):
+    """Planted FLACs carrying the SAME interleaved sample formula as
+    the WAV fixtures (((i*37 + j*17) mod 2001) - 1000) so the oracle
+    recomputes every per-window sum-of-squares from the formula alone
+    — FLAC is lossless, so decode must reproduce the exact int16
+    samples.  Encoding parameters sweep the whole decoder surface:
+    subframe mode cycles fixed:0..4 / verbatim by id, Rice partition
+    order cycles 0..2, and stereo docs cycle independent / left-side /
+    right-side / mid-side decorrelation — a wrong predictor, zigzag,
+    partition split, or decorrelation formula shows up as a win_sumsq
+    mismatch (functions/flaccodec.py)."""
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < _FLAC_N).distinct()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from riko_spark.functions.flaccodec import encode_flac
+
+        modes = ["fixed:0", "fixed:1", "fixed:2", "fixed:3", "fixed:4",
+                 "verbatim"]
+        stereos = ["independent", "left_side", "right_side", "mid_side"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rate = 8000 + 4000 * (i % 3)
+                ch = 1 + (i % 2)
+                frames = 500 + 60 * (i % 4)
+                j = np.arange(frames * ch, dtype=np.int64)
+                s = ((i * 37 + j * 17) % 2001 - 1000).astype(np.int16)
+                blob = encode_flac(
+                    s.reshape(frames, ch), rate, blocksize=256,
+                    mode=modes[i % 6], po=i % 3,
+                    stereo=stereos[(i // 2) % 4] if ch == 2
+                    else "independent")
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return ids.mapInPandas(gen, "id bigint, blob binary")
+
+
+def q_audio_features_flac(spark, sf):
+    """REAL FLAC decode + windowed loudness: frame headers (CRC-8),
+    FIXED/VERBATIM subframes, Rice partitions, stereo decorrelation
+    and the CRC-16 footer all sit between the planted sample formula
+    and the exact int64 win_sumsq the oracle recomputes with
+    generate_series — any decode divergence is a value mismatch."""
+    from riko_spark.operators.multimodal import audio_features_op
+
+    out = audio_features_op(_planted_flac(spark, sf),
+                            {"window_frames": 128})
+    return out.select(
+        "id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "win_idx", "win_frames", "win_sumsq",
+    )
+
+
 _AVI_N = 24
 
 
@@ -1809,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_doc_filter": q_c4_doc_filter,
         "line_dedupe": q_line_dedupe,
         "audio_neardup": q_audio_neardup,
+        "audio_features_flac": q_audio_features_flac,
         # -- code changed round 6: CEP streaming id/ts contract,
         #    image decode dispatch (jpegcodec behind decode_image) --
         "sequence_match": q_sequence_match,
@@ -2559,6 +2622,44 @@ def oracle_sql() -> dict[str, str]:
               JOIN generate_series(0, 1999) AS j(j)
                 ON j.j >= wn.win_idx * 256 * wn.channels
                AND j.j < LEAST(wn.n_frames, (wn.win_idx + 1) * 256)
+                           * wn.channels
+            )
+            SELECT id, CAST(sample_rate AS INT) AS sample_rate,
+                   CAST(channels AS INT) AS channels,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+                   CAST(win_idx AS INT) AS win_idx,
+                   CAST(win_frames AS INT) AS win_frames,
+                   CAST(SUM(v * v) AS BIGINT) AS win_sumsq
+            FROM s
+            GROUP BY id, sample_rate, channels, n_frames, win_idx, win_frames
+        """,
+        "audio_features_flac": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 32
+            ),
+            p AS (
+              SELECT id,
+                     8000 + 4000*(id % 3) AS sample_rate,
+                     1 + (id % 2) AS channels,
+                     500 + 60*(id % 4) AS n_frames
+              FROM ids
+            ),
+            wins AS (
+              SELECT p.*, w.w AS win_idx
+              FROM p JOIN generate_series(0, 5) AS w(w)
+                ON w.w * 128 < p.n_frames
+            ),
+            s AS (
+              SELECT wn.id, wn.sample_rate, wn.channels, wn.n_frames,
+                     wn.win_idx,
+                     LEAST(wn.n_frames, (wn.win_idx + 1) * 128)
+                       - wn.win_idx * 128 AS win_frames,
+                     ((wn.id*37 + j.j*17) % 2001 - 1000) AS v
+              FROM wins wn
+              JOIN generate_series(0, 1359) AS j(j)
+                ON j.j >= wn.win_idx * 128 * wn.channels
+               AND j.j < LEAST(wn.n_frames, (wn.win_idx + 1) * 128)
                            * wn.channels
             )
             SELECT id, CAST(sample_rate AS INT) AS sample_rate,

@@ -54,6 +54,21 @@ _RIFF_FORMS = {b"WAVE": "audio/wav", b"AVI ": "video/avi",
                b"WEBP": "image/webp"}
 
 
+def decode_audio(b: bytes):
+    """Container dispatch for the audio ops: RIFF/WAVE -> wavcodec
+    (PCM 8/16/24/32, float, G.711, IMA ADPCM), fLaC -> flaccodec
+    (CONSTANT/VERBATIM/FIXED/LPC subframes, Rice partitions, stereo
+    decorrelation).  Returns ``(sample_rate, channels, int array
+    (frames, channels))``; unknown containers raise ValueError."""
+    if b[:4] == b"fLaC":
+        from riko_spark.functions.flaccodec import decode_flac
+
+        return decode_flac(b)
+    from riko_spark.functions.wavcodec import decode_wav
+
+    return decode_wav(b)
+
+
 def sniff_media_type(b: bytes | None) -> str:
     if not b:
         return "unknown"
@@ -95,6 +110,7 @@ def media_metadata_op(df: DataFrame, conf: dict | None = None,
         .when(magic.startswith("47494638"), "image/gif")
         .when(magic.startswith("49492A00"), "image/tiff")
         .when(magic.startswith("4D4D002A"), "image/tiff")
+        .when(magic.startswith("664C6143"), "audio/flac")
         .when(magic.startswith("52494646") & (form == "57415645"), "audio/wav")
         .when(magic.startswith("52494646") & (form == "41564920"), "video/avi")
         .when(magic.startswith("52494646") & (form == "57454250"), "image/webp")
@@ -188,10 +204,11 @@ def image_features_op(df: DataFrame, conf: dict | None = None,
 def audio_features_op(df: DataFrame, conf: dict | None = None,
                       field: str = "blob", id_col: str = "id",
                       window_frames: int = 1024) -> DataFrame:
-    """PCM WAV decode + windowed loudness stats, one row per analysis
-    window (UDTF shape: one blob in → ``ceil(frames/window)`` rows out).
+    """Audio decode (WAV or FLAC, :func:`decode_audio`) + windowed
+    loudness stats, one row per analysis window (UDTF shape: one blob
+    in → ``ceil(frames/window)`` rows out).
 
-    Real stdlib kernel (functions/wavcodec.py): sample rate, channel
+    Real stdlib kernels (functions/wavcodec.py, flaccodec.py): sample
     count, frame count, duration, and per-window ``sum(sample²)``
     (exact int64 — oracle-recomputable) plus RMS.  Undecodable blobs
     raise: compressed audio needs a codec library, and silently fake
@@ -202,14 +219,12 @@ def audio_features_op(df: DataFrame, conf: dict | None = None,
         raise ValueError("window_frames must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from riko_spark.functions.wavcodec import decode_wav
-
         for pdf in batches:
             rows = []
             for rid, b in zip(pdf[id_col], pdf[field]):
                 if b is None:
                     continue
-                rate, ch, samples = decode_wav(bytes(b))
+                rate, ch, samples = decode_audio(bytes(b))
                 frames = samples.shape[0]
                 dur_ms = frames * 1000 // rate
                 sq = samples.astype(np.int64) ** 2
@@ -522,8 +537,6 @@ def audio_fingerprint_op(df: DataFrame, conf: dict | None = None,
         raise ValueError("frames * (bands-1) must fit in 64 bits")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from riko_spark.functions.wavcodec import decode_wav
-
         def fingerprint(samples: np.ndarray) -> int:
             mono = samples.astype(np.float64).mean(axis=1)
             flen = len(mono) // frames
@@ -550,7 +563,7 @@ def audio_fingerprint_op(df: DataFrame, conf: dict | None = None,
                 if b is None:
                     continue
                 try:
-                    _rate, _ch, samples = decode_wav(bytes(b))
+                    _rate, _ch, samples = decode_audio(bytes(b))
                     rows.append((rid, fingerprint(samples)))
                 except ValueError:
                     if on_undecodable == "raise":

@@ -102,6 +102,25 @@ def test_neardup_pairs_planted(spark):
     assert all(r["hamming"] == 0 for r in out)
 
 
+def test_wav_flac_transcode_pairs_as_neardup(spark):
+    """The same PCM delivered as WAV and as FLAC (lossless) must
+    fingerprint identically — audio_neardup finds transcode pairs."""
+    from riko_spark.functions.flaccodec import encode_flac
+
+    bins = [(257 * b) // 9 + 14 for b in range(9)]
+    j = np.arange(N, dtype=np.float64)
+    s = np.zeros(N)
+    for b, k in enumerate(bins):
+        s += (300 * 1.4 ** (b % 3)) * np.sin(2 * np.pi * k * j / FLEN)
+    pcm = np.round(s).astype(np.int16).reshape(-1, 1)
+    wav = bytearray(encode_wav(pcm, SR))
+    flac = bytearray(encode_flac(pcm, SR, mode="fixed:2"))
+    out = rows(audio_neardup_op(spark.createDataFrame(
+        [(1, wav), (2, flac)], "id long, blob binary")))
+    assert [(r["left_id"], r["right_id"], r["hamming"])
+            for r in out] == [(1, 2, 0)]
+
+
 def test_registry_names():
     from riko_spark.operators import get_operator
 
