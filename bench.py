@@ -603,6 +603,37 @@ def main():
         except Exception as e:  # noqa: BLE001
             out["queries"][name] = f"ERROR: {type(e).__name__}"
 
+    # corpus-cleaning pass (round-6 cleaning family), kept OUT of
+    # out["queries"] so the composite `value` stays comparable with
+    # r4/r5: 100k distinct multi-line pages (the paged planting
+    # expression over a 20x-replicated doc table with disjoint ids) ->
+    # C4 line gate (native HOF projection) -> corpus-level line dedupe
+    # (posexplode + hash-keyed document frequency + anti-join +
+    # ordered reassembly, the two-shuffle RefinedWeb shape)
+    def corpus_clean():
+        import __spark_entry__ as em
+        from riko_spark.operators.cleaning import (
+            c4_line_filter_op,
+            line_dedupe_op,
+        )
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text")
+        reps = spark.range(20).select(F.col("id").alias("__rep"))
+        paged = (
+            d.crossJoin(reps)
+            .select((F.col("doc_id") + F.col("__rep") * 1_000_000)
+                    .alias("doc_id"), "text")
+            .withColumn("text", F.expr(em._PAGED_SQL))
+        )
+        return line_dedupe_op(c4_line_filter_op(paged),
+                              min_docs=3).count()
+
+    try:
+        out["corpus_clean"] = round(best_of(corpus_clean), 3)
+    except Exception as e:  # noqa: BLE001
+        out["corpus_clean"] = f"ERROR: {type(e).__name__}"
+
     if not args.skip_stream:
         import tempfile
 
