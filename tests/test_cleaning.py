@@ -163,3 +163,39 @@ def test_registry_names():
     assert get_operator("c4_line_filter") is c4_line_filter_op
     assert get_operator("c4_doc_filter") is c4_doc_filter_op
     assert get_operator("line_dedupe") is line_dedupe_op
+
+
+def test_c4_gates_stream_batch_parity(spark, tmp_path):
+    """The C4 gates are stateless projections, so they run unchanged
+    on a stream: draining the same files through readStream must
+    produce exactly the batch result."""
+    src = str(tmp_path / "src")
+    docs = [(i, "\n".join([
+        f"Document {i} begins with a clean opening sentence.",
+        "Subscribe to our newsletter today." if i % 2 == 0
+        else f"Filler opening {i} adds unique prose here.",
+        "fragment with no terminal punctuation",
+        f"The closing remark {i} ends the page properly.",
+    ])) for i in range(200)]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .repartition(4).write.parquet(src)
+
+    def gates(df):
+        return c4_doc_filter_op(c4_line_filter_op(df)).select(
+            "doc_id", "n_lines_kept", "n_lines_dropped", "n_words",
+            "n_sentences", "keep", "text")
+
+    expected = sorted(tuple(r) for r in gates(
+        spark.read.parquet(src)).collect())
+
+    out_dir = str(tmp_path / "out")
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (gates(stream).writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert got == expected and len(got) == 200
