@@ -739,6 +739,30 @@ def q_line_dedupe(spark, sf):
     )
 
 
+def q_corpus_pipeline(spark, sf):
+    """The composed corpus-cleaning pass a Common-Crawl pipeline runs
+    end-to-end: C4 line gate -> corpus-level boilerplate line dedupe
+    -> C4/Gopher doc gate, all over the planted paged corpus.  The
+    oracle recomputes the ENTIRE composition (list-lambda line gate,
+    zip-unnest document frequency, ordered reassembly, doc signals)
+    in one independent DuckDB plan — a semantics drift in any stage
+    or in how stages compose shows up as a value mismatch."""
+    from riko_spark.operators.cleaning import (
+        c4_doc_filter_op,
+        c4_line_filter_op,
+        line_dedupe_op,
+    )
+
+    gated = c4_line_filter_op(_planted_paged(spark, sf)).select(
+        "doc_id", "text")
+    deduped = line_dedupe_op(gated, min_docs=3)
+    out = c4_doc_filter_op(deduped)
+    return out.select(
+        "doc_id", "n_kept", "n_dropped", "n_words", "n_sentences",
+        "keep", F.md5("text").alias("clean_md5"),
+    )
+
+
 def q_media_metadata(spark, sf):
     """Magic-sniff classification over REAL planted blobs — PNG and BMP
     from the image planting formula, RIFF/WAVE from the audio one, raw
@@ -1870,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "c4_doc_filter": q_c4_doc_filter,
         "line_dedupe": q_line_dedupe,
+        "corpus_pipeline": q_corpus_pipeline,
         "audio_neardup": q_audio_neardup,
         "audio_features_flac": q_audio_features_flac,
         # -- code changed round 6: CEP streaming id/ts contract,
@@ -3079,6 +3104,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(l.lines) - coalesce(reb.n_kept, 0) AS BIGINT)
                        AS n_dropped
             FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id
+        """),
+        "corpus_pipeline": (
+            r"""
+            WITH t AS (
+                SELECT doc_id, """ + _PAGED_SQL + r""" AS text
+                FROM documents
+            ),
+            l0 AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM t
+            ),
+            k0 AS (
+                SELECT doc_id,
+                       list_filter(lines, x ->
+                           len(list_filter(string_split_regex(x, '\s+'),
+                                           w -> w <> '')) >= 5
+                           AND regexp_matches(x, '[.!?"”]$')) AS lines
+                FROM l0
+            ),
+            e AS (
+                SELECT doc_id, unnest(lines) AS line,
+                       unnest(generate_series(1, len(lines))) AS pos
+                FROM k0
+            ),
+            freq AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS df
+                    FROM e GROUP BY line
+                ) WHERE df >= 3
+            ),
+            kept AS (
+                SELECT doc_id, pos, line FROM e
+                WHERE line NOT IN (SELECT line FROM freq)
+            ),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            j AS (
+                SELECT k0.doc_id,
+                       coalesce(reb.clean, '') AS text,
+                       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                       CAST(len(k0.lines) - coalesce(reb.n_kept, 0)
+                            AS BIGINT) AS n_dropped
+                FROM k0 LEFT JOIN reb ON k0.doc_id = reb.doc_id
+            ),
+            s AS (
+                SELECT doc_id, text, n_kept, n_dropped,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM j
+            ),
+            sig AS (
+                SELECT doc_id, n_kept, n_dropped, text,
+                       CAST(len(toks) AS INT) AS n_words,
+                       CASE WHEN len(toks) > 0 THEN
+                           round(CAST(list_aggregate(list_transform(toks,
+                               x -> length(x)), 'sum') AS DOUBLE)
+                               / len(toks), 6)
+                           ELSE 0.0 END AS mean_word_len,
+                       CAST(len(regexp_extract_all(text, '[.!?]')) AS INT)
+                           AS n_sentences,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{') AS has_curly,
+                       CASE WHEN len(lines) > 0 THEN
+                           CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '^[-*•]')))
+                               AS DOUBLE) / len(lines)
+                           ELSE 0.0 END AS bullet_line_frac,
+                       CASE WHEN len(lines) > 0 THEN
+                           CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '(\.\.\.|…)$')))
+                               AS DOUBLE) / len(lines)
+                           ELSE 0.0 END AS ellipsis_line_frac
+                FROM s
+            )
+            SELECT doc_id, n_kept, n_dropped, n_words, n_sentences,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND n_sentences >= 3
+                    AND NOT has_lorem AND NOT has_curly
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3) AS keep,
+                   md5(text) AS clean_md5
+            FROM sig
         """),
         "audio_neardup": """
             WITH ids AS (
