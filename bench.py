@@ -611,6 +611,8 @@ def main():
     # (posexplode + hash-keyed document frequency + anti-join +
     # ordered reassembly, the two-shuffle RefinedWeb shape)
     def corpus_clean():
+        import pyspark.sql.functions as F
+
         import __spark_entry__ as em
         from riko_spark.operators.cleaning import (
             c4_line_filter_op,

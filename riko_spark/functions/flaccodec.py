@@ -80,20 +80,14 @@ _SAMPLESIZE_TBL = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20,
 
 _LEFT_SIDE, _RIGHT_SIDE, _MID_SIDE = 0b1000, 0b1001, 0b1010
 
-# FIXED predictor coefficients by order (RFC 9639 §9.2.5): the
-# residual is the order-th forward difference
-_FIXED_COEF = {
-    0: [],
-    1: [1],
-    2: [2, -1],
-    3: [3, -3, 1],
-    4: [4, -6, 4, -1],
-}
+
+_POW2 = {k: (1 << np.arange(k - 1, -1, -1, dtype=np.int64)) for k in range(1, 33)}
 
 
 class _Bits:
     """MSB-first bit cursor with O(log n) unary scans (precomputed
-    one-bit positions + searchsorted)."""
+    one-bit positions + searchsorted) and vectorized multi-value
+    reads (dot products against a powers-of-two vector)."""
 
     __slots__ = ("bits", "pos", "n", "_ones")
 
@@ -120,6 +114,20 @@ class _Bits:
         v = self.take(k)
         return v - (1 << k) if v >= 1 << (k - 1) else v
 
+    def take_signed_block(self, k: int, count: int) -> np.ndarray:
+        """``count`` consecutive k-bit two's-complement values in one
+        reshape + matmul (VERBATIM subframes, warmups, escaped
+        partitions)."""
+        if k == 0:
+            return np.zeros(count, dtype=np.int64)
+        p = self.pos
+        if p + k * count > self.n:
+            raise ValueError("FLAC: bitstream truncated")
+        v = self.bits[p: p + k * count].reshape(count, k).astype(
+            np.int64) @ _POW2[k]
+        self.pos = p + k * count
+        return v - ((v >= (1 << (k - 1))).astype(np.int64) << k)
+
     def unary(self) -> int:
         idx = np.searchsorted(self._ones, self.pos)
         if idx >= len(self._ones):
@@ -128,6 +136,39 @@ class _Bits:
         q = one - self.pos
         self.pos = one + 1
         return q
+
+    def rice_block(self, param: int, count: int) -> np.ndarray:
+        """``count`` Rice(param) codes, zigzag-decoded.  The unary
+        terminator of code j is found in O(1) by index bookkeeping:
+        after each remainder read the cursor's position in the
+        one-bit-position array advances by popcount(remainder), so no
+        per-sample rescans are needed."""
+        ones = self._ones
+        out = np.empty(count, dtype=np.int64)
+        pos = self.pos
+        idx = int(np.searchsorted(ones, pos))
+        bits = self.bits
+        nones = len(ones)
+        pw = _POW2.get(param)
+        for j in range(count):
+            if idx >= nones:
+                raise ValueError("FLAC: bitstream truncated in unary code")
+            one = int(ones[idx])
+            q = one - pos
+            pos = one + 1
+            idx += 1
+            if param:
+                if pos + param > self.n:
+                    raise ValueError("FLAC: bitstream truncated")
+                r = int(bits[pos: pos + param] @ pw)
+                pos += param
+                idx += r.bit_count()
+                u = (q << param) | r
+            else:
+                u = q
+            out[j] = (u >> 1) ^ -(u & 1)          # zigzag
+        self.pos = pos
+        return out
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -175,20 +216,18 @@ def _decode_residual(bits: _Bits, blocksize: int, order: int) -> np.ndarray:
         param = bits.take(pbits)
         if param == escape:
             raw = bits.take(5)
-            for i in range(n):
-                out[w + i] = bits.signed(raw)
+            out[w: w + n] = bits.take_signed_block(raw, n)
         else:
-            for i in range(n):
-                q = bits.unary()
-                r = bits.take(param) if param else 0
-                v = (q << param) | r
-                out[w + i] = (v >> 1) ^ -(v & 1)   # zigzag
+            out[w: w + n] = bits.rice_block(param, n)
         w += n
     return out
 
 
-def _predict(warmup: list[int], residual: np.ndarray, coefs: list[int],
+def _predict(warmup: np.ndarray, residual: np.ndarray, coefs: list[int],
              shift: int, n: int) -> np.ndarray:
+    """General LPC reconstruction — inherently sequential (IIR with a
+    per-step arithmetic shift), so this is the one scalar loop left in
+    the decode path; FIXED subframes take :func:`_predict_fixed`."""
     order = len(coefs)
     s = np.empty(n, dtype=np.int64)
     s[:order] = warmup
@@ -198,6 +237,24 @@ def _predict(warmup: list[int], residual: np.ndarray, coefs: list[int],
             acc += c * int(s[i - 1 - j])
         s[i] = int(residual[i - order]) + (acc >> shift)
     return s
+
+
+def _predict_fixed(warmup: np.ndarray, residual: np.ndarray) -> np.ndarray:
+    """FIXED reconstruction without a Python loop: the order-o residual
+    is the o-th forward difference of the signal, so the signal is
+    rebuilt by o cumulative sums.  Level l's difference sequence D_l is
+    the known l-th difference of the warmup followed by
+    ``cumsum(D_{l+1})`` anchored at the warmup prefix's last value."""
+    o = len(warmup)
+    if o == 0:
+        return residual.astype(np.int64)
+    w = np.asarray(warmup, dtype=np.int64)
+    cur = residual.astype(np.int64)              # D_o (warmup part empty)
+    for level in range(o - 1, -1, -1):
+        wl = np.diff(w, level) if level else w
+        tail = wl[-1] + np.cumsum(cur[o - level - 1:])
+        cur = np.concatenate([wl, tail])
+    return cur
 
 
 def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
@@ -213,16 +270,15 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
     if ftype == 0:                                    # CONSTANT
         s = np.full(blocksize, bits.signed(eff), dtype=np.int64)
     elif ftype == 1:                                  # VERBATIM
-        s = np.fromiter((bits.signed(eff) for _ in range(blocksize)),
-                        dtype=np.int64, count=blocksize)
+        s = bits.take_signed_block(eff, blocksize)
     elif 0b001000 <= ftype <= 0b001100:               # FIXED order 0-4
         order = ftype & 0x07
-        warmup = [bits.signed(eff) for _ in range(order)]
+        warmup = bits.take_signed_block(eff, order)
         res = _decode_residual(bits, blocksize, order)
-        s = _predict(warmup, res, _FIXED_COEF[order], 0, blocksize)
+        s = _predict_fixed(warmup, res)
     elif ftype >= 0b100000:                           # LPC order 1-32
         order = (ftype & 0x1F) + 1
-        warmup = [bits.signed(eff) for _ in range(order)]
+        warmup = bits.take_signed_block(eff, order)
         precision = bits.take(4)
         if precision == 0b1111:
             raise ValueError("FLAC: invalid LPC precision")
