@@ -23,6 +23,13 @@ small, where raw >=0.8 is physically reachable on one box:
                  tasks, and the blob scan (~130 MB) is negligible next
                  to ~12 ms/blob of decode — compute fraction ~1, the
                  cleanest >=0.8 candidate besides simhash.
+* ``flac``     — the round-6 FLAC entropy decoder over 3,200 planted
+                 noise-content blobs (16,384 mono frames each, fixed:2
+                 residuals of int16 noise ~= incompressible, maximal
+                 Rice bit density): vectorized-numpy + Python bit
+                 bookkeeping inside Arrow-batched mapInPandas tasks,
+                 blob scan (~200 MB) negligible next to ~0.1 s/blob of
+                 decode — the audio twin of the ``jpeg`` leg.
 * ``pii``      — the JVM regexp_count/regexp_replace PII-scrub chain
                  over 128x documents (round-6 judge ask #5: a SECOND
                  >=0.8 leg on a different compute-bound workload, this
@@ -63,6 +70,9 @@ DOC_MULT = int(os.environ.get("SCALE_SIMHASH_MULT", "128"))
 PII_MULT = int(os.environ.get("SCALE_PII_MULT", "256"))
 #: ~12 ms/blob decode x 32k blobs / 32 cores ~= 12 s 32-leg
 JPEG_N = int(os.environ.get("SCALE_JPEG_N", "32000"))
+#: ~0.1 s/blob decode x 3.2k blobs / 32 cores ~= 11 s 32-leg
+FLAC_N = int(os.environ.get("SCALE_FLAC_N", "3200"))
+FLAC_FRAMES = 16384
 
 
 def build_input(workload: str, out_dir: str) -> tuple[str, int]:
@@ -105,6 +115,29 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
 
         ids = spark.range(JPEG_N).select(F.col("id"))
         big = ids.repartition(64).mapInPandas(gen, "id bigint, blob binary")
+    elif workload == "flac":
+        # planted noise-content FLACs: int16 noise makes fixed:2
+        # residuals essentially incompressible -> maximal Rice bit
+        # density (the entropy decoder's worst case); encoded ONCE
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            from riko_spark.functions.flaccodec import encode_flac
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.RandomState(i)
+                    s = rng.randint(-20000, 20000,
+                                    size=(FLAC_FRAMES, 1)).astype(np.int16)
+                    rows.append((i, bytearray(encode_flac(
+                        s, 44100, mode="fixed:2", blocksize=4096))))
+                yield pd.DataFrame(rows, columns=["id", "blob"])
+
+        ids = spark.range(FLAC_N).select(F.col("id"))
+        big = ids.repartition(64).mapInPandas(gen, "id bigint, blob binary")
     elif workload in ("simhash", "pii"):
         # per-doc kernel: no joins/groupBys on doc_id, so duplicate ids
         # are harmless — read the same file DOC_MULT times instead of
@@ -141,6 +174,13 @@ def _run_workload(spark, workload: str, path: str):
             F.sum(F.col("width") + F.col("height")
                   + F.aggregate("feature", F.lit(0.0),
                                 lambda a, x: a + x))).collect()[0][0]
+    if workload == "flac":
+        from riko_spark.operators.multimodal import audio_features_op
+
+        d = spark.read.parquet(path)
+        out = audio_features_op(d, {"window_frames": FLAC_FRAMES})
+        # aggregate over the exact window sums so nothing prunes away
+        return out.agg(F.sum("win_sumsq")).collect()[0][0]
     if workload == "pii":
         from riko_spark.operators.textstats import pii_scrub_op
 
@@ -216,7 +256,8 @@ def paired_sets(workload: str, path: str, rows: int, n: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", choices=["cep", "simhash", "pii", "jpeg"])
+    ap.add_argument("--workload",
+                    choices=["cep", "simhash", "pii", "jpeg", "flac"])
     ap.add_argument("--sets", type=int, default=3)
     ap.add_argument("--_leg", dest="leg_workload", default=None)
     ap.add_argument("--path", default=None)
