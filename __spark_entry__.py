@@ -763,6 +763,28 @@ def q_corpus_pipeline(spark, sf):
     )
 
 
+def q_ngram_contamination(spark, sf):
+    """Benchmark decontamination (GPT-3-style 13-gram overlap): every
+    10th document's first 13 words form a benchmark item; the operator
+    must surface every (doc, bench) pair sharing any 13-gram with the
+    DISTINCT-overlap count.  The oracle is a full independent
+    recomputation — DuckDB builds all corpus n-grams and joins on the
+    n-gram STRING, so the engine's hash-join shortcut is value-checked
+    end-to-end (any accidental hit beyond the planted self-matches
+    must appear in both)."""
+    from riko_spark.operators.cleaning import ngram_contamination_op
+    from riko_spark.operators.textstats import words_col
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = words_col(F.col("text"))
+    bench = (
+        d.filter((F.col("doc_id") % 10 == 3) & (F.size(toks) >= 13))
+        .select(F.col("doc_id").alias("bench_id"),
+                F.array_join(F.slice(toks, 1, 13), " ").alias("text"))
+    )
+    return ngram_contamination_op(d, benchmark=bench)
+
+
 def q_media_metadata(spark, sf):
     """Magic-sniff classification over REAL planted blobs — PNG and BMP
     from the image planting formula, RIFF/WAVE from the audio one, raw
@@ -1895,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_doc_filter": q_c4_doc_filter,
         "line_dedupe": q_line_dedupe,
         "corpus_pipeline": q_corpus_pipeline,
+        "ngram_contamination": q_ngram_contamination,
         "audio_neardup": q_audio_neardup,
         "audio_features_flac": q_audio_features_flac,
         # -- code changed round 6: CEP streaming id/ts contract,
@@ -3205,6 +3228,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS clean_md5
             FROM sig
         """),
+        "ngram_contamination": r"""
+            WITH dt AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            bg AS (
+                SELECT DISTINCT doc_id AS bench_id,
+                       array_to_string(toks[1:13], ' ') AS g
+                FROM dt WHERE doc_id % 10 = 3 AND len(toks) >= 13
+            ),
+            dg AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, greatest(len(toks) - 12, 0)),
+                               i -> array_to_string(toks[i:i+12], ' '))) AS g
+                    FROM dt
+                )
+            )
+            SELECT dg.doc_id, bg.bench_id,
+                   CAST(count(*) AS BIGINT) AS n_matched
+            FROM dg JOIN bg ON dg.g = bg.g
+            GROUP BY dg.doc_id, bg.bench_id
+        """,
         "audio_neardup": """
             WITH ids AS (
                 SELECT DISTINCT doc_id AS id FROM documents

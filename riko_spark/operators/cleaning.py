@@ -256,3 +256,69 @@ def line_dedupe_op(
             .cast("long").alias("n_dropped"),
         )
     )
+
+
+@register("ngram_contamination", kind="operator", sub_kind="aggregator")
+def ngram_contamination_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    benchmark: DataFrame | None = None,
+    field: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM
+    convention, public): flag training documents sharing any
+    normalized word ``n``-gram (default 13) with an evaluation
+    benchmark, so contaminated docs can be dropped before training.
+
+    Output: one row per (document, benchmark item) with an overlap —
+    ``id_col``, ``bench_id_col``, ``n_matched`` (DISTINCT shared
+    n-grams; any row at all means contaminated).
+
+    100 TB shape: the benchmark side is tiny next to the corpus —
+    its distinct n-gram hash set is built once and BROADCAST, so the
+    corpus side is one scan that explodes token n-grams to 8-byte
+    xxhash64 keys, probes the broadcast hash table (no shuffle), and
+    partially aggregates the survivors per (doc, bench) — the only
+    shuffle is the final count over matches, which is proportional to
+    CONTAMINATION volume, not corpus volume.  A 64-bit n-gram hash
+    collision can flag one innocent doc pair (~1e-7 at 10^12 corpus
+    n-grams x 10^6 benchmark n-grams); decontamination errs exactly
+    that direction by design.
+
+    Normalization: lowercase + whitespace tokenization on both sides
+    (the published recipes normalize more aggressively; plug a custom
+    ``field`` expression upstream for that).
+    """
+    conf = conf or {}
+    n = int(conf.get("n", n))
+    if benchmark is None:
+        raise ValueError("ngram_contamination requires a benchmark frame")
+
+    def ngram_hashes(text: Column) -> Column:
+        toks = words_col(text)
+        # guard: Spark's sequence(1, 0) DESCENDS to [1, 0]
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return F.array_distinct(grams)
+
+    bench_grams = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(ngram_hashes(F.col(field))).alias("__g"),
+    ).distinct()
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(ngram_hashes(F.col(field))).alias("__g"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), on="__g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )

@@ -165,6 +165,58 @@ def test_registry_names():
     assert get_operator("line_dedupe") is line_dedupe_op
 
 
+def test_ngram_contamination_hits_and_misses(spark):
+    from riko_spark.operators.cleaning import ngram_contamination_op
+
+    bench_text = "alpha beta gamma delta"
+    docs = [
+        (1, f"intro words {bench_text} trailing text"),   # contains it
+        (2, f"{bench_text} and {bench_text} again"),      # twice -> still 1
+        (3, "alpha beta gamma but no delta here"),        # only a 3-gram
+        (4, "completely unrelated content words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "bench_id long, text string")
+    out = {(r["doc_id"], r["bench_id"]): r["n_matched"]
+           for r in rows(ngram_contamination_op(df, benchmark=bench, n=4))}
+    assert out == {(1, 100): 1, (2, 100): 1}
+
+
+def test_ngram_contamination_counts_distinct_shared_grams(spark):
+    from riko_spark.operators.cleaning import ngram_contamination_op
+
+    bench = spark.createDataFrame(
+        [(1, "a b c d e")], "bench_id long, text string")  # two 4-grams
+    df = spark.createDataFrame(
+        [(7, "x a b c d e y")], "doc_id long, text string")
+    out = rows(ngram_contamination_op(df, benchmark=bench, n=4))
+    assert out[0]["n_matched"] == 2
+
+
+def test_ngram_contamination_normalizes_case(spark):
+    from riko_spark.operators.cleaning import ngram_contamination_op
+
+    bench = spark.createDataFrame([(1, "Alpha Beta Gamma Delta")],
+                                  "bench_id long, text string")
+    df = spark.createDataFrame([(7, "ALPHA beta GAMMA delta")],
+                               "doc_id long, text string")
+    assert rows(ngram_contamination_op(df, benchmark=bench, n=4)) != []
+
+
+def test_ngram_contamination_short_docs_and_missing_bench(spark):
+    import pytest as _pytest
+
+    from riko_spark.operators.cleaning import ngram_contamination_op
+
+    df = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    bench = spark.createDataFrame([(1, "also short")],
+                                  "bench_id long, text string")
+    assert rows(ngram_contamination_op(df, benchmark=bench, n=13)) == []
+    with _pytest.raises(ValueError, match="benchmark"):
+        ngram_contamination_op(df)
+
+
 def test_c4_gates_stream_batch_parity(spark, tmp_path):
     """The C4 gates are stateless projections, so they run unchanged
     on a stream: draining the same files through readStream must
