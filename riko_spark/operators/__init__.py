@@ -61,6 +61,7 @@ def _load_all() -> None:
     from riko_spark.operators import (  # noqa: F401
         aggregates,
         cepops,
+        cleaning,
         dedupe,
         filters,
         limits,

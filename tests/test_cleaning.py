@@ -217,6 +217,20 @@ def test_ngram_contamination_short_docs_and_missing_bench(spark):
         ngram_contamination_op(df)
 
 
+def test_cleaning_ops_chain_through_flow(spark):
+    """The fluent Flow API (SyncPipe analog) resolves the cleaning
+    family through the registry autoload like any riko pipe."""
+    from riko_spark.plans.flow import Flow
+
+    df = spark.createDataFrame(
+        [(i, "Shared banner line with five words.\n"
+             f"Unique body {i} keeps five words.") for i in range(3)],
+        "doc_id long, text string")
+    out = rows(Flow(df).c4_line_filter({}).line_dedupe({"min_docs": 3}).df)
+    assert all(r["n_dropped"] == 1 and "Unique body" in r["text"]
+               for r in out)
+
+
 def test_c4_gates_stream_batch_parity(spark, tmp_path):
     """The C4 gates are stateless projections, so they run unchanged
     on a stream: draining the same files through readStream must
