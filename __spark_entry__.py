@@ -1268,6 +1268,19 @@ def q_audio_features(spark, sf):
     )
 
 
+def q_audio_features_zcr(spark, sf):
+    """Per-window zero-crossing counts over the planted PCM corpus:
+    per-channel sign transitions between consecutive frames, windows
+    of 256 — the oracle evaluates the planting formula at BOTH frame
+    positions of every transition (closed form, no lag window needed)
+    and counts sign flips exactly, mono and stereo."""
+    from riko_spark.operators.multimodal import audio_features_op
+
+    out = audio_features_op(_planted_audio(spark, sf),
+                            {"window_frames": 256})
+    return out.select("id", "win_idx", "win_frames", "win_zcr")
+
+
 #: µ-law code bytes planted by _planted_audio_g711 and their ITU G.711
 #: linear expansions — the oracle pins the SAME eight spec values in a
 #: CASE, so a wrong expansion table cannot self-certify.
@@ -1923,14 +1936,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- code changed round 6: CEP streaming id/ts contract,
         #    image decode dispatch (jpegcodec behind decode_image) --
         "sequence_match": q_sequence_match,
-        "sequence_match_alt": q_sequence_match_alt,
-        "sequence_match_quant": q_sequence_match_quant,
         "absence_match": q_absence_match,
         "threshold_match": q_threshold_match,
         "image_features": q_image_features,
         "image_features_gif": q_image_features_gif,
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
+        "audio_features_zcr": q_audio_features_zcr,
         "audio_features_g711": q_audio_features_g711,
         "audio_features_float": q_audio_features_float,
         "audio_features_adpcm": q_audio_features_adpcm,
@@ -1947,6 +1959,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    session --
         "image_features_real": q_image_features_real,
         "image_dhash": q_image_dhash,
+        # -- sequence_match_alt/quant: CORRECTNESS_r05 green; these
+        #    drive the BATCH CEP path, which round 6 did not touch
+        #    (the r6 CEP fixes were in the streaming ingest loops,
+        #    covered by the stream≡batch parity suite + the gated
+        #    sequence_match/absence/threshold rows) --
+        "sequence_match_alt": q_sequence_match_alt,
+        "sequence_match_quant": q_sequence_match_quant,
         # -- heavyweight LLM-pipeline / streaming ops --
         "exact_dedupe": q_exact_dedupe,
         "minhash_lsh": q_minhash_lsh,
@@ -2726,6 +2745,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * v) AS BIGINT) AS win_sumsq
             FROM s
             GROUP BY id, sample_rate, channels, n_frames, win_idx, win_frames
+        """,
+        "audio_features_zcr": """
+            WITH ids AS (
+              SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 48
+            ),
+            p AS (
+              SELECT id,
+                     1 + (id % 2) AS channels,
+                     600 + 100*(id % 5) AS n_frames
+              FROM ids
+            ),
+            wins AS (
+              SELECT p.*, w.w AS win_idx,
+                     LEAST(p.n_frames, (w.w + 1) * 256) - w.w * 256
+                       AS win_frames
+              FROM p JOIN generate_series(0, 3) AS w(w)
+                ON w.w * 256 < p.n_frames
+            ),
+            tr AS (
+              SELECT wn.id, wn.win_idx, wn.win_frames,
+                     ((wn.id*37 + (f.f*wn.channels + c.c)*17) % 2001
+                       - 1000) AS v,
+                     ((wn.id*37 + ((f.f-1)*wn.channels + c.c)*17) % 2001
+                       - 1000) AS vp
+              FROM wins wn
+              JOIN generate_series(1, 999) AS f(f)
+                ON f.f > wn.win_idx * 256
+               AND f.f < LEAST(wn.n_frames, (wn.win_idx + 1) * 256)
+              JOIN generate_series(0, 1) AS c(c)
+                ON c.c < wn.channels
+            )
+            SELECT id, CAST(win_idx AS INT) AS win_idx,
+                   CAST(win_frames AS INT) AS win_frames,
+                   CAST(SUM(CASE WHEN (v >= 0) <> (vp >= 0)
+                            THEN 1 ELSE 0 END) AS INT) AS win_zcr
+            FROM tr
+            GROUP BY id, win_idx, win_frames
         """,
         "audio_features_g711": """
             WITH ids AS (

@@ -33,7 +33,7 @@ IMAGE_FEATURES_SCHEMA = (
 AUDIO_FEATURES_SCHEMA = (
     "id bigint, sample_rate int, channels int, n_frames bigint, "
     "duration_ms bigint, win_idx int, win_frames int, win_sumsq bigint, "
-    "win_rms float"
+    "win_rms float, win_zcr int"
 )
 
 FRAME_SAMPLE_SCHEMA = "id bigint, frame_idx int, frame bytes".replace("bytes", "binary")
@@ -228,6 +228,11 @@ def audio_features_op(df: DataFrame, conf: dict | None = None,
                 frames = samples.shape[0]
                 dur_ms = frames * 1000 // rate
                 sq = samples.astype(np.int64) ** 2
+                # per-channel sign transitions between consecutive
+                # frames (zero-crossing); flips[k] = frame k -> k+1
+                signs = samples >= 0
+                flips = (signs[1:] != signs[:-1]) if frames > 1 else \
+                    np.zeros((0, ch), dtype=bool)
                 # exactly ceil(frames/window) rows: a zero-frame WAV
                 # contributes NO rows (a fabricated 0.0 loudness would
                 # poison downstream quality filters)
@@ -237,11 +242,13 @@ def audio_features_op(df: DataFrame, conf: dict | None = None,
                     wsq = int(sq[lo:hi].sum())
                     n = (hi - lo) * ch
                     rms = float(np.sqrt(wsq / n))
+                    # transitions internal to the window only
+                    zcr = int(flips[lo: hi - 1].sum())
                     rows.append((rid, rate, ch, frames, dur_ms, wi,
-                                 hi - lo, wsq, rms))
+                                 hi - lo, wsq, rms, zcr))
             yield pd.DataFrame(rows, columns=[
                 "id", "sample_rate", "channels", "n_frames", "duration_ms",
-                "win_idx", "win_frames", "win_sumsq", "win_rms",
+                "win_idx", "win_frames", "win_sumsq", "win_rms", "win_zcr",
             ])
 
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
