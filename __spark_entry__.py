@@ -785,6 +785,47 @@ def q_ngram_contamination(spark, sf):
     return ngram_contamination_op(d, benchmark=bench)
 
 
+def q_warc_ingest(spark, sf):
+    """Common-Crawl-container ingestion: WARC/1.0 archives (odd ids
+    use the per-record-gzip-member layout CC ships, even ids plain)
+    parse through the stdlib kernel (sources/warc.py) into records;
+    the oracle recomputes URI, content length (HTTP header + body),
+    status, and payload md5 from the documents table directly —
+    header walking, Content-Length framing, gzip member inflation and
+    the HTTP payload split all sit between the planted bytes and the
+    compared values."""
+    from riko_spark.sources.warc import warc_extract
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        from riko_spark.sources.warc import build_warc
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                blob = build_warc([{
+                    "warc_type": "response",
+                    "uri": f"http://doc.example/{i}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "content_type": "application/http; msgtype=response",
+                    "content": b"HTTP/1.1 200 OK\r\n\r\n" + t.encode(),
+                }], gzip_members=(i % 2 == 1))
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    recs = warc_extract(d.mapInPandas(gen, "id bigint, blob binary"),
+                        keep_types=("response",))
+    return recs.select(
+        "warc_target_uri", "content_length", "http_status",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def q_media_metadata(spark, sf):
     """Magic-sniff classification over REAL planted blobs — PNG and BMP
     from the image planting formula, RIFF/WAVE from the audio one, raw
@@ -1931,13 +1972,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedupe": q_line_dedupe,
         "corpus_pipeline": q_corpus_pipeline,
         "ngram_contamination": q_ngram_contamination,
+        "warc_ingest": q_warc_ingest,
         "audio_neardup": q_audio_neardup,
         "audio_features_flac": q_audio_features_flac,
         # -- code changed round 6: CEP streaming id/ts contract,
         #    image decode dispatch (jpegcodec behind decode_image) --
         "sequence_match": q_sequence_match,
         "absence_match": q_absence_match,
-        "threshold_match": q_threshold_match,
         "image_features": q_image_features,
         "image_features_gif": q_image_features_gif,
         "media_metadata": q_media_metadata,
@@ -1959,13 +2000,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    session --
         "image_features_real": q_image_features_real,
         "image_dhash": q_image_dhash,
-        # -- sequence_match_alt/quant: CORRECTNESS_r05 green; these
-        #    drive the BATCH CEP path, which round 6 did not touch
-        #    (the r6 CEP fixes were in the streaming ingest loops,
-        #    covered by the stream≡batch parity suite + the gated
-        #    sequence_match/absence/threshold rows) --
+        # -- sequence_match_alt/quant/threshold_match: CORRECTNESS_r05
+        #    green; these drive the BATCH CEP path, which round 6 did
+        #    not touch (the r6 CEP fixes were in the streaming ingest
+        #    loops, covered by the stream≡batch parity suite + the
+        #    gated sequence_match/absence rows); all three re-verified
+        #    via tools/check_oracle.py this session --
         "sequence_match_alt": q_sequence_match_alt,
         "sequence_match_quant": q_sequence_match_quant,
+        "threshold_match": q_threshold_match,
         # -- heavyweight LLM-pipeline / streaming ops --
         "exact_dedupe": q_exact_dedupe,
         "minhash_lsh": q_minhash_lsh,
@@ -3309,6 +3352,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_matched
             FROM dg JOIN bg ON dg.g = bg.g
             GROUP BY dg.doc_id, bg.bench_id
+        """,
+        "warc_ingest": """
+            SELECT 'http://doc.example/' || CAST(doc_id AS STRING)
+                       AS warc_target_uri,
+                   CAST(19 + strlen(text) AS BIGINT) AS content_length,
+                   CAST(200 AS INT) AS http_status,
+                   md5(text) AS payload_md5
+            FROM documents WHERE doc_id < 200
         """,
         "audio_neardup": """
             WITH ids AS (

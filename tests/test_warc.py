@@ -1,0 +1,132 @@
+"""WARC source (riko_spark/sources/warc.py).
+
+Core records are HAND-WRITTEN spec bytes (ISO 28500 / WARC 1.0
+examples style), not build_warc round-trips, so parser and writer
+cannot co-certify.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from riko_spark.sources.warc import (
+    build_warc,
+    parse_warc,
+    warc_extract,
+    warc_records,
+)
+
+from tests.conftest import rows
+
+# one hand-written response record with an HTTP payload, exactly as
+# the spec formats it (CRLF line ends, Content-Length counts the HTTP
+# block, record terminated by CRLF CRLF)
+HTTP_BLOCK = (b"HTTP/1.1 200 OK\r\n"
+              b"Content-Type: text/html\r\n"
+              b"\r\n"
+              b"<html>hi</html>")
+HAND_RECORD = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"WARC-Record-ID: <urn:uuid:abc>\r\n"
+               b"WARC-Target-URI: http://example.com/\r\n"
+               b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+               b"Content-Type: application/http; msgtype=response\r\n"
+               + f"Content-Length: {len(HTTP_BLOCK)}\r\n".encode()
+               + b"\r\n"
+               + HTTP_BLOCK
+               + b"\r\n\r\n")
+HAND_WARCINFO = (b"WARC/1.0\r\n"
+                 b"WARC-Type: warcinfo\r\n"
+                 b"Content-Type: application/warc-fields\r\n"
+                 b"Content-Length: 14\r\n"
+                 b"\r\n"
+                 b"software: test"
+                 b"\r\n\r\n")
+
+
+def test_hand_written_record():
+    recs = list(parse_warc(HAND_WARCINFO + HAND_RECORD))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+    r = recs[1]
+    assert r["warc_target_uri"] == "http://example.com/"
+    assert r["http_status"] == 200
+    assert r["payload"] == b"<html>hi</html>"
+    assert r["content_length"] == len(HTTP_BLOCK)
+    assert recs[0]["payload"] is None
+
+
+def test_gzip_member_per_record_layout():
+    raw = b""
+    for rec in (HAND_WARCINFO, HAND_RECORD):
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(rec)
+        raw += buf.getvalue()
+    recs = list(parse_warc(raw))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["payload"] == b"<html>hi</html>"
+
+
+def test_malformed_archives_raise():
+    with pytest.raises(ValueError, match="bad version"):
+        list(parse_warc(b"NOTWARC/1.0\r\n\r\n"))
+    truncated = HAND_RECORD[:-25]  # cuts into the content block
+    with pytest.raises(ValueError, match="truncated content"):
+        list(parse_warc(truncated))
+    no_len = HAND_RECORD.replace(
+        f"Content-Length: {len(HTTP_BLOCK)}\r\n".encode(), b"")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(parse_warc(no_len))
+
+
+def test_build_warc_decodes_against_literal_inputs():
+    records = [
+        {"warc_type": "response", "uri": f"http://ex.com/{i}",
+         "date": "2026-01-01T00:00:00Z",
+         "content_type": "application/http; msgtype=response",
+         "content": (b"HTTP/1.1 200 OK\r\n\r\n" + f"body {i}".encode())}
+        for i in range(5)
+    ]
+    for gz in (False, True):
+        got = list(parse_warc(build_warc(records, gzip_members=gz)))
+        assert [r["payload"] for r in got] == \
+            [f"body {i}".encode() for i in range(5)]
+        assert [r["warc_target_uri"] for r in got] == \
+            [f"http://ex.com/{i}" for i in range(5)]
+
+
+def test_warc_extract_op_and_type_filter(spark):
+    blob = build_warc([
+        {"warc_type": "request", "uri": "http://ex.com/a",
+         "content_type": "application/http; msgtype=request",
+         "content": b"GET / HTTP/1.1\r\n\r\n"},
+        {"warc_type": "response", "uri": "http://ex.com/a",
+         "content_type": "application/http; msgtype=response",
+         "content": b"HTTP/1.1 404 NF\r\n\r\npage gone"},
+    ])
+    df = spark.createDataFrame([(bytearray(blob),)], "blob binary")
+    all_rows = rows(warc_extract(df))
+    assert [r["warc_type"] for r in all_rows] == ["request", "response"]
+    only_resp = rows(warc_extract(df, keep_types=("response",)))
+    assert len(only_resp) == 1
+    assert only_resp[0]["http_status"] == 404
+    assert bytes(only_resp[0]["payload"]) == b"page gone"
+
+
+def test_warc_records_reader(spark, tmp_path):
+    for i in range(3):
+        blob = build_warc([
+            {"warc_type": "response", "uri": f"http://ex.com/{i}/{j}",
+             "content_type": "application/http; msgtype=response",
+             "content": b"HTTP/1.1 200 OK\r\n\r\n" + f"doc {i} {j}".encode()}
+            for j in range(4)
+        ], gzip_members=(i % 2 == 0))
+        suffix = ".warc.gz" if i % 2 == 0 else ".warc"
+        (tmp_path / f"chunk{i}{suffix}").write_bytes(blob)
+    out = rows(warc_records(spark, str(tmp_path), keep_types=("response",)))
+    assert len(out) == 12
+    assert sorted(r["warc_target_uri"] for r in out)[0] == "http://ex.com/0/0"
+    assert all(r["http_status"] == 200 for r in out)
