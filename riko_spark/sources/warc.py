@@ -173,6 +173,38 @@ def warc_records(spark, path: str, keep_types: tuple[str, ...] | None = None):
     return warc_extract(files, keep_types=keep_types)
 
 
+def warc_stream(spark, path: str, keep_types: tuple[str, ...] | None = None,
+                max_files_per_trigger: int | None = None):
+    """Streaming twin of :func:`warc_records`: a Structured Streaming
+    file source over WARC archives (binaryFile needs its schema
+    declared explicitly in streaming mode), record-exploded by the
+    same :func:`warc_extract` kernel — so a Common-Crawl-style corpus
+    ingests incrementally, one archive file per source split, into the
+    engine's windowed/stateful/exactly-once machinery downstream."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+    reader = (spark.readStream.format("binaryFile").schema(schema)
+              .option("pathGlobFilter", "*.warc*"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("content").withColumnRenamed(
+        "content", "blob")
+    return warc_extract(files, keep_types=keep_types)
+
+
 # ------------------------------------------------------------------ fixtures
 
 def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:

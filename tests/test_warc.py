@@ -130,3 +130,50 @@ def test_warc_records_reader(spark, tmp_path):
     assert len(out) == 12
     assert sorted(r["warc_target_uri"] for r in out)[0] == "http://ex.com/0/0"
     assert all(r["http_status"] == 200 for r in out)
+
+
+def test_warc_stream_to_cleaned_corpus_parity(spark, tmp_path):
+    """The north-star shape end-to-end: WARC archives stream in
+    (availableNow), records decode to text, the C4 doc gate runs on
+    the stream, and the exactly-once UpsertSink lands one row per URI
+    — identical to the batch run over the same files."""
+    import pyspark.sql.functions as F
+
+    from riko_spark.operators.cleaning import c4_doc_filter_op
+    from riko_spark.sources.warc import warc_records, warc_stream
+    from riko_spark.streaming.sink import UpsertSink, write_stream_upsert
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    body = ("A clean first sentence here. " * 20).strip()
+    for i in range(6):
+        text = f"{body} Unique tail {i} ends it."
+        blob = build_warc([{
+            "warc_type": "response", "uri": f"http://site/{i}",
+            "content_type": "application/http; msgtype=response",
+            "content": b"HTTP/1.1 200 OK\r\n\r\n" + text.encode(),
+        }], gzip_members=(i % 2 == 0))
+        (src / f"{i}.warc.gz").write_bytes(blob)
+
+    def pipeline(records):
+        docs = records.select(
+            F.col("warc_target_uri").alias("url"),
+            F.decode("payload", "utf-8").alias("text"))
+        return c4_doc_filter_op(docs).select(
+            "url", "n_words", "n_sentences", "keep")
+
+    expected = sorted(
+        tuple(r) for r in pipeline(
+            warc_records(spark, str(src), keep_types=("response",))
+        ).collect())
+
+    sink = UpsertSink(str(tmp_path / "sink"), keys=["url"])
+    q = write_stream_upsert(
+        pipeline(warc_stream(spark, str(src), keep_types=("response",),
+                             max_files_per_trigger=2)),
+        sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in sink.result(spark)
+                 .select("url", "n_words", "n_sentences", "keep").collect())
+    assert got == expected and len(got) == 6
+    assert all(r[3] for r in got)  # every planted page passes the gate
