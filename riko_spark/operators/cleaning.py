@@ -322,3 +322,47 @@ def ngram_contamination_op(
         .groupBy(id_col, bench_id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
     )
+
+
+#: host extraction used identically by the operator and its oracle —
+#: scheme://host stops at '/', ':', '?', '#' (ports and paths excluded)
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+@register("url_filter")
+def url_filter_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    field: str = "url",
+    blocked_domains: list[str] | None = None,
+    blocked_patterns: list[str] | None = None,
+    assign: str = "keep",
+) -> DataFrame:
+    """URL gating (the RefinedWeb/CCNet stage-one filter, public):
+    drop documents whose host is on a domain blocklist (exact host or
+    any-subdomain suffix match) or whose full URL matches a blocked
+    pattern (regex, e.g. session-id/tracker paths).
+
+    Emits ``host`` (lowercased) and the ``keep`` flag rather than
+    filtering, so a pipeline can audit drop reasons; chain
+    ``.filter("keep")`` to enforce.  All native expressions — the
+    blocklist compiles into the projection (fine for the typical
+    1e3–1e5-entry list; beyond that, broadcast-join a blocklist table
+    instead) — so the gate is row-local and shuffle-free at 100 TB.
+    """
+    conf = conf or {}
+    blocked_domains = [d.lower() for d in conf.get(
+        "blocked_domains", blocked_domains or [])]
+    blocked_patterns = list(conf.get(
+        "blocked_patterns", blocked_patterns or []))
+    url = F.col(field)
+    host = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    blocked = F.lit(False)
+    for d in blocked_domains:
+        blocked = blocked | (F.col("host") == d) \
+            | F.col("host").endswith("." + d)
+    for p in blocked_patterns:
+        blocked = blocked | (F.regexp_count(url, F.lit(p)) > 0)
+    # an unparseable URL (no scheme://host) is never kept
+    return (df.withColumn("host", host)
+            .withColumn(assign, (F.col("host") != "") & ~blocked))

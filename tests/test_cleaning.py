@@ -265,3 +265,33 @@ def test_c4_gates_stream_batch_parity(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     assert got == expected and len(got) == 200
+
+
+def test_url_filter_rules(spark):
+    from riko_spark.operators.cleaning import url_filter_op
+
+    urls = [
+        (1, "https://good.example.org/page"),
+        (2, "https://spam-site.com/page"),          # exact host block
+        (3, "https://deep.sub.spam-site.com/x"),    # suffix block
+        (4, "https://notspam-site.com/x"),          # NOT a suffix match
+        (5, "https://ok.org/p?sessionid=55"),       # pattern block
+        (6, "not a url at all"),                    # unparseable -> drop
+        (7, "https://OK.ORG/upper"),                # host lowercased
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in rows(url_filter_op(df, {
+        "blocked_domains": ["spam-site.com"],
+        "blocked_patterns": [r"[?&]sessionid="],
+    }))}
+    assert [out[i]["keep"] for i in range(1, 8)] == \
+        [True, False, False, True, False, False, True]
+    assert out[7]["host"] == "ok.org"
+    assert out[6]["host"] == ""
+
+
+def test_url_filter_registry():
+    from riko_spark.operators import get_operator
+    from riko_spark.operators.cleaning import url_filter_op
+
+    assert get_operator("url_filter") is url_filter_op
