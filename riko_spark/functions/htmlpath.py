@@ -18,13 +18,12 @@ doctests exercise:
 
 Not a general HTML5 tree builder: foster parenting, formatting-element
 adoption, and full template/table rules are out of scope (documented).
-Tail text is also dropped: ``handle_data`` keeps text only before the
-first child, so in ``<p>a<b>x</b> tail</p>`` the ``' tail'`` never
-enters the DOM.  This matches the reference's output surface — riko's
-``etree2dict`` (riko/parsers.py:509-528) reads only ``element.text``
-and never consults lxml's ``.tail``, so tail text is absent from its
-items too — but it means this DOM is lossy for consumers that would
-want tails; none exist in this engine today.
+Tail text (``<p>a<b>x</b> tail</p>``) is captured on ``Node.tail`` for
+the main-content extractor (functions/readability.py), but
+``node_to_item`` deliberately never reads it — riko's ``etree2dict``
+(riko/parsers.py:509-528) reads only ``element.text`` and never
+consults lxml's ``.tail``, so tails stay absent from pipe items,
+preserving the reference's output surface.
 """
 
 from __future__ import annotations
@@ -52,14 +51,18 @@ IMPLIED_CLOSE = {
 
 
 class Node:
-    """Minimal element: tag, attrs, text (before first child), children."""
+    """Minimal element: tag, attrs, text (before first child), children,
+    and tail (text after this element, inside its parent — captured for
+    content extraction; ``node_to_item`` deliberately ignores it to
+    keep riko's etree2dict parity, see module docstring)."""
 
-    __slots__ = ("tag", "attrs", "text", "children")
+    __slots__ = ("tag", "attrs", "text", "children", "tail")
 
     def __init__(self, tag: str, attrs=None):
         self.tag = tag
         self.attrs: dict[str, str] = dict(attrs or {})
         self.text = ""
+        self.tail = ""
         self.children: list[Node] = []
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
@@ -99,6 +102,8 @@ class _TreeBuilder(HTMLParser):
         top = self.stack[-1]
         if not top.children:
             top.text += data
+        else:
+            top.children[-1].tail += data
 
 
 def parse_html(text: str | bytes) -> Node:

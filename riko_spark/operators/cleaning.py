@@ -366,3 +366,44 @@ def url_filter_op(
     # an unparseable URL (no scheme://host) is never kept
     return (df.withColumn("host", host)
             .withColumn(assign, (F.col("host") != "") & ~blocked))
+
+
+MAIN_CONTENT_SCHEMA = (
+    "doc_id bigint, main_text string, main_tag string, text_len int, "
+    "link_density double"
+)
+
+
+@register("main_content")
+def main_content_op(df: DataFrame, conf: dict | None = None,
+                    field: str = "html", id_col: str = "doc_id") -> DataFrame:
+    """DOM-level boilerplate removal: parse each page with the
+    html5-lite DOM and keep the block container with the highest
+    ``text_len * (1 - link_density)`` score (functions/readability.py)
+    — nav bars, footers and link farms lose to the article body, and
+    chrome subtrees (script/style/nav/header/footer/aside) never
+    contribute.  The step between raw crawl HTML and everything in
+    this module.
+
+    Python DOM work, Arrow-batched via mapInPandas (one batch of pages
+    per task) — row-local, shuffle-free, scan-parallel at 100 TB."""
+    import pandas as pd
+
+    conf = conf or {}
+
+    def run(batches):
+        from riko_spark.functions.readability import extract_main
+
+        for pdf in batches:
+            rows = []
+            for rid, h in zip(pdf[id_col], pdf[field]):
+                if h is None:
+                    continue
+                r = extract_main(h if isinstance(h, str) else bytes(h))
+                rows.append((rid, r["main_text"], r["main_tag"],
+                             r["text_len"], r["link_density"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "main_text", "main_tag", "text_len",
+                "link_density"])
+
+    return df.mapInPandas(run, MAIN_CONTENT_SCHEMA)
