@@ -636,6 +636,22 @@ def main():
     except Exception as e:  # noqa: BLE001
         out["corpus_clean"] = f"ERROR: {type(e).__name__}"
 
+    # DOM main-content extraction over the full pages fixture (real
+    # seeded HTML with nav/anchors): readability-lite parse + score in
+    # Arrow-batched mapInPandas — also its own key, outside `value`
+    def main_content():
+        from riko_spark.operators.cleaning import main_content_op
+
+        d = spark.read.parquet(pages_path).selectExpr(
+            "xxhash64(url) AS doc_id", "html")
+        return main_content_op(d).agg(
+            F.sum("text_len"), F.sum(F.length("main_text"))).collect()
+
+    try:
+        out["main_content"] = round(best_of(main_content), 3)
+    except Exception as e:  # noqa: BLE001
+        out["main_content"] = f"ERROR: {type(e).__name__}"
+
     if not args.skip_stream:
         import tempfile
 
