@@ -67,6 +67,7 @@ def _load_all() -> None:
         limits,
         misc,
         multimodal,
+        packing,
         setops,
         similarity,
         sorts,
