@@ -9,16 +9,22 @@ best-scoring container's whitespace-normalized text.
 
 Deliberately heuristic and deterministic: ``score = text_len * (1 -
 link_density)^2`` over {article, main, section, div, td, body}
-containers, with chrome subtrees ({script, style, nav, header,
-footer, aside, noscript, form}) never contributing text.  The
-SQUARED density term matters: linear scoring collapses to
-``text_len - link_len``, making every wrapper tie exactly with the
-content child it wraps (the extra text is pure links), so the
-outermost wrapper — sidebar links and all — would win.  Squaring
-penalizes the dilution, so the tightest low-density container
-scores highest; residual EXACT ties resolve to the later (deeper)
-candidate in document order — the tightest boundary of the same
-content.
+containers.  Chrome subtrees ({script, style, nav, header, footer,
+aside, noscript, form}) are pruned from the walk entirely — they
+contribute no text AND cannot contain a winning candidate (a div
+inside a footer is still boilerplate).  The SQUARED density term
+matters: linear scoring collapses to ``text_len - link_len``, making
+every wrapper tie exactly with the content child it wraps (the extra
+text is pure links), so the outermost wrapper — sidebar links and all
+— would win.  Squaring penalizes the dilution, so the tightest
+low-density container scores highest; residual EXACT ties resolve to
+the later (deeper) candidate in document order — the tightest
+boundary of the same content.
+
+Cost is one bottom-up pass over the tree (per-node content/link char
+counts accumulated child-to-parent), plus ONE text materialization
+for the winning container — O(page) regardless of wrapper nesting
+depth, the right shape for the mapInPandas hot path.
 
 The reference has no content extractor (riko's fetchpage slices
 between literal markers, riko/modules/fetchpage.py:45-53 — that path
@@ -41,14 +47,23 @@ CHROME_TAGS = frozenset(
 _WS = re.compile(r"\s+")
 
 
+def _frag_len(s: str) -> int:
+    return len(_WS.sub(" ", s).strip()) if s else 0
+
+
 def _gather(node: Node, out: list[str], in_link: bool,
             links: list[str]) -> None:
+    """Collect text fragments (and link-text fragments) of a subtree,
+    excluding chrome subtrees — used ONCE, on the winning container."""
     for child in node.children:
         if child.tag in CHROME_TAGS:
             # chrome subtrees contribute nothing; their tail is still
-            # content of the parent
+            # content of the parent (and link text if the parent is
+            # inside a link)
             if child.tail:
                 out.append(child.tail)
+                if in_link:
+                    links.append(child.tail)
             continue
         link = in_link or child.tag == "a"
         if child.text:
@@ -60,15 +75,15 @@ def _gather(node: Node, out: list[str], in_link: bool,
             out.append(child.tail)
             if in_link:
                 links.append(child.tail)
-    return
 
 
-def _texts(node: Node) -> tuple[str, int, int]:
-    """(normalized text, text_len, link_text_len) of a container —
-    own text + all non-chrome descendant text/tails."""
+def _texts(node: Node, in_link: bool = False) -> tuple[str, int, int]:
+    """(normalized text, text_len, link_text_len) of a container."""
     out: list[str] = [node.text] if node.text else []
     links: list[str] = []
-    _gather(node, out, node.tag == "a", links)
+    if in_link and node.text:
+        links.append(node.text)
+    _gather(node, out, in_link or node.tag == "a", links)
     norm = _WS.sub(" ", " ".join(out)).strip()
     link_len = len(_WS.sub(" ", " ".join(links)).strip())
     return norm, len(norm), link_len
@@ -79,25 +94,58 @@ def extract_main(html: str | bytes) -> dict:
     "text_len", "link_density"}``; a page with no scorable text
     returns empty text with tag ''."""
     root = parse_html(html)
-    best = {"main_text": "", "main_tag": "", "text_len": 0,
-            "link_density": 0.0, "_score": -1.0}
-    stack = [root]
-    order: list[Node] = []
-    while stack:  # document order, parents before children
-        n = stack.pop()
-        order.append(n)
-        stack.extend(reversed(n.children))
-    for node in order:
-        if node.tag not in CONTAINER_TAGS or node.tag in CHROME_TAGS:
+    # document order, parents before children; chrome subtrees pruned
+    # (their descendants are neither measured nor candidates); track
+    # whether each node sits inside an <a>
+    order: list[tuple[Node, bool]] = []
+    stack: list[tuple[Node, bool]] = [(root, False)]
+    while stack:
+        n, in_link = stack.pop()
+        order.append((n, in_link))
+        for child in reversed(n.children):
+            if child.tag in CHROME_TAGS:
+                continue
+            stack.append((child, in_link or child.tag == "a"))
+
+    # bottom-up approximate char counts: content[id(node)] counts the
+    # subtree's collapsed text fragments (excluding node.tail);
+    # link[id(node)] the part inside <a> descendants.  Exact
+    # normalization happens once, for the winner.
+    content: dict[int, int] = {}
+    link: dict[int, int] = {}
+    for n, in_link in reversed(order):
+        c = _frag_len(n.text)
+        ln = c if in_link else 0
+        for child in n.children:
+            tail = _frag_len(child.tail)
+            c += tail
+            if in_link:
+                ln += tail
+            if child.tag in CHROME_TAGS:
+                continue
+            cc = content[id(child)]
+            c += cc
+            if in_link or child.tag == "a":
+                ln += cc
+            else:
+                ln += link[id(child)]
+        content[id(n)] = c
+        link[id(n)] = ln
+
+    best_node, best_link, best_score = None, False, -1.0
+    for n, in_link in order:
+        if n.tag not in CONTAINER_TAGS:
             continue
-        norm, tlen, llen = _texts(node)
-        if tlen == 0:
+        c, ln = content[id(n)], link[id(n)]
+        if c == 0:
             continue
-        density = llen / tlen
-        score = tlen * (1.0 - density) ** 2
-        if score >= best["_score"]:
-            best = {"main_text": norm, "main_tag": node.tag,
-                    "text_len": tlen,
-                    "link_density": round(density, 6), "_score": score}
-    best.pop("_score")
-    return best
+        score = c * (1.0 - ln / c) ** 2
+        if score >= best_score:
+            best_node, best_link, best_score = n, in_link, score
+    if best_node is None:
+        return {"main_text": "", "main_tag": "", "text_len": 0,
+                "link_density": 0.0}
+    norm, tlen, llen = _texts(best_node, in_link=best_link)
+    return {"main_text": norm, "main_tag": best_node.tag,
+            "text_len": tlen,
+            "link_density": round(llen / tlen, 6) if tlen else 0.0}

@@ -356,7 +356,10 @@ def url_filter_op(
     blocked_patterns = list(conf.get(
         "blocked_patterns", blocked_patterns or []))
     url = F.col(field)
-    host = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    # coalesce: a NULL url must surface as host='' / keep=false, not a
+    # NULL keep that both filter(keep) and filter(NOT keep) drop —
+    # drop-reason audits need every row to land on one side
+    host = F.coalesce(F.lower(F.regexp_extract(url, HOST_RE, 1)), F.lit(""))
     blocked = F.lit(False)
     for d in blocked_domains:
         blocked = blocked | (F.col("host") == d) \

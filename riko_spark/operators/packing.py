@@ -69,11 +69,16 @@ def pack_sequences_op(
         lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
         .cast("long") % (vocab - 1) + 1,
     )
-    keyed = df.select(
+    # NULL text packs as an empty document (EOD only); a NULL id has
+    # no deterministic shard and is dropped rather than crashing the
+    # corpus run
+    keyed = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("__shard"),
-        F.concat(tok_ids, F.array(F.lit(eod_id).cast("long")))
-        .alias("__ids"),
+        F.concat(
+            F.coalesce(tok_ids, F.array().cast("array<bigint>")),
+            F.array(F.lit(eod_id).cast("long")),
+        ).alias("__ids"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

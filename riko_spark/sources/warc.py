@@ -39,8 +39,11 @@ def _inflate_members(data: bytes) -> bytes:
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out += d.decompress(data[pos:])
-        out += d.flush()
+        try:
+            out += d.decompress(data[pos:])
+            out += d.flush()
+        except zlib.error as e:  # keep the documented ValueError contract
+            raise ValueError(f"WARC: corrupt gzip member: {e}") from e
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("WARC: corrupt gzip member")

@@ -295,3 +295,15 @@ def test_url_filter_registry():
     from riko_spark.operators.cleaning import url_filter_op
 
     assert get_operator("url_filter") is url_filter_op
+
+
+def test_url_filter_null_url_lands_on_the_drop_side(spark):
+    # review finding: NULL url -> keep must be FALSE, not NULL (a NULL
+    # keep vanishes from both filter(keep) and filter(NOT keep))
+    from riko_spark.operators.cleaning import url_filter_op
+
+    df = spark.createDataFrame([(1, None), (2, "https://ok.org/x")],
+                               "doc_id long, url string")
+    out = {r["doc_id"]: r for r in rows(url_filter_op(df))}
+    assert out[1]["keep"] is False and out[1]["host"] == ""
+    assert out[2]["keep"] is True

@@ -73,3 +73,15 @@ def test_registry():
     from riko_spark.operators import get_operator
 
     assert get_operator("pack_sequences") is pack_sequences_op
+
+
+def test_null_text_packs_as_empty_doc_and_null_id_dropped(spark):
+    # review finding: one dirty row must not kill a corpus-scale run
+    df = spark.createDataFrame(
+        [(0, "hello world"), (4, None), (None, "orphan")],
+        "doc_id long, text string")
+    out = rows(pack_sequences_op(df, {"seq_len": 8, "shards": 4}))
+    # shard 0: tok(hello), tok(world), EOD, EOD  (null text -> EOD only)
+    assert [(r["shard"], r["n_tokens"]) for r in out] == [(0, 4)]
+    assert out[0]["seq_md5"] == hashlib.md5(",".join(
+        map(str, [_tok("hello"), _tok("world"), 0, 0])).encode()).hexdigest()

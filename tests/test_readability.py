@@ -96,3 +96,30 @@ def test_main_content_op(spark):
     assert out[2]["main_text"] == ""
     from riko_spark.operators import get_operator
     assert get_operator("main_content") is main_content_op
+
+
+def test_container_nested_in_chrome_cannot_win():
+    # review finding: a div INSIDE a footer/nav is still boilerplate —
+    # the chrome subtree is pruned from the candidate walk entirely
+    html = ("<body><footer><div>" + "long footer legal boilerplate " * 4
+            + "</div></footer><div>short real content</div></body>")
+    r = extract_main(html)
+    assert r["main_text"] == "short real content"
+
+
+def test_chrome_tail_inside_link_counts_as_link_text():
+    # review finding: '<a>x<script>..</script> tailtext</a>' — the
+    # tail after the chrome element is still anchor text
+    from riko_spark.functions.readability import _texts
+
+    root = parse_html(
+        "<div><a>x<script>var a;</script> tailtext</a> body words</div>")
+    _norm, _tlen, llen = _texts(root.children[0])
+    assert llen == len("x tailtext")
+
+
+def test_extract_main_linear_in_wrapper_depth():
+    # 200-deep div nesting must not blow up (bottom-up single pass)
+    html = "<body>" + "<div>" * 200 + "Real content text here." \
+        + "</div>" * 200 + "</body>"
+    assert extract_main(html)["main_text"] == "Real content text here."

@@ -177,3 +177,15 @@ def test_warc_stream_to_cleaned_corpus_parity(spark, tmp_path):
                  .select("url", "n_words", "n_sentences", "keep").collect())
     assert got == expected and len(got) == 6
     assert all(r[3] for r in got)  # every planted page passes the gate
+
+
+def test_corrupt_gzip_member_raises_valueerror():
+    # review finding: zlib.error must not leak past the documented
+    # ValueError contract
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(HAND_RECORD)
+    raw = bytearray(buf.getvalue())
+    raw[15] ^= 0xFF  # corrupt the deflate stream mid-member
+    with pytest.raises(ValueError, match="gzip"):
+        list(parse_warc(bytes(raw)))
