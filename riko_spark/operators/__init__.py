@@ -64,6 +64,7 @@ def _load_all() -> None:
         cleaning,
         dedupe,
         filters,
+        graph,
         limits,
         misc,
         multimodal,

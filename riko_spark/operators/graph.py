@@ -1,0 +1,126 @@
+"""Distributed connected components — the cluster-resolution step
+between near-duplicate PAIRS (simhash_neardup / image_neardup /
+audio_neardup / minhash_lsh, operators/dedupe.py & multimodal.py) and
+an actual keep-set: transitively connected documents form one
+duplicate cluster, and the pipeline keeps one representative (the
+minimum id) per cluster.
+
+Algorithm: min-label propagation with pointer-doubling shortcuts —
+each round runs (1) a neighbor-min step (every node takes the
+smallest label in its closed neighborhood; one edge join + groupBy
+min) and (2) a shortcut step (``label(x) <- label(label(x))``, one
+self-join), the combination the published parallel-CC family
+(Shiloach-Vishkin; Kiveris et al.'s large-star/small-star) uses to
+converge in O(log n) rounds rather than O(diameter).  Rounds are
+driven from the driver with a changed-label count as the
+convergence test — the one deliberately iterative operator in the
+engine (CC has no one-shot DataFrame form), with per-round cost of
+two shuffles on (id, label) pairs and a hard ``max_rounds`` backstop.
+
+At 100 TB the labels relation is one long/long pair per node and each
+round is a pair of hash joins Catalyst plans normally — checkpointing
+(``spark.sparkContext.setCheckpointDir`` + per-round localCheckpoint)
+keeps the lineage bounded; here AQE handles the small test graphs and
+the loop truncates lineage via localCheckpoint every round.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from riko_spark.operators import register
+
+
+@register("connected_components", kind="operator", sub_kind="aggregator")
+def connected_components_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Resolve an edge list into components: returns ``(id,
+    component)`` where ``component`` is the smallest node id reachable
+    from ``id``.  ``df`` holds the pairs; ``nodes`` (optional) adds
+    isolated nodes that must appear in the output as their own
+    singleton components (pass the corpus id column so unmatched
+    documents keep themselves)."""
+    conf = conf or {}
+    left_col = conf.get("left_col", left_col)
+    right_col = conf.get("right_col", right_col)
+    max_rounds = int(conf.get("max_rounds", max_rounds))
+
+    edges = (
+        df.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+        .union(df.select(F.col(right_col).alias("a"),
+                         F.col(left_col).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    ids = edges.select(F.col("a").alias("id"))
+    if nodes is not None:
+        ids = ids.union(nodes.select(F.col(id_col).alias("id")))
+    labels = ids.distinct().select("id", F.col("id").alias("label"))
+
+    for _ in range(max_rounds):
+        # neighbor-min: smallest label in the closed neighborhood
+        nbr = (
+            edges.join(labels, edges.b == labels.id)
+            .select(F.col("a").alias("id"), "label")
+            .union(labels)
+            .groupBy("id").agg(F.min("label").alias("label"))
+        )
+        # shortcut (pointer doubling): label(x) <- label(label(x))
+        lab2 = nbr.select(F.col("id").alias("lid"),
+                          F.col("label").alias("llabel"))
+        new = (
+            nbr.join(lab2, nbr.label == lab2.lid, "left")
+            .select("id", F.coalesce("llabel", "label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n").join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    return labels.select("id", F.col("label").alias("component"))
+
+
+@register("neardup_resolve", kind="operator", sub_kind="aggregator")
+def neardup_resolve_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Near-dup pairs -> keep-set: every document labeled with its
+    duplicate cluster (transitive closure of the pair relation) and
+    ``keep`` true only for the cluster minimum — the row a dedupe
+    pipeline retains.  ``df`` is the corpus (supplies isolated docs),
+    ``pairs`` the output of any *_neardup operator."""
+    conf = conf or {}
+    if pairs is None:
+        raise ValueError("neardup_resolve requires the near-dup pairs frame")
+    comp = connected_components_op(
+        pairs, conf, left_col=conf.get("left_col", left_col),
+        right_col=conf.get("right_col", right_col),
+        nodes=df, id_col=conf.get("id_col", id_col))
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(comp, F.col(id_col) == comp.id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col))
+            .alias("keep"),
+        )
+    )

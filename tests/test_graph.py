@@ -1,0 +1,72 @@
+"""Connected components / near-dup cluster resolution
+(riko_spark/operators/graph.py).
+
+Expectations are hand-derived from literal edge lists — chains force
+multi-round convergence so single-pass min-propagation bugs cannot
+hide.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from riko_spark.operators.graph import (
+    connected_components_op,
+    neardup_resolve_op,
+)
+
+from tests.conftest import rows
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "left_id long, right_id long")
+
+
+def _components(spark, edges, nodes=None):
+    n = (spark.createDataFrame([(i,) for i in nodes], "id long")
+         if nodes is not None else None)
+    return {r["id"]: r["component"] for r in rows(
+        connected_components_op(_pairs(spark, edges), nodes=n))}
+
+
+def test_chain_transitive_closure(spark):
+    # 0-1-2-3-4-5-6-7 chain: every node must resolve to 0 (requires
+    # transitive propagation, not one neighbor-min pass)
+    got = _components(spark, [(i, i + 1) for i in range(7)])
+    assert got == {i: 0 for i in range(8)}
+
+
+def test_multiple_components_and_isolated_nodes(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    got = _components(spark, edges, nodes=[1, 2, 3, 10, 11, 20, 21, 22, 99])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_long_chain_converges_within_round_budget(spark):
+    # pointer doubling: a 64-node chain must converge in O(log n)
+    # rounds, far under the 25-round backstop
+    got = _components(spark, [(i, i + 1) for i in range(63)])
+    assert set(got.values()) == {0} and len(got) == 64
+
+
+def test_neardup_resolve_keep_set(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = _pairs(spark, [(0, 1), (1, 2), (5, 6)])
+    out = {r["doc_id"]: (r["component"], r["keep"]) for r in rows(
+        neardup_resolve_op(docs, pairs=pairs))}
+    assert out == {0: (0, True), 1: (0, False), 2: (0, False),
+                   3: (3, True), 4: (4, True),
+                   5: (5, True), 6: (5, False), 7: (7, True)}
+
+
+def test_resolve_requires_pairs():
+    with pytest.raises(ValueError, match="pairs"):
+        neardup_resolve_op(None)
+
+
+def test_registry():
+    from riko_spark.operators import get_operator
+
+    assert get_operator("connected_components") is connected_components_op
+    assert get_operator("neardup_resolve") is neardup_resolve_op
