@@ -640,6 +640,8 @@ def main():
     # seeded HTML with nav/anchors): readability-lite parse + score in
     # Arrow-batched mapInPandas — also its own key, outside `value`
     def main_content():
+        import pyspark.sql.functions as F
+
         from riko_spark.operators.cleaning import main_content_op
 
         d = spark.read.parquet(pages_path).selectExpr(
