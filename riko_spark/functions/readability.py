@@ -107,39 +107,54 @@ def extract_main(html: str | bytes) -> dict:
                 continue
             stack.append((child, in_link or child.tag == "a"))
 
-    # bottom-up approximate char counts: content[id(node)] counts the
-    # subtree's collapsed text fragments (excluding node.tail);
-    # link[id(node)] the part inside <a> descendants.  Exact
-    # normalization happens once, for the winner.
-    content: dict[int, int] = {}
-    link: dict[int, int] = {}
+    # bottom-up char counts: content[id(node)] = (chars, fragments) of
+    # the subtree's collapsed text (excluding node.tail); link[...]
+    # the part inside <a> descendants.  Fragment COUNTS matter:
+    # normalized text joins fragments with one space, so a container
+    # built from many inline runs must score len + (frags - 1), the
+    # same length _texts reports — otherwise fragment-heavy real HTML
+    # is systematically under-scored against single-run text.  Exact
+    # normalization still happens once, for the winner.
+    content: dict[int, tuple[int, int]] = {}
+    link: dict[int, tuple[int, int]] = {}
     for n, in_link in reversed(order):
         c = _frag_len(n.text)
-        ln = c if in_link else 0
+        cf = 1 if c else 0
+        ln, lf = (c, cf) if in_link else (0, 0)
         for child in n.children:
             tail = _frag_len(child.tail)
-            c += tail
-            if in_link:
-                ln += tail
+            if tail:
+                c += tail
+                cf += 1
+                if in_link:
+                    ln += tail
+                    lf += 1
             if child.tag in CHROME_TAGS:
                 continue
-            cc = content[id(child)]
+            cc, ccf = content[id(child)]
             c += cc
+            cf += ccf
             if in_link or child.tag == "a":
                 ln += cc
+                lf += ccf
             else:
-                ln += link[id(child)]
-        content[id(n)] = c
-        link[id(n)] = ln
+                cl, clf = link[id(child)]
+                ln += cl
+                lf += clf
+        content[id(n)] = (c, cf)
+        link[id(n)] = (ln, lf)
 
     best_node, best_link, best_score = None, False, -1.0
     for n, in_link in order:
         if n.tag not in CONTAINER_TAGS:
             continue
-        c, ln = content[id(n)], link[id(n)]
+        c, cf = content[id(n)]
+        ln, lf = link[id(n)]
         if c == 0:
             continue
-        score = c * (1.0 - ln / c) ** 2
+        tl = c + max(0, cf - 1)          # joined-with-spaces length
+        ll = ln + max(0, lf - 1) if ln else 0
+        score = tl * (1.0 - ll / tl) ** 2
         if score >= best_score:
             best_node, best_link, best_score = n, in_link, score
     if best_node is None:

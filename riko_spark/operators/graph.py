@@ -59,6 +59,10 @@ def connected_components_op(
                          F.col(left_col).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        # materialize once: the rounds below re-reference edges every
+        # iteration, and the upstream pairs frame (an LSH/band join in
+        # the neardup pipelines) must not re-execute per round
+        .localCheckpoint(eager=True)
     )
     ids = edges.select(F.col("a").alias("id"))
     if nodes is not None:
@@ -110,17 +114,27 @@ def neardup_resolve_op(
     conf = conf or {}
     if pairs is None:
         raise ValueError("neardup_resolve requires the near-dup pairs frame")
+    id_col = conf.get("id_col", id_col)
+    # NULL ids have no deterministic cluster identity — dropped, like
+    # pack_sequences does, rather than emitting a NULL keep that both
+    # filter(keep) and filter(NOT keep) lose
+    docs = df.select(F.col(id_col)).filter(
+        F.col(id_col).isNotNull()).distinct()
     comp = connected_components_op(
         pairs, conf, left_col=conf.get("left_col", left_col),
         right_col=conf.get("right_col", right_col),
-        nodes=df, id_col=conf.get("id_col", id_col))
+        nodes=docs, id_col=id_col)
+    labeled = (
+        docs.join(comp, docs[id_col] == comp.id, "left")
+        .select(F.col(id_col),
+                F.coalesce("component", F.col(id_col)).alias("component"))
+    )
+    # the kept representative is the smallest id PRESENT IN df — a
+    # pair endpoint that upstream gates already removed must not be a
+    # phantom minimum that leaves its cluster with zero kept rows
+    rep = labeled.groupBy("component").agg(F.min(id_col).alias("__rep"))
     return (
-        df.select(F.col(id_col)).distinct()
-        .join(comp, F.col(id_col) == comp.id, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("component", F.col(id_col)).alias("component"),
-            (F.coalesce("component", F.col(id_col)) == F.col(id_col))
-            .alias("keep"),
-        )
+        labeled.join(rep, on="component")
+        .select(F.col(id_col), "component",
+                (F.col(id_col) == F.col("__rep")).alias("keep"))
     )

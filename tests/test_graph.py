@@ -70,3 +70,34 @@ def test_registry():
 
     assert get_operator("connected_components") is connected_components_op
     assert get_operator("neardup_resolve") is neardup_resolve_op
+
+
+def test_resolve_custom_id_col(spark):
+    # review finding: conf id_col must apply to the final projection,
+    # not only the component labeling
+    docs = spark.createDataFrame([(i,) for i in range(4)], "image_id long")
+    pairs = _pairs(spark, [(0, 1)])
+    out = {r["image_id"]: r["keep"] for r in rows(
+        neardup_resolve_op(docs, {"id_col": "image_id"}, pairs=pairs))}
+    assert out == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_resolve_null_ids_dropped(spark):
+    # review finding: a NULL corpus id must not emit a NULL keep
+    docs = spark.createDataFrame([(0,), (1,), (None,)], "doc_id long")
+    pairs = _pairs(spark, [(0, 1)])
+    out = rows(neardup_resolve_op(docs, pairs=pairs))
+    assert sorted((r["doc_id"], r["keep"]) for r in out) == \
+        [(0, True), (1, False)]
+
+
+def test_resolve_phantom_pair_endpoint_keeps_a_present_doc(spark):
+    # review finding: a pair endpoint already gated out of the corpus
+    # must not become a phantom minimum that drops the whole cluster
+    docs = spark.createDataFrame([(6,), (7,), (9,)], "doc_id long")
+    pairs = _pairs(spark, [(5, 6), (6, 7)])  # 5 not in the corpus
+    out = {r["doc_id"]: (r["component"], r["keep"]) for r in rows(
+        neardup_resolve_op(docs, pairs=pairs))}
+    assert out[6] == (5, True)   # smallest PRESENT doc is kept
+    assert out[7] == (5, False)
+    assert out[9] == (9, True)

@@ -123,3 +123,16 @@ def test_extract_main_linear_in_wrapper_depth():
     html = "<body>" + "<div>" * 200 + "Real content text here." \
         + "</div>" * 200 + "</body>"
     assert extract_main(html)["main_text"] == "Real content text here."
+
+
+def test_fragment_heavy_container_scores_like_its_normalized_text():
+    # review finding: scoring must count the join spaces between
+    # fragments — seven one-char <p> runs normalize to 13 chars and
+    # must beat a single 12-char run
+    many = "".join("<p>x</p>" for _ in range(7))
+    farm = " ".join(f"<a href='/{i}'>anchor link {i}</a>" for i in range(30))
+    html = (f"<body><td>{many}</td><td>twelve chars</td>"
+            f"<div>{farm}</div></body>")  # farm dilutes body's score
+    r = extract_main(html)
+    assert r["main_text"] == "x x x x x x x"  # 13 > 12: join spaces count
+    assert r["text_len"] == 13
