@@ -410,3 +410,39 @@ def main_content_op(df: DataFrame, conf: dict | None = None,
                 "link_density"])
 
     return df.mapInPandas(run, MAIN_CONTENT_SCHEMA)
+
+
+@register("host_stats", kind="operator", sub_kind="aggregator")
+def host_stats_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    url_col: str = "url",
+    field: str = "text",
+) -> DataFrame:
+    """Per-host corpus statistics — the domain-curation view CCNet /
+    RefinedWeb build before sampling: document count, mean document
+    length, and mean quality-gate pass rate per registrable host, so a
+    pipeline can up/down-weight or ban whole domains instead of
+    re-scoring documents one at a time.
+
+    One shuffle (groupBy host with partial aggregation); host
+    extraction shares :data:`HOST_RE` with :func:`url_filter_op` so
+    the two ops always agree on identity.  Mean length is rounded to
+    6 dp for cross-engine comparison; hosts arrive lowercased, and
+    unparseable URLs aggregate under the '' host so corpus accounting
+    stays total."""
+    conf = conf or {}
+    url_col = conf.get("url_col", url_col)
+    field = conf.get("field", field)
+    host = F.coalesce(
+        F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)), F.lit(""))
+    gated = c4_doc_filter_op(df.withColumn("host", host), conf, field=field)
+    return (
+        gated.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.length(F.col(field))), 6).alias("mean_len"),
+            F.sum(F.col("keep").cast("long")).cast("long")
+            .alias("n_keep"),
+        )
+    )

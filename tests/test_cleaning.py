@@ -307,3 +307,22 @@ def test_url_filter_null_url_lands_on_the_drop_side(spark):
     out = {r["doc_id"]: r for r in rows(url_filter_op(df))}
     assert out[1]["keep"] is False and out[1]["host"] == ""
     assert out[2]["keep"] is True
+
+
+def test_host_stats_groups_and_keep_counts(spark):
+    from riko_spark.operators.cleaning import host_stats_op
+
+    good = " ".join(f"word{i} okay." for i in range(30))  # passes the gate
+    docs = [
+        (1, "https://a.com/x", good),
+        (2, "https://a.com/y", "tiny. two. three."),     # fails (n_words)
+        (3, "https://b.org/z", good),
+        (4, None, good),                                 # '' host bucket
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, url string, text string")
+    out = {r["host"]: (r["n_docs"], r["n_keep"], r["mean_len"])
+           for r in rows(host_stats_op(df))}
+    assert out["a.com"][0] == 2 and out["a.com"][1] == 1
+    assert out["b.org"] == (1, 1, float(len(good)))
+    assert out[""][0] == 1
+    assert out["a.com"][2] == round((len(good) + len("tiny. two. three.")) / 2, 6)
