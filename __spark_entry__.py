@@ -3583,7 +3583,10 @@ def oracle_sql() -> dict[str, str]:
                            '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), ''))
                            AS host,
                        list_filter(string_split_regex(lower(text), '\s+'),
-                                   x -> x <> '') AS toks
+                                   x -> x <> '') AS toks,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
                 FROM t
             ),
             sig AS (
@@ -3592,15 +3595,30 @@ def oracle_sql() -> dict[str, str]:
                        round(CAST(list_aggregate(list_transform(toks,
                            x -> length(x)), 'sum') AS DOUBLE)
                            / len(toks), 6) AS mean_word_len,
-                       len(regexp_extract_all(text, '[.!?]')) AS n_sentences
+                       len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{') AS has_curly,
+                       CASE WHEN len(lines) > 0 THEN
+                           CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '^[-*•]')))
+                               AS DOUBLE) / len(lines)
+                           ELSE 0.0 END AS bullet_line_frac,
+                       CASE WHEN len(lines) > 0 THEN
+                           CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '(\.\.\.|…)$')))
+                               AS DOUBLE) / len(lines)
+                           ELSE 0.0 END AS ellipsis_line_frac
                 FROM h
             )
             SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
                    round(AVG(length(text)), 6) AS mean_len,
                    CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
                         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                        AND n_sentences >= 3 THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_keep
+                        AND n_sentences >= 3
+                        AND NOT has_lorem AND NOT has_curly
+                        AND bullet_line_frac <= 0.9
+                        AND ellipsis_line_frac <= 0.3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
             FROM sig GROUP BY host
         """),
         "neardup_clusters": """

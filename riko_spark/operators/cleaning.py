@@ -329,6 +329,15 @@ def ngram_contamination_op(
 HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
 
 
+def host_col(url: Column) -> Column:
+    """Lowercased host of ``url``; '' for NULL/unparseable URLs so
+    every row lands on one side of downstream keep filters and corpus
+    accounting stays total.  The ONE definition of host identity —
+    shared by :func:`url_filter_op` and :func:`host_stats_op` so the
+    two ops can never disagree."""
+    return F.coalesce(F.lower(F.regexp_extract(url, HOST_RE, 1)), F.lit(""))
+
+
 @register("url_filter")
 def url_filter_op(
     df: DataFrame,
@@ -356,10 +365,7 @@ def url_filter_op(
     blocked_patterns = list(conf.get(
         "blocked_patterns", blocked_patterns or []))
     url = F.col(field)
-    # coalesce: a NULL url must surface as host='' / keep=false, not a
-    # NULL keep that both filter(keep) and filter(NOT keep) drop —
-    # drop-reason audits need every row to land on one side
-    host = F.coalesce(F.lower(F.regexp_extract(url, HOST_RE, 1)), F.lit(""))
+    host = host_col(url)
     blocked = F.lit(False)
     for d in blocked_domains:
         blocked = blocked | (F.col("host") == d) \
@@ -434,9 +440,8 @@ def host_stats_op(
     conf = conf or {}
     url_col = conf.get("url_col", url_col)
     field = conf.get("field", field)
-    host = F.coalesce(
-        F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)), F.lit(""))
-    gated = c4_doc_filter_op(df.withColumn("host", host), conf, field=field)
+    gated = c4_doc_filter_op(
+        df.withColumn("host", host_col(F.col(url_col))), conf, field=field)
     return (
         gated.groupBy("host")
         .agg(

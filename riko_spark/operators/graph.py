@@ -118,16 +118,22 @@ def neardup_resolve_op(
     # NULL ids have no deterministic cluster identity — dropped, like
     # pack_sequences does, rather than emitting a NULL keep that both
     # filter(keep) and filter(NOT keep) lose
+    # materialized: referenced by the CC label init AND both branches
+    # of the labeled/rep join below — the upstream corpus (gates,
+    # extraction) must not re-execute per reference
     docs = df.select(F.col(id_col)).filter(
-        F.col(id_col).isNotNull()).distinct()
+        F.col(id_col).isNotNull()).distinct().localCheckpoint(eager=True)
     comp = connected_components_op(
         pairs, conf, left_col=conf.get("left_col", left_col),
         right_col=conf.get("right_col", right_col),
         nodes=docs, id_col=id_col)
+    # qualified refs: comp also carries a column literally named 'id',
+    # so id_col='id' must not become an ambiguous reference
     labeled = (
-        docs.join(comp, docs[id_col] == comp.id, "left")
-        .select(F.col(id_col),
-                F.coalesce("component", F.col(id_col)).alias("component"))
+        docs.join(comp, docs[id_col] == comp["id"], "left")
+        .select(docs[id_col].alias(id_col),
+                F.coalesce(comp["component"], docs[id_col])
+                .alias("component"))
     )
     # the kept representative is the smallest id PRESENT IN df — a
     # pair endpoint that upstream gates already removed must not be a

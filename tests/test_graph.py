@@ -101,3 +101,13 @@ def test_resolve_phantom_pair_endpoint_keeps_a_present_doc(spark):
     assert out[6] == (5, True)   # smallest PRESENT doc is kept
     assert out[7] == (5, False)
     assert out[9] == (9, True)
+
+
+def test_resolve_id_col_named_id(spark):
+    # review finding: components expose a column literally named 'id';
+    # id_col='id' must not raise AMBIGUOUS_REFERENCE
+    docs = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    pairs = _pairs(spark, [(0, 1)])
+    out = {r["id"]: r["keep"] for r in rows(
+        neardup_resolve_op(docs, {"id_col": "id"}, pairs=pairs))}
+    assert out == {0: True, 1: False, 2: True}
