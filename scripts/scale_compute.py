@@ -30,6 +30,12 @@ small, where raw >=0.8 is physically reachable on one box:
                  bookkeeping inside Arrow-batched mapInPandas tasks,
                  blob scan (~200 MB) negligible next to ~0.1 s/blob of
                  decode — the audio twin of the ``jpeg`` leg.
+* ``clean``    — the round-6 corpus-cleaning pass (C4 line gate +
+                 corpus-level line dedupe) over 3M paged documents:
+                 JVM higher-order functions + two hash-keyed shuffles,
+                 zero Python workers — expected to land at the
+                 scan/shuffle (DRAM) ceiling like ``pii``, recorded as
+                 the regime datapoint for the new operator family.
 * ``pii``      — the JVM regexp_count/regexp_replace PII-scrub chain
                  over 128x documents (round-6 judge ask #5: a SECOND
                  >=0.8 leg on a different compute-bound workload, this
@@ -73,6 +79,8 @@ JPEG_N = int(os.environ.get("SCALE_JPEG_N", "32000"))
 #: ~0.1 s/blob decode x 3.2k blobs / 32 cores ~= 11 s 32-leg
 FLAC_N = int(os.environ.get("SCALE_FLAC_N", "3200"))
 FLAC_FRAMES = 16384
+#: 600x the 5k-doc table = 3M paged docs; 32-leg ~10 s
+CLEAN_MULT = int(os.environ.get("SCALE_CLEAN_MULT", "600"))
 
 
 def build_input(workload: str, out_dir: str) -> tuple[str, int]:
@@ -138,6 +146,18 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
 
         ids = spark.range(FLAC_N).select(F.col("id"))
         big = ids.repartition(64).mapInPandas(gen, "id bigint, blob binary")
+    elif workload == "clean":
+        import __spark_entry__ as em
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text")
+        reps = spark.range(CLEAN_MULT).select(F.col("id").alias("__rep"))
+        big = (
+            d.crossJoin(reps)
+            .select((F.col("doc_id") + F.col("__rep") * 1_000_000)
+                    .alias("doc_id"), "text")
+            .withColumn("text", F.expr(em._PAGED_SQL))
+        )
     elif workload in ("simhash", "pii"):
         # per-doc kernel: no joins/groupBys on doc_id, so duplicate ids
         # are harmless — read the same file DOC_MULT times instead of
@@ -174,6 +194,19 @@ def _run_workload(spark, workload: str, path: str):
             F.sum(F.col("width") + F.col("height")
                   + F.aggregate("feature", F.lit(0.0),
                                 lambda a, x: a + x))).collect()[0][0]
+    if workload == "clean":
+        from riko_spark.operators.cleaning import (
+            c4_line_filter_op,
+            line_dedupe_op,
+        )
+
+        d = spark.read.parquet(path)
+        out = line_dedupe_op(c4_line_filter_op(d), min_docs=3)
+        # aggregate OVER the rebuilt text + kept counts: a bare count()
+        # lets Catalyst collapse the unique-key left join and prune the
+        # whole pipeline (measured 0.5 s for 3M docs — a non-result)
+        return out.agg(
+            F.sum("n_kept"), F.sum(F.length("text"))).collect()[0][0]
     if workload == "flac":
         from riko_spark.operators.multimodal import audio_features_op
 
@@ -257,7 +290,8 @@ def paired_sets(workload: str, path: str, rows: int, n: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
-                    choices=["cep", "simhash", "pii", "jpeg", "flac"])
+                    choices=["cep", "simhash", "pii", "jpeg", "flac",
+                             "clean"])
     ap.add_argument("--sets", type=int, default=3)
     ap.add_argument("--_leg", dest="leg_workload", default=None)
     ap.add_argument("--path", default=None)
