@@ -628,8 +628,13 @@ def main():
                     .alias("doc_id"), "text")
             .withColumn("text", F.expr(em._PAGED_SQL))
         )
-        return line_dedupe_op(c4_line_filter_op(paged),
-                              min_docs=3).count()
+        out_df = line_dedupe_op(c4_line_filter_op(paged), min_docs=3)
+        # aggregate OVER the rebuilt output (kept counts + text bytes):
+        # a bare count() lets Catalyst collapse the unique-key left
+        # join and prune the whole cleaning pipeline (the non-result
+        # scripts/scale_compute.py documents for its 'clean' leg)
+        return out_df.agg(
+            F.sum("n_kept"), F.sum(F.length("text"))).collect()
 
     try:
         out["corpus_clean"] = round(best_of(corpus_clean), 3)

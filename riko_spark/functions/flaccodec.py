@@ -332,7 +332,11 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
     got = 0
     framedata = data[pos:]
     bits = _Bits(framedata)
-    while got < info["total"] and bits.pos + 32 <= bits.n:
+    # RFC 9639 §8.2: total_samples == 0 means the total is UNKNOWN
+    # (live/pipe encoders) — decode frames until the stream ends, it
+    # is NOT an empty stream
+    unknown_total = info["total"] == 0
+    while (unknown_total or got < info["total"]) and bits.pos + 32 <= bits.n:
         start_byte = bits.byte_pos
         if bits.take(14) != 0x3FFE:
             raise ValueError("FLAC: lost frame sync")
@@ -401,11 +405,12 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
         frames.append(np.stack(chans, axis=1))
         got += blocksize
 
-    if got < info["total"]:
+    if not unknown_total and got < info["total"]:
         raise ValueError("FLAC: stream ends before total_samples")
     samples = np.concatenate(frames, axis=0) if frames else \
         np.empty((0, info["channels"]), dtype=np.int64)
-    samples = samples[: info["total"]]
+    if not unknown_total:
+        samples = samples[: info["total"]]
     lo, hi = -(1 << (info["bps"] - 1)), (1 << (info["bps"] - 1)) - 1
     if samples.size and (samples.min() < lo or samples.max() > hi):
         raise ValueError("FLAC: decoded sample exceeds bit depth")

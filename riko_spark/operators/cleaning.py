@@ -187,24 +187,31 @@ def line_dedupe_op(
     ``min_docs`` DISTINCT documents — navigation bars, cookie
     banners, share buttons, footers.
 
-    100 TB shape (two shuffles, both on a uniform 64-bit key):
+    100 TB shape — NO line text ever crosses an exchange; every
+    shuffled relation is boilerplate- or hash-proportional:
 
-    1. ``posexplode`` the trimmed lines, key each by ``xxhash64`` —
-       the aggregation and join below move 8-byte hashes, never line
-       text, so shuffle bytes stay proportional to line COUNT, not
-       line length.  Document frequency is computed as
-       ``distinct(hash, doc) -> count per hash`` (two-stage exact
-       count-distinct: partial map-side combine on both stages, no
-       count-distinct state explosion).
-    2. The exploded lines left-anti join the frequent-hash set on the
-       hash.  The frequent set (df >= min_docs) is orders of magnitude
-       smaller than the corpus — AQE converts the anti-join to a
-       broadcast when it fits; the shuffle path stays correct when a
-       pathological corpus makes it large.  Reassembly is one
-       ``collect_list(struct(pos, line))`` per document (partial
-       aggregation applies; list size is bounded by lines-per-doc,
-       not corpus size) followed by an ``array_sort`` + ``array_join``
-       projection.
+    1. ``posexplode`` the trimmed lines and immediately project each
+       occurrence down to ``(doc, pos, xxhash64(line))`` — 20 bytes —
+       so the document-frequency aggregation (``distinct(hash, doc) ->
+       count per hash``, two-stage exact count-distinct with map-side
+       partial combine) moves hashes, never text.
+    2. Join the occurrences against the frequent-hash set (df >=
+       ``min_docs``) to keep only the HITS — ``(doc, drop_pos)`` pairs
+       proportional to BOILERPLATE volume, not corpus volume — and
+       ``collect_set`` the drop positions per document (partial
+       aggregation; set size bounded by lines-per-doc).
+    3. Left-join the per-doc drop-position arrays back to the corpus
+       and rebuild each document ROW-LOCALLY with a native
+       filter-by-position projection (``filter(lines, (x, i) -> NOT
+       array_contains(drop, i))``) — reassembly is a scan-parallel
+       projection, not an aggregation.  The drop map holds one row per
+       document WITH a boilerplate hit, orders of magnitude smaller
+       than the corpus, so AQE broadcasts it and the corpus side never
+       shuffles; in the pathological all-docs-hit regime the fallback
+       is one shuffle of ``(doc, int positions)`` pairs plus the doc
+       rows — still strictly less than the naive
+       explode→anti-join→collect_list shape, which moves every line's
+       TEXT through two exchanges.
 
     Hash note: a 64-bit line hash at 10^12 distinct lines carries a
     ~3% corpus-wide chance of ONE colliding pair (birthday bound),
@@ -214,46 +221,43 @@ def line_dedupe_op(
     shuffle width.
 
     Documents whose every line is boilerplate are preserved with empty
-    text (left join back), so downstream doc-level filters see them.
+    text, so downstream doc-level filters see them.  NULL ``field``
+    values are treated as empty documents (0 lines kept, 0 dropped,
+    '' text) rather than emitting NULL/-1 counters.
 
     Output: ``id_col``, cleaned ``field``, ``n_kept``, ``n_dropped``.
     """
     conf = conf or {}
     min_docs = int(conf.get("min_docs", min_docs))
-    lines = df.select(
+    src = F.coalesce(F.col(field), F.lit(""))
+    occurrences = df.select(
         F.col(id_col),
-        F.posexplode(lines_col(F.col(field))).alias("__pos", "__line"),
-    ).withColumn("__h", F.xxhash64("__line"))
+        F.posexplode(lines_col(src)).alias("__pos", "__line"),
+    ).select(id_col, "__pos", F.xxhash64("__line").alias("__h"))
     frequent = (
-        lines.select("__h", id_col).distinct()
+        occurrences.select("__h", id_col).distinct()
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= F.lit(min_docs))
         .select("__h")
     )
-    kept = lines.join(frequent, on="__h", how="left_anti")
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-                    lambda s: s["__line"],
-                ),
-                "\n",
-            ).alias("__clean"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
+    drops = (
+        occurrences.join(frequent, on="__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__drop"))
     )
-    totals = df.select(
-        F.col(id_col), F.size(lines_col(F.col(field))).alias("__total"))
+    arr = lines_col(src)
+    drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
+    kept = F.filter(arr, lambda x, i: ~F.array_contains(drop_arr, i))
     return (
-        totals.join(rebuilt, on=id_col, how="left")
+        df.join(drops, on=id_col, how="left")
+        .select(F.col(id_col), F.size(arr).alias("__total"),
+                kept.alias("__kept"))
         .select(
             F.col(id_col),
-            F.coalesce(F.col("__clean"), F.lit("")).alias(field),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("__total") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long").alias("n_dropped"),
+            F.array_join(F.col("__kept"), "\n").alias(field),
+            F.size("__kept").cast("long").alias("n_kept"),
+            (F.col("__total") - F.size("__kept")).cast("long")
+            .alias("n_dropped"),
         )
     )
 
@@ -377,6 +381,8 @@ def url_filter_op(
             .withColumn(assign, (F.col("host") != "") & ~blocked))
 
 
+#: output schema for the default ``id_col='doc_id'`` over a bigint id;
+#: :func:`main_content_op` derives the actual schema from its inputs
 MAIN_CONTENT_SCHEMA = (
     "doc_id bigint, main_text string, main_tag string, text_len int, "
     "link_density double"
@@ -394,11 +400,22 @@ def main_content_op(df: DataFrame, conf: dict | None = None,
     contribute.  The step between raw crawl HTML and everything in
     this module.
 
+    The id column keeps its input NAME and TYPE in the output (the
+    schema is built from ``df``'s own ``id_col`` field, so string or
+    int ids both pass through unchanged).  Rows whose ``field`` is
+    NULL carry no parseable page and are DROPPED from the output —
+    filter them upstream if they must be accounted for.
+
     Python DOM work, Arrow-batched via mapInPandas (one batch of pages
     per task) — row-local, shuffle-free, scan-parallel at 100 TB."""
     import pandas as pd
 
     conf = conf or {}
+    field = conf.get("field", field)
+    id_col = conf.get("id_col", id_col)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, main_text string, main_tag string, "
+              "text_len int, link_density double")
 
     def run(batches):
         from riko_spark.functions.readability import extract_main
@@ -412,10 +429,10 @@ def main_content_op(df: DataFrame, conf: dict | None = None,
                 rows.append((rid, r["main_text"], r["main_tag"],
                              r["text_len"], r["link_density"]))
             yield pd.DataFrame(rows, columns=[
-                "doc_id", "main_text", "main_tag", "text_len",
+                id_col, "main_text", "main_tag", "text_len",
                 "link_density"])
 
-    return df.mapInPandas(run, MAIN_CONTENT_SCHEMA)
+    return df.mapInPandas(run, schema)
 
 
 @register("host_stats", kind="operator", sub_kind="aggregator")

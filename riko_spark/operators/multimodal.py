@@ -518,7 +518,7 @@ def audio_fingerprint_op(df: DataFrame, conf: dict | None = None,
                          frames: int = 8, bands: int = 9,
                          on_undecodable: str = "skip") -> DataFrame:
     """Chromaprint-style 64-bit acoustic fingerprint over REAL decoded
-    PCM (functions/wavcodec.py): the mono downmix is cut into
+    PCM (WAV or FLAC, :func:`decode_audio`): the mono downmix is cut into
     ``frames`` equal time frames, each frame's rFFT power is summed
     into ``bands`` equal-width frequency bands, and bit ``t*(bands-1)
     + b`` is 1 iff ``E[t][b+1] > E[t][b]`` (spectral-gradient sign,
