@@ -12,10 +12,14 @@ min) and (2) a shortcut step (``label(x) <- label(label(x))``, one
 self-join), the combination the published parallel-CC family
 (Shiloach-Vishkin; Kiveris et al.'s large-star/small-star) uses to
 converge in O(log n) rounds rather than O(diameter).  Rounds are
-driven from the driver with a changed-label count as the
-convergence test — the one deliberately iterative operator in the
-engine (CC has no one-shot DataFrame form), with per-round cost of
-two shuffles on (id, label) pairs and a hard ``max_rounds`` backstop.
+driven from the driver; convergence is a per-row ``__chg`` flag fused
+into the round's own plan (previous label threaded through the
+neighbor-min aggregation), so the per-round driver work is ONE
+checkpoint action plus a limit-1 ``isEmpty`` scan of the checkpointed
+partitions — no extra new-vs-old join, no full count.  The one
+deliberately iterative operator in the engine (CC has no one-shot
+DataFrame form), with per-round cost of two shuffles on (id, label)
+pairs and a hard ``max_rounds`` backstop.
 
 At 100 TB the labels relation is one long/long pair per node and each
 round is a pair of hash joins Catalyst plans normally — checkpointing
@@ -69,27 +73,36 @@ def connected_components_op(
         ids = ids.union(nodes.select(F.col(id_col).alias("id")))
     labels = ids.distinct().select("id", F.col("id").alias("label"))
 
+    label_type = dict(labels.dtypes)["label"]
     for _ in range(max_rounds):
-        # neighbor-min: smallest label in the closed neighborhood
+        # neighbor-min: smallest label in the closed neighborhood.
+        # The PREVIOUS label is threaded through the aggregation (the
+        # edges branch contributes NULL; max() recovers the one
+        # non-null per id from the labels branch), so the convergence
+        # test below needs no extra new-vs-old join — the change flag
+        # rides the round's own plan and the check is a limit-1 scan
+        # of the already-checkpointed partitions instead of a full
+        # join + count action per round.
         nbr = (
             edges.join(labels, edges.b == labels.id)
-            .select(F.col("a").alias("id"), "label")
-            .union(labels)
-            .groupBy("id").agg(F.min("label").alias("label"))
+            .select(F.col("a").alias("id"), "label",
+                    F.lit(None).cast(label_type).alias("__old"))
+            .union(labels.select("id", "label",
+                                 F.col("label").alias("__old")))
+            .groupBy("id").agg(F.min("label").alias("label"),
+                               F.max("__old").alias("__old"))
         )
         # shortcut (pointer doubling): label(x) <- label(label(x))
         lab2 = nbr.select(F.col("id").alias("lid"),
                           F.col("label").alias("llabel"))
+        final = F.coalesce("llabel", "label")
         new = (
             nbr.join(lab2, nbr.label == lab2.lid, "left")
-            .select("id", F.coalesce("llabel", "label").alias("label"))
+            .select("id", final.alias("label"),
+                    (final != F.col("__old")).alias("__chg"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new.alias("n").join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label")).count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.select("id", "label")
+        if new.where("__chg").isEmpty():
             break
     else:
         raise RuntimeError(

@@ -111,3 +111,25 @@ def test_resolve_id_col_named_id(spark):
     out = {r["id"]: r["keep"] for r in rows(
         neardup_resolve_op(docs, {"id_col": "id"}, pairs=pairs))}
     assert out == {0: True, 1: False, 2: True}
+
+
+def test_convergence_check_is_fused_not_a_join_count(spark):
+    # round-7 rework: the per-round convergence test is a __chg flag
+    # computed INSIDE the round's plan (previous label threaded through
+    # the neighbor-min aggregation) + a limit-1 isEmpty scan of the
+    # checkpointed result — not a new-vs-old join + full count.  Audit
+    # via the status tracker: the 64-chain (7 rounds at local[4])
+    # measured 80 driver jobs with the join+count loop and 60 with the
+    # fused check; assert the budget stays in the fused regime.
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"cc-audit-{uuid.uuid4().hex}"
+    sc.setJobGroup(group, "cc job audit")
+    try:
+        got = _components(spark, [(i, i + 1) for i in range(63)])
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert set(got.values()) == {0} and len(got) == 64
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 72, f"CC loop regressed to {len(jobs)} driver jobs"
