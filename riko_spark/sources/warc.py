@@ -11,10 +11,12 @@ Scale shape: the parallel unit is the archive file (Common Crawl ships
 ~64k files per snapshot), read through Spark's ``binaryFile`` source —
 one Arrow batch of archive blobs per task, records exploded inside
 ``mapInPandas`` (:func:`warc_records`).  For single huge archives the
-per-member gzip layout additionally allows offset-sharded reads; that
-needs an offset index (CC publishes one) and is documented rather than
-implemented — the file-granularity path already saturates a cluster on
-a real snapshot.
+per-member gzip layout additionally allows offset-sharded reads from a
+member index (CC publishes one): :func:`warc_records_sharded` groups
+the index into byte-balanced shards and each task seeks + parses its
+ranges with the same kernel, so one archive spreads across a cluster;
+:func:`warc_member_index` computes an index for archives that ship
+without one.
 
 The writer half (:func:`build_warc`) exists for fixture generation
 only and is not the parser run backwards (it formats headers from a
@@ -205,6 +207,131 @@ def warc_stream(spark, path: str, keep_types: tuple[str, ...] | None = None,
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("content").withColumnRenamed(
         "content", "blob")
+    return warc_extract(files, keep_types=keep_types)
+
+
+def warc_member_index(data: bytes) -> list[tuple[int, int]]:
+    """Compute the ``(offset, length)`` member index of an archive —
+    gzip member boundaries for a .warc.gz (the layout Common Crawl's
+    published cdx index encodes), record boundaries for an
+    uncompressed archive.  O(archive) single pass: for fixtures and
+    for archives that ship without an index; a real CC pipeline reads
+    the published index instead of rescanning.
+
+    Uncompressed record lengths absorb the trailing inter-record CRLF
+    pairs so consecutive entries tile the file contiguously (shard
+    grouping can then merge neighbors into one seek)."""
+    out: list[tuple[int, int]] = []
+    n = len(data)
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < n:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                d.decompress(data[pos:])
+                d.flush()
+            except zlib.error as e:
+                raise ValueError(f"WARC: corrupt gzip member: {e}") from e
+            consumed = n - pos - len(d.unused_data)
+            if consumed <= 0:
+                raise ValueError("WARC: corrupt gzip member")
+            out.append((pos, consumed))
+            pos += consumed
+        return out
+    pos = 0
+    while pos < n:
+        start = pos
+        hend = data.find(_CRLF + _CRLF, pos)
+        if hend < 0:
+            raise ValueError("WARC: truncated header block")
+        if not data[pos:].startswith(b"WARC/"):
+            raise ValueError(f"WARC: bad version line {data[pos:pos+20]!r}")
+        length = None
+        for line in data[pos:hend].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                length = int(v)
+        if length is None:
+            raise ValueError("WARC: missing/invalid Content-Length")
+        end = hend + 4 + length
+        if end > n:
+            raise ValueError("WARC: truncated content block")
+        while end + 2 <= n and data[end: end + 2] == _CRLF:
+            end += 2
+        out.append((start, end - start))
+        pos = end
+    return out
+
+
+def _group_ranges(index, num_shards: int) -> list[list[tuple[int, int]]]:
+    """Group index entries, preserving order, into <= ``num_shards``
+    byte-balanced shards; adjacent entries that tile contiguously are
+    merged into one seek range, so the typical shard is a single
+    (offset, length) read."""
+    idx = sorted((int(o), int(ln)) for o, ln in index)
+    if not idx:
+        return []
+    num_shards = max(1, min(int(num_shards), len(idx)))
+    target = sum(ln for _, ln in idx) / num_shards
+    shards: list[list[tuple[int, int]]] = [[]]
+    acc = 0
+    for o, ln in idx:
+        cur = shards[-1]
+        if acc >= target and len(shards) < num_shards:
+            shards.append([(o, ln)])
+            acc = ln
+            continue
+        if cur and cur[-1][0] + cur[-1][1] == o:
+            cur[-1] = (cur[-1][0], cur[-1][1] + ln)
+        else:
+            cur.append((o, ln))
+        acc += ln
+    return shards
+
+
+def warc_records_sharded(spark, file_path: str, index,
+                         num_shards: int | None = None,
+                         keep_types: tuple[str, ...] | None = None):
+    """Offset-sharded read of ONE large WARC archive: Common Crawl
+    gzips each record as its own member precisely so an archive can be
+    read in parallel from member offsets, and publishes the
+    ``(offset, length)`` index this function consumes (compute one
+    with :func:`warc_member_index` when none ships).
+
+    The index is metadata (~16 bytes/record) and is grouped
+    DRIVER-side into ``num_shards`` byte-balanced shards of merged
+    contiguous ranges; each task seeks to its ranges and parses them
+    with the same :func:`parse_warc` / ``_inflate_members`` kernel as
+    the whole-file path — ranges start on member/record boundaries, so
+    a shard can never split a record.  This is the scale path for the
+    single-huge-archive layout the file-granularity
+    :func:`warc_records` source cannot parallelize."""
+    import pandas as pd
+
+    if num_shards is None:
+        num_shards = spark.sparkContext.defaultParallelism
+    shards = _group_ranges(index, num_shards)
+    rows = [(file_path, [o for o, _ in s], [ln for _, ln in s])
+            for s in shards]
+    ranges = spark.createDataFrame(
+        rows, "path string, offsets array<bigint>, lengths array<bigint>")
+
+    def read_ranges(batches):
+        for pdf in batches:
+            blobs = []
+            for p, offs, lens in zip(pdf["path"], pdf["offsets"],
+                                     pdf["lengths"]):
+                p = p[5:] if p.startswith("file:") else p
+                buf = bytearray()
+                with open(p, "rb") as fh:
+                    for o, ln in zip(offs, lens):
+                        fh.seek(int(o))
+                        buf += fh.read(int(ln))
+                blobs.append(buf)
+            yield pd.DataFrame({"blob": blobs})
+
+    files = ranges.repartition(max(1, len(rows))).mapInPandas(
+        read_ranges, "blob binary")
     return warc_extract(files, keep_types=keep_types)
 
 

@@ -189,3 +189,80 @@ def test_corrupt_gzip_member_raises_valueerror():
     raw[15] ^= 0xFF  # corrupt the deflate stream mid-member
     with pytest.raises(ValueError, match="gzip"):
         list(parse_warc(bytes(raw)))
+
+
+def _mk_records(n):
+    return [{
+        "warc_type": "response",
+        "uri": f"http://s.example/{i}",
+        "date": "2026-01-01T00:00:00Z",
+        "content_type": "application/http; msgtype=response",
+        "content": b"HTTP/1.1 200 OK\r\n\r\n" + f"<html>doc {i}</html>".encode(),
+    } for i in range(n)]
+
+
+def test_member_index_tiles_gzip_and_plain_archives():
+    from riko_spark.sources.warc import warc_member_index
+
+    for gz in (True, False):
+        blob = build_warc(_mk_records(7), gzip_members=gz)
+        idx = warc_member_index(blob)
+        assert len(idx) == 7
+        # entries tile the archive contiguously, in order
+        pos = 0
+        for off, ln in idx:
+            assert off == pos and ln > 0
+            pos += ln
+        assert pos == len(blob)
+        # each entry parses standalone to exactly its record
+        recs = list(parse_warc(blob[idx[3][0]: idx[3][0] + idx[3][1]]))
+        assert len(recs) == 1
+        assert recs[0]["warc_target_uri"] == "http://s.example/3"
+
+
+def test_member_index_rejects_corrupt_archives():
+    from riko_spark.sources.warc import warc_member_index
+
+    with pytest.raises(ValueError, match="version line"):
+        warc_member_index(b"NOT A WARC\r\n\r\n")
+    good = build_warc(_mk_records(1))
+    with pytest.raises(ValueError, match="truncated"):
+        warc_member_index(good[:-30])
+
+
+def test_group_ranges_merges_contiguous_and_balances():
+    from riko_spark.sources.warc import _group_ranges
+
+    # contiguous 10-byte entries -> 3 shards, each ONE merged range
+    idx = [(i * 10, 10) for i in range(9)]
+    shards = _group_ranges(idx, 3)
+    assert shards == [[(0, 30)], [(30, 30)], [(60, 30)]]
+    # a gap breaks the merge but stays within one shard
+    shards = _group_ranges([(0, 10), (20, 10)], 1)
+    assert shards == [[(0, 10), (20, 10)]]
+    # never more shards than entries
+    assert len(_group_ranges([(0, 10)], 8)) == 1
+
+
+def test_sharded_read_matches_whole_file(spark, tmp_path):
+    from riko_spark.sources.warc import (
+        warc_member_index,
+        warc_records,
+        warc_records_sharded,
+    )
+
+    for gz, name in ((True, "big.warc.gz"), (False, "big.warc")):
+        blob = build_warc(_mk_records(11), gzip_members=gz)
+        p = tmp_path / name
+        p.write_bytes(blob)
+        idx = warc_member_index(blob)
+        whole = sorted(
+            (r["warc_target_uri"], bytes(r["payload"]))
+            for r in rows(warc_records(spark, str(tmp_path)))
+            if r["warc_target_uri"].startswith("http://s.example/"))
+        sharded = sorted(
+            (r["warc_target_uri"], bytes(r["payload"]))
+            for r in rows(warc_records_sharded(spark, str(p), idx,
+                                               num_shards=3)))
+        assert len(sharded) == 11 and sharded == whole
+        p.unlink()
