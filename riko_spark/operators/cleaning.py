@@ -391,7 +391,8 @@ MAIN_CONTENT_SCHEMA = (
 
 @register("main_content")
 def main_content_op(df: DataFrame, conf: dict | None = None,
-                    field: str = "html", id_col: str = "doc_id") -> DataFrame:
+                    field: str = "html", id_col: str = "doc_id",
+                    keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """DOM-level boilerplate removal: parse each page with the
     html5-lite DOM and keep the block container with the highest
     ``text_len * (1 - link_density)`` score (functions/readability.py)
@@ -402,7 +403,9 @@ def main_content_op(df: DataFrame, conf: dict | None = None,
 
     The id column keeps its input NAME and TYPE in the output (the
     schema is built from ``df``'s own ``id_col`` field, so string or
-    int ids both pass through unchanged).  Rows whose ``field`` is
+    int ids both pass through unchanged); ``keep_cols`` names further
+    input columns to carry through unchanged (e.g. the event-time
+    column a downstream watermark needs).  Rows whose ``field`` is
     NULL carry no parseable page and are DROPPED from the output —
     filter them upstream if they must be accounted for.
 
@@ -413,23 +416,27 @@ def main_content_op(df: DataFrame, conf: dict | None = None,
     conf = conf or {}
     field = conf.get("field", field)
     id_col = conf.get("id_col", id_col)
-    id_type = df.schema[id_col].dataType.simpleString()
-    schema = (f"{id_col} {id_type}, main_text string, main_tag string, "
-              "text_len int, link_density double")
+    keep_cols = tuple(conf.get("keep_cols", keep_cols))
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{c} {types[c]}" for c in (id_col, *keep_cols)]
+        + ["main_text string", "main_tag string", "text_len int",
+           "link_density double"])
 
     def run(batches):
         from riko_spark.functions.readability import extract_main
 
         for pdf in batches:
             rows = []
-            for rid, h in zip(pdf[id_col], pdf[field]):
+            for rid, *extras, h in zip(
+                    pdf[id_col], *(pdf[c] for c in keep_cols), pdf[field]):
                 if h is None:
                     continue
                 r = extract_main(h if isinstance(h, str) else bytes(h))
-                rows.append((rid, r["main_text"], r["main_tag"],
+                rows.append((rid, *extras, r["main_text"], r["main_tag"],
                              r["text_len"], r["link_density"]))
             yield pd.DataFrame(rows, columns=[
-                id_col, "main_text", "main_tag", "text_len",
+                id_col, *keep_cols, "main_text", "main_tag", "text_len",
                 "link_density"])
 
     return df.mapInPandas(run, schema)
