@@ -911,6 +911,64 @@ def q_crawl_pipeline(spark, sf):
     )
 
 
+def q_stream_corpus_batch(spark, sf):
+    """Batch twin of the round-7 streaming crawl capstone
+    (riko_spark/streaming/corpus.py:clean_corpus — the EXACT pipeline
+    expression the stream runs): planted WARC response records (url
+    from the shared _URL_SQL expression, page from _CRAWL_HTML_SQL,
+    mixed gzip layouts) -> URL domain gate -> DOM main-content
+    extraction -> C4 doc gate -> content-keyed exact dedupe.  Docs on
+    doc_id % 5 == 0 recur at a second, never-blocked mirror URL with
+    IDENTICAL page bytes, so (a) the dedupe must collapse each pair
+    and (b) blocked-host content with a clean mirror must survive via
+    the mirror.  Output is projected to content columns only
+    (md5(text), n_words, n_sentences) — identical for every member of
+    a dup group, so the comparison is independent of which URL the
+    batch dedupe happens to keep; the oracle recomputes survival
+    (url-gate OR mirror), the gate arithmetic, and the distinct-text
+    collapse analytically from the documents table."""
+    from riko_spark.sources.warc import warc_extract
+    from riko_spark.streaming.corpus import clean_corpus
+
+    base = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.expr(_URL_SQL).alias("url"),
+        F.expr(_CRAWL_HTML_SQL).alias("html"))
+    dups = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("https://mirror.example.net/copy/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "html")
+    pages = base.unionByName(dups)
+
+    def gen(batches):
+        import pandas as pd
+
+        from riko_spark.sources.warc import build_warc
+
+        for pdf in batches:
+            rows = []
+            for i, (u, h) in enumerate(zip(pdf["url"], pdf["html"])):
+                blob = build_warc([{
+                    "warc_type": "response",
+                    "uri": u,
+                    "date": "2026-01-01T00:00:00Z",
+                    "content_type": "application/http; msgtype=response",
+                    "content": b"HTTP/1.1 200 OK\r\n\r\n" + h.encode(),
+                }], gzip_members=(i % 2 == 0))
+                rows.append((bytearray(blob),))
+            yield pd.DataFrame(rows, columns=["blob"])
+
+    recs = warc_extract(pages.mapInPandas(gen, "blob binary"),
+                        keep_types=("response",))
+    out = clean_corpus(recs, {
+        "blocked_domains": ["spam-site.com", "tracker.net"],
+        "dedupe_mode": "exact",
+    })
+    return out.select(F.md5("text").alias("clean_md5"),
+                      "n_words", "n_sentences")
+
+
 def q_host_stats(spark, sf):
     """CCNet-style per-host curation view: document count, mean
     length, and quality-gate pass count per host over the planted URL
@@ -2102,103 +2160,43 @@ def q_pipe_graph(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is the per-round ROTATION of the driver's 50-entry
-    # correctness gate (it verifies the first 50 entries).  Round-6
-    # rotation (standing judge ask): the 24 filter/sort/count/union/
-    # uniq/regex/CEP-adjacent entries that sat past the gate in round 5
-    # (driver-green r04) LEAD so every query's green row is at most one
-    # round old; then the NEW round-6 queries (real JPEG decode, image
-    # near-dup); then every operator whose code changed this round
-    # (CEP streaming id contract, media decode dispatch); then the
-    # heavyweight dedupe/ANN/streaming ops.  Past position 50: entries
-    # with fresh CORRECTNESS_r05 green rows and unchanged code.
+    # correctness gate (it verifies the first 50 entries).  Round-7
+    # rotation (standing judge ask): every operator whose CODE changed
+    # this round LEADS — the NEW streaming-capstone batch twin, the
+    # line_dedupe boilerplate-proportional reassembly rewrite (and
+    # corpus_pipeline, which runs it), main_content/crawl_pipeline
+    # (id_col-derived schema + keep_cols pass-through), neardup_clusters
+    # (fused CC convergence check in graph.py), audio_features_flac
+    # (unknown-total_samples decode) — then 43 of the 49 entries that
+    # sat past the round-6 gate (driver-green r05 or earlier, judge
+    # re-verified r6), so their green rows refresh.  Past position 50:
+    # dateformat/datebuilder/subelement/urlbuilder/urlparse/itembuilder
+    # (r05 driver-green, code unchanged, first under the gate next
+    # round) and the 44 unchanged entries with fresh CORRECTNESS_r06
+    # green rows — ALL 100 entries re-verified via a full
+    # tools/check_oracle.py run at sf0.01 this session (see BENCH.md
+    # round-7 notes).
     return {
-        # -- r05 tail: rotate back under the gate --
-        "uniq_limited": q_uniq_limited,
-        "salted_count": q_salted_count,
-        "filter": q_filter,
-        "filter_or_block": q_filter_or_block,
-        "sort_truncate": q_sort_truncate,
-        "truncate": q_truncate,
-        "count": q_count,
-        "count_group": q_count_group,
-        "sum_group": q_sum_group,
-        "union": q_union,
-        "uniq": q_uniq,
-        "join": q_join,
-        "regex": q_regex,
-        "rename": q_rename,
-        "union_ragged": q_union_ragged,
-        "regex_casematch": q_regex_casematch,
-        "sliding_count": q_sliding_count,
-        "first_k_per_key": q_first_k_per_key,
-        # -- NEW round 6: real baseline JPEG entropy decode + banded
-        #    perceptual image near-dup --
-        "image_features_jpeg": q_image_features_jpeg,
-        "image_features_jpeg_prog": q_image_features_jpeg_prog,
-        "image_features_tiff": q_image_features_tiff,
-        "image_neardup": q_image_neardup,
-        # -- NEW round 6 (this session): web-corpus cleaning family --
-        "c4_line_filter": q_c4_line_filter,
-        "c4_doc_filter": q_c4_doc_filter,
+        # -- code changed round 7 + the new capstone batch twin --
+        "stream_corpus_batch": q_stream_corpus_batch,
         "line_dedupe": q_line_dedupe,
         "corpus_pipeline": q_corpus_pipeline,
-        "ngram_contamination": q_ngram_contamination,
-        "warc_ingest": q_warc_ingest,
-        "url_filter": q_url_filter,
         "main_content": q_main_content,
-        "pack_sequences": q_pack_sequences,
         "crawl_pipeline": q_crawl_pipeline,
         "neardup_clusters": q_neardup_clusters,
-        "host_stats": q_host_stats,
-        "audio_neardup": q_audio_neardup,
         "audio_features_flac": q_audio_features_flac,
-        # -- code changed round 6: CEP streaming id/ts contract,
-        #    image decode dispatch (jpegcodec behind decode_image) --
-        "sequence_match": q_sequence_match,
-        "absence_match": q_absence_match,
-        "image_features": q_image_features,
-        "image_features_gif": q_image_features_gif,
-        "media_metadata": q_media_metadata,
-        "audio_features": q_audio_features,
-        "audio_features_zcr": q_audio_features_zcr,
-        "audio_features_g711": q_audio_features_g711,
-        "audio_features_float": q_audio_features_float,
-        "audio_features_adpcm": q_audio_features_adpcm,
-        "video_frames": q_video_frames,
-        "video_frames_mjpeg": q_video_frames_mjpeg,
-        "video_frames_gif": q_video_frames_gif,
-        "frame_sample": q_frame_sample,
-        # -- past the 50-entry gate: image_features_real (PNG/BMP
-        #    kernels untouched since their CORRECTNESS_r05 green rows)
-        #    and image_dhash (kernel unchanged; the gated image_neardup
-        #    runs image_dhash_op directly, and the shared decode_image
-        #    dispatch is exercised by the gated JPEG/TIFF/GIF rows);
-        #    both also re-verified via tools/check_oracle.py this
-        #    session --
+        # -- r06 tail rotated back under the gate --
         "image_features_real": q_image_features_real,
         "image_dhash": q_image_dhash,
-        # -- sequence_match_alt/quant/threshold_match: CORRECTNESS_r05
-        #    green; these drive the BATCH CEP path, which round 6 did
-        #    not touch (the r6 CEP fixes were in the streaming ingest
-        #    loops, covered by the stream≡batch parity suite + the
-        #    gated sequence_match/absence rows); all three re-verified
-        #    via tools/check_oracle.py this session --
         "sequence_match_alt": q_sequence_match_alt,
         "sequence_match_quant": q_sequence_match_quant,
         "threshold_match": q_threshold_match,
-        # -- aggregate_udaf / fingerprint / topk_per_group /
-        #    repetition_stats / pii_scrub / strfind_last: code
-        #    unchanged since their r04 driver greens (judge re-verified
-        #    each r5; pytest covers every path); yielded their slots to
-        #    this round's 25 new queries and re-verified via
-        #    tools/check_oracle.py this session --
         "aggregate_udaf": q_aggregate_udaf,
         "fingerprint": q_fingerprint,
         "topk_per_group": q_topk_per_group,
         "repetition_stats": q_repetition,
         "pii_scrub": q_pii_scrub,
         "strfind_last": q_strfind_last,
-        # -- heavyweight LLM-pipeline / streaming ops --
         "exact_dedupe": q_exact_dedupe,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -2211,8 +2209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "pipe_graph": q_pipe_graph,
         "windowed_count": q_windowed_count,
-        # -- past position 50: driver-green in CORRECTNESS_r05,
-        #    code unchanged this round --
         "session_windows": q_session_windows,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -2233,12 +2229,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_md5": q_hash_md5,
         "typecast": q_typecast,
         "simplemath": q_simplemath,
+        # -- past the 50-entry gate: the last six r06-tail entries
+        #    (r05 driver-green, code unchanged since; they lead the
+        #    rotation next round) --
         "dateformat": q_dateformat,
         "datebuilder": q_datebuilder,
         "subelement": q_subelement,
         "urlbuilder": q_urlbuilder,
         "urlparse": q_urlparse,
         "itembuilder": q_itembuilder,
+        # -- r06 head: driver-green in CORRECTNESS_r06 (one round old),
+        #    code unchanged this round --
+        "uniq_limited": q_uniq_limited,
+        "salted_count": q_salted_count,
+        "filter": q_filter,
+        "filter_or_block": q_filter_or_block,
+        "sort_truncate": q_sort_truncate,
+        "truncate": q_truncate,
+        "count": q_count,
+        "count_group": q_count_group,
+        "sum_group": q_sum_group,
+        "union": q_union,
+        "uniq": q_uniq,
+        "join": q_join,
+        "regex": q_regex,
+        "rename": q_rename,
+        "union_ragged": q_union_ragged,
+        "regex_casematch": q_regex_casematch,
+        "sliding_count": q_sliding_count,
+        "first_k_per_key": q_first_k_per_key,
+        "image_features_jpeg": q_image_features_jpeg,
+        "image_features_jpeg_prog": q_image_features_jpeg_prog,
+        "image_features_tiff": q_image_features_tiff,
+        "image_neardup": q_image_neardup,
+        "c4_line_filter": q_c4_line_filter,
+        "c4_doc_filter": q_c4_doc_filter,
+        "ngram_contamination": q_ngram_contamination,
+        "warc_ingest": q_warc_ingest,
+        "url_filter": q_url_filter,
+        "pack_sequences": q_pack_sequences,
+        "host_stats": q_host_stats,
+        "audio_neardup": q_audio_neardup,
+        "sequence_match": q_sequence_match,
+        "absence_match": q_absence_match,
+        "image_features": q_image_features,
+        "image_features_gif": q_image_features_gif,
+        "media_metadata": q_media_metadata,
+        "audio_features": q_audio_features,
+        "audio_features_zcr": q_audio_features_zcr,
+        "audio_features_g711": q_audio_features_g711,
+        "audio_features_float": q_audio_features_float,
+        "audio_features_adpcm": q_audio_features_adpcm,
+        "video_frames": q_video_frames,
+        "video_frames_mjpeg": q_video_frames_mjpeg,
+        "video_frames_gif": q_video_frames_gif,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -3569,6 +3614,41 @@ def oracle_sql() -> dict[str, str]:
                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
                     AND n_sentences >= 3) AS keep
             FROM sig
+        """),
+        "stream_corpus_batch": (
+            r"""
+            WITH t AS (
+                -- URL-gate survival: the planted url passes (host not
+                -- on a blocked residue class), OR the doc recurs at
+                -- the never-blocked mirror (doc_id % 5 = 0); the
+                -- dedupe then collapses mirror pairs, so survivors
+                -- contribute exactly one content row each
+                SELECT doc_id, """ + _CRAWL_TEXT_SQL + r""" AS text
+                FROM documents
+                WHERE doc_id < 200
+                  AND (NOT (doc_id % 7 IN (0, 1, 2)) OR doc_id % 5 = 0)
+            ),
+            s AS (
+                SELECT text,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM t
+            ),
+            sig AS (
+                SELECT md5(text) AS clean_md5,
+                       CAST(len(toks) AS INT) AS n_words,
+                       round(CAST(list_aggregate(list_transform(toks,
+                           x -> length(x)), 'sum') AS DOUBLE)
+                           / len(toks), 6) AS mean_word_len,
+                       CAST(len(regexp_extract_all(text, '[.!?]')) AS INT)
+                           AS n_sentences
+                FROM s
+            )
+            SELECT DISTINCT clean_md5, n_words, n_sentences
+            FROM sig
+            WHERE n_words >= 50 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND n_sentences >= 3
         """),
         "host_stats": (
             r"""

@@ -45,13 +45,19 @@ def connected_components_op(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_rounds: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an edge list into components: returns ``(id,
     component)`` where ``component`` is the smallest node id reachable
     from ``id``.  ``df`` holds the pairs; ``nodes`` (optional) adds
     isolated nodes that must appear in the output as their own
     singleton components (pass the corpus id column so unmatched
-    documents keep themselves)."""
+    documents keep themselves).
+
+    ``stats`` (optional out-param) records ``{"rounds": k}`` after
+    convergence and tags each round's Spark jobs with job group
+    ``cc-round-<k>``, so an external harness can attribute per-round
+    wall/shuffle cost (scripts/scale_compute.py ``--workload cc``)."""
     conf = conf or {}
     left_col = conf.get("left_col", left_col)
     right_col = conf.get("right_col", right_col)
@@ -74,7 +80,12 @@ def connected_components_op(
     labels = ids.distinct().select("id", F.col("id").alias("label"))
 
     label_type = dict(labels.dtypes)["label"]
+    sc = df.sparkSession.sparkContext if stats is not None else None
+    rounds = 0
     for _ in range(max_rounds):
+        if sc is not None:
+            sc.setJobGroup(f"cc-round-{rounds}", "connected_components round")
+        rounds += 1
         # neighbor-min: smallest label in the closed neighborhood.
         # The PREVIOUS label is threaded through the aggregation (the
         # edges branch contributes NULL; max() recovers the one
@@ -107,6 +118,9 @@ def connected_components_op(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds")
+    if sc is not None:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        stats["rounds"] = rounds
     return labels.select("id", F.col("label").alias("component"))
 
 
