@@ -1061,6 +1061,53 @@ def q_warc_ingest(spark, sf):
     )
 
 
+def q_warc_sharded(spark, sf):
+    """Offset-sharded read of ONE large archive (round 7,
+    sources/warc.py:warc_records_sharded): all 200 planted records are
+    packed into a single .warc.gz (one gzip member per record, the CC
+    layout), the member index is computed with warc_member_index, and
+    the archive is read in 8 byte-balanced shards — each task seeks to
+    its merged ranges and parses them with the same kernel as the
+    whole-file path.  Same projection and SAME analytic oracle as
+    warc_ingest, so a shard boundary splitting or dropping a record
+    surfaces as a value mismatch."""
+    import hashlib
+    import os
+    import tempfile
+
+    from riko_spark.sources.warc import (
+        build_warc,
+        warc_member_index,
+        warc_records_sharded,
+    )
+
+    rows = (_t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+            .select("doc_id", "text").orderBy("doc_id").collect())
+    blob = build_warc([{
+        "warc_type": "response",
+        "uri": f"http://doc.example/{int(r['doc_id'])}",
+        "date": "2026-01-01T00:00:00Z",
+        "content_type": "application/http; msgtype=response",
+        "content": b"HTTP/1.1 200 OK\r\n\r\n" + r["text"].encode(),
+    } for r in rows], gzip_members=True)
+    # content-addressed fixture path: identical input -> identical
+    # file, safe across repeated plan builds
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"riko_spark_sharded_{hashlib.md5(blob).hexdigest()}.warc.gz")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+    recs = warc_records_sharded(spark, path, warc_member_index(blob),
+                                num_shards=8, keep_types=("response",))
+    return recs.select(
+        "warc_target_uri", "content_length", "http_status",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def q_media_metadata(spark, sf):
     """Magic-sniff classification over REAL planted blobs — PNG and BMP
     from the image planting formula, RIFF/WAVE from the audio one, raw
@@ -2185,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pipeline": q_crawl_pipeline,
         "neardup_clusters": q_neardup_clusters,
         "audio_features_flac": q_audio_features_flac,
+        "warc_sharded": q_warc_sharded,
         # -- r06 tail rotated back under the gate --
         "image_features_real": q_image_features_real,
         "image_dhash": q_image_dhash,
@@ -2228,10 +2276,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slugify": q_slugify,
         "hash_md5": q_hash_md5,
         "typecast": q_typecast,
-        "simplemath": q_simplemath,
-        # -- past the 50-entry gate: the last six r06-tail entries
+        # -- past the 50-entry gate: simplemath (r05 driver-green,
+        #    code unchanged, PASS in this session's full
+        #    check_oracle.py run) yields its slot to the new
+        #    warc_sharded entry; then the last six r06-tail entries
         #    (r05 driver-green, code unchanged since; they lead the
         #    rotation next round) --
+        "simplemath": q_simplemath,
         "dateformat": q_dateformat,
         "datebuilder": q_datebuilder,
         "subelement": q_subelement,
@@ -3771,6 +3822,16 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """),
         "warc_ingest": """
+            SELECT 'http://doc.example/' || CAST(doc_id AS STRING)
+                       AS warc_target_uri,
+                   CAST(19 + strlen(text) AS BIGINT) AS content_length,
+                   CAST(200 AS INT) AS http_status,
+                   md5(text) AS payload_md5
+            FROM documents WHERE doc_id < 200
+        """,
+        # same planted records as warc_ingest, read through the
+        # offset-sharded single-archive path
+        "warc_sharded": """
             SELECT 'http://doc.example/' || CAST(doc_id AS STRING)
                        AS warc_target_uri,
                    CAST(19 + strlen(text) AS BIGINT) AS content_length,
