@@ -64,7 +64,34 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("pipe_json")
     comp.add_argument("--name", default="pipeline")
 
+    crawl = sub.add_parser(
+        "crawl",
+        help="streaming crawl capstone: WARC dir -> URL gate -> DOM "
+             "main-content -> C4 gate -> dedupe-within-watermark -> "
+             "exactly-once upsert sink (streaming/corpus.py)")
+    crawl.add_argument("warc_dir", help="directory of .warc / .warc.gz files")
+    crawl.add_argument("--out", required=True, help="upsert-sink table dir")
+    crawl.add_argument("--checkpoint", default=None,
+                       help="stream checkpoint dir (required unless --batch)")
+    crawl.add_argument("--master", default=None)
+    crawl.add_argument("--batch", action="store_true",
+                       help="run the batch twin of the same pipeline "
+                            "(whole-dir read, parquet overwrite to --out)")
+    crawl.add_argument("--watermark", default="30 seconds",
+                       help="dedupe state horizon (event time, warc_ts)")
+    crawl.add_argument("--dedupe-mode", default="simhash",
+                       choices=["simhash", "exact"])
+    crawl.add_argument("--blocked-domains", default="",
+                       help="comma-list domain blocklist")
+    crawl.add_argument("--conf", default=None,
+                       help="JSON dict of C4 gate overrides "
+                            "(min_words, min_sentences, ...)")
+    crawl.add_argument("--max-files-per-trigger", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "crawl":
+        return _crawl(args)
 
     with open(args.pipe_json) as f:
         pipe_def = json.load(f)
@@ -146,6 +173,40 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.out}")
     else:
         out.show(50, truncate=False)
+    spark.stop()
+    return 0
+
+
+def _crawl(args) -> int:
+    """The ``crawl`` subcommand: the streaming capstone under
+    spark-submit (north rule's deployable shape), or its batch twin."""
+    from riko_spark.session import get_spark
+    from riko_spark.streaming.corpus import clean_corpus, run_corpus_stream
+
+    if not args.batch and not args.checkpoint:
+        raise SystemExit("crawl (streaming) requires --checkpoint")
+    conf = json.loads(args.conf) if args.conf else {}
+    if args.blocked_domains:
+        conf.setdefault("blocked_domains",
+                        args.blocked_domains.split(","))
+    conf.setdefault("watermark", args.watermark)
+    conf.setdefault("dedupe_mode", args.dedupe_mode)
+    spark = get_spark(app_name=f"crawl:{args.warc_dir}", master=args.master)
+    if args.batch:
+        from riko_spark.sources.warc import warc_records
+
+        out = clean_corpus(
+            warc_records(spark, args.warc_dir, keep_types=("response",)),
+            conf)
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        q, sink = run_corpus_stream(
+            spark, args.warc_dir, args.out, args.checkpoint, conf=conf,
+            max_files_per_trigger=args.max_files_per_trigger)
+        q.awaitTermination()
+        n = sink.result(spark).count()
+        print(f"upserted {args.out} ({n} rows)")
     spark.stop()
     return 0
 

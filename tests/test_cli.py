@@ -114,3 +114,48 @@ def test_cli_runpipe_stream_mode(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     back = spark.read.parquet(out_dir)
     assert sorted(row["x"] for row in back.collect()) == list(range(3, 10))
+
+
+def test_cli_crawl_subprocess(tmp_path, spark):
+    # the round-7 capstone under the spark-submit CLI shape: streaming
+    # crawl drain, then the batch twin, over the same archives
+    from tests.test_corpus_stream import CONF, T1, T2, T4, _write_fixture
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    _write_fixture(src)
+    conf = json.dumps({k: v for k, v in CONF.items()
+                       if k != "blocked_domains"})
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    r = subprocess.run(
+        [sys.executable, "-m", "riko_spark.cli", "crawl", str(src),
+         "--out", str(tmp_path / "sink"),
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--blocked-domains", "spam.example", "--conf", conf,
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "upserted" in r.stdout and "(3 rows)" in r.stdout
+    got = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "sink" / "gen_*")).select("text").collect()
+    assert sorted(x["text"] for x in got) == sorted([T1, T2, T4])
+
+    rb = subprocess.run(
+        [sys.executable, "-m", "riko_spark.cli", "crawl", str(src),
+         "--out", str(tmp_path / "batch_out"), "--batch",
+         "--blocked-domains", "spam.example", "--conf", conf,
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert rb.returncode == 0, rb.stderr[-2000:]
+    batch = spark.read.parquet(str(tmp_path / "batch_out"))
+    assert sorted(x["text"] for x in batch.select("text").collect()) == \
+        sorted([T1, T2, T4])
+
+
+def test_cli_crawl_stream_requires_checkpoint(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="checkpoint"):
+        main(["crawl", str(tmp_path), "--out", str(tmp_path / "o")])
