@@ -368,7 +368,15 @@ def bench_stream_corpus(spark, warc_dir, n_docs, tmp, files_per_trigger=8):
         q, sink = run_corpus_stream(
             spark, warc_dir, os.path.join(tmp, "sink"),
             os.path.join(tmp, "ckpt"),
-            conf={"min_words": 5, "min_sentences": 0},
+            conf={"min_words": 5, "min_sentences": 0,
+                  # the fixture's per-file timestamps overlap (each
+                  # file restarts near the base epoch), so a short
+                  # watermark would late-drop most of the corpus after
+                  # batch 1; 30 days covers the whole span -> the
+                  # dedupe holds ALL keys in state (the heavier,
+                  # representative regime) and kept_rows is exactly
+                  # the input count
+                  "watermark": "30 days"},
             max_files_per_trigger=files_per_trigger)
         q.awaitTermination(600)
         wall = time.time() - t0
