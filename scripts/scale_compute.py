@@ -36,6 +36,13 @@ small, where raw >=0.8 is physically reachable on one box:
                  zero Python workers — expected to land at the
                  scan/shuffle (DRAM) ceiling like ``pii``, recorded as
                  the regime datapoint for the new operator family.
+* ``crawl``    — the round-7 streaming-capstone pipeline in batch form
+                 over 500k pages re-packed as per-record-gzip WARC
+                 archives: gzip inflate + WARC record walk + DOM
+                 main-content extraction + md5-token SimHash are all
+                 Python/Arrow compute; the gates are native
+                 projections and the only shuffle is the content-key
+                 dedupe — the capstone's compute-bound scaling leg.
 * ``pii``      — the JVM regexp_count/regexp_replace PII-scrub chain
                  over 128x documents (round-6 judge ask #5: a SECOND
                  >=0.8 leg on a different compute-bound workload, this
@@ -81,6 +88,10 @@ FLAC_N = int(os.environ.get("SCALE_FLAC_N", "3200"))
 FLAC_FRAMES = 16384
 #: 600x the 5k-doc table = 3M paged docs; 32-leg ~10 s
 CLEAN_MULT = int(os.environ.get("SCALE_CLEAN_MULT", "600"))
+#: crawl capstone leg: pages re-packed as WARC archives; per-page cost
+#: is Python-side (gzip inflate + WARC parse + DOM extract + simhash)
+#: behind Arrow, so this is the compute-bound leg for the capstone
+CRAWL_N = int(os.environ.get("SCALE_CRAWL_N", "500000"))
 
 
 #: planted connected-components graphs (round-7 judge ask #4): chains
@@ -287,6 +298,19 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
                     .alias("doc_id"), "text")
             .withColumn("text", F.expr(em._PAGED_SQL))
         )
+    elif workload == "crawl":
+        # the capstone's input: CRAWL_N seeded pages (cached fixture)
+        # re-packed ONCE as per-record-gzip WARC archives; both legs
+        # read identical archive bytes
+        from bench import _build_warc_fixture
+        from riko_spark.sources.pages import pages_fixture
+
+        pages = pages_fixture(n=CRAWL_N)
+        path = os.path.join(out_dir, "scale_crawl")
+        os.makedirs(path, exist_ok=True)
+        n = _build_warc_fixture(spark, pages, path, files=64)
+        spark.stop()
+        return path, n
     elif workload in ("simhash", "pii"):
         # per-doc kernel: no joins/groupBys on doc_id, so duplicate ids
         # are harmless — read the same file DOC_MULT times instead of
@@ -343,6 +367,16 @@ def _run_workload(spark, workload: str, path: str):
         out = audio_features_op(d, {"window_frames": FLAC_FRAMES})
         # aggregate over the exact window sums so nothing prunes away
         return out.agg(F.sum("win_sumsq")).collect()[0][0]
+    if workload == "crawl":
+        from riko_spark.sources.warc import warc_records
+        from riko_spark.streaming.corpus import clean_corpus
+
+        recs = warc_records(spark, path, keep_types=("response",))
+        out = clean_corpus(recs, {"min_words": 5, "min_sentences": 0})
+        # aggregate over the pipeline's real output (rows + text bytes
+        # + gate arithmetic) so no stage prunes away
+        return out.agg(F.count(F.lit(1)), F.sum(F.length("text")),
+                       F.sum("n_words")).collect()[0][0]
     if workload == "pii":
         from riko_spark.operators.textstats import pii_scrub_op
 
@@ -420,7 +454,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
                     choices=["cep", "simhash", "pii", "jpeg", "flac",
-                             "clean", "cc"])
+                             "clean", "cc", "crawl"])
     ap.add_argument("--sets", type=int, default=3)
     ap.add_argument("--_leg", dest="leg_workload", default=None)
     ap.add_argument("--_ccleg", dest="cc_leg", default=None)
