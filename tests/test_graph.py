@@ -133,3 +133,15 @@ def test_convergence_check_is_fused_not_a_join_count(spark):
     assert set(got.values()) == {0} and len(got) == 64
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     assert len(jobs) <= 72, f"CC loop regressed to {len(jobs)} driver jobs"
+
+
+def test_stats_out_param_records_rounds(spark):
+    # the scale harness's instrumentation contract: stats records the
+    # convergence round count and job-group tagging is cleared after
+    stats = {}
+    pairs = _pairs(spark, [(i, i + 1) for i in range(7)])
+    got = {r["id"]: r["component"] for r in rows(
+        connected_components_op(pairs, stats=stats))}
+    assert got == {i: 0 for i in range(8)}
+    assert 1 <= stats["rounds"] <= 25
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
