@@ -399,23 +399,59 @@ def simhash64(texts: pd.Series) -> pd.Series:
     (md5 + bit ops), so the driver's DuckDB oracle value-checks this
     kernel end-to-end.  Bit k of the result (k=0 = MSB) is 1 iff the
     sum over token occurrences of ±1 (per the token hash's bit k) is
-    strictly positive."""
+    strictly positive.
+
+    Vectorized across the whole Arrow batch (round 7): one md5 per
+    DISTINCT token (memoized within the batch), a single
+    ``unpackbits`` over every token hash, per-doc ±1 sums via a
+    cumulative-sum segment reduction, and ``packbits`` + an int64
+    bit-reinterpret for the final signatures — the per-token Python/
+    numpy overhead of the row-at-a-time version (~18 µs/token) drops
+    to the md5 cost itself.  Bit-for-bit identical results (the
+    DuckDB oracle and the golden tests pin them)."""
     import hashlib
 
-    def one(t):
+    md5_cache: dict[str, bytes] = {}
+    tok_bytes: list[bytes] = []
+    lengths: list[int] = []
+    null_at: list[bool] = []
+    for t in texts:
         if t is None:
-            return None
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in t.lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-            acc += np.where(bits > 0, 1, -1)
-        val = 0
-        for b in (acc > 0).astype(np.uint8):
-            val = (val << 1) | int(b)
-        return val - (1 << 64) if val >= (1 << 63) else val
-
-    return texts.map(one)
+            null_at.append(True)
+            lengths.append(0)
+            continue
+        null_at.append(False)
+        toks = t.lower().split()
+        lengths.append(len(toks))
+        for tok in toks:
+            b = md5_cache.get(tok)
+            if b is None:
+                b = hashlib.md5(tok.encode()).digest()[:8]
+                md5_cache[tok] = b
+            tok_bytes.append(b)
+    n = len(lengths)
+    lens = np.asarray(lengths, dtype=np.int64)
+    if tok_bytes:
+        bits = np.unpackbits(
+            np.frombuffer(b"".join(tok_bytes), dtype=np.uint8)
+        ).reshape(-1, 64).astype(np.int32)
+        pm = bits * 2 - 1
+        # segment sums per doc: prefix sums sliced at doc boundaries
+        cs = np.vstack([np.zeros((1, 64), dtype=np.int64),
+                        np.cumsum(pm, axis=0, dtype=np.int64)])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        acc = cs[ends] - cs[starts]
+    else:
+        acc = np.zeros((n, 64), dtype=np.int64)
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=1)
+    # big-endian byte reinterpret -> native uint64 -> two's-complement
+    # int64, matching the old (val - 2^64 if val >= 2^63) arithmetic
+    out_vals = np.frombuffer(packed.tobytes(), dtype=">u8").astype(
+        np.uint64).view(np.int64)
+    out = pd.Series(out_vals, index=texts.index, dtype="object")
+    out[np.asarray(null_at)] = None
+    return out
 
 
 @register("simhash")
