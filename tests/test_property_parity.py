@@ -226,3 +226,73 @@ def test_fast_detag_random_html(spark):
         taken += 1
         assert fast == slow(s), repr(s)
     assert taken > 50  # the gate must not reject everything
+
+
+def test_simhash_vectorized_matches_reference_arithmetic(spark):
+    # round-7: simhash64 was batch-vectorized; pin it elementwise
+    # against a straight-line transcription of the published per-doc
+    # arithmetic (md5 token hash, ±1 bit sums, MSB-first packing,
+    # two's complement) over random unicode-ish strings + edge cases
+    import hashlib
+
+    import numpy as np
+
+    def reference(t):
+        if t is None:
+            return None
+        acc = [0] * 64
+        for tok in t.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for k in range(64):
+                acc[k] += 1 if (h >> (63 - k)) & 1 else -1
+        val = 0
+        for k in range(64):
+            val = (val << 1) | (1 if acc[k] > 0 else 0)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    texts = _random_strings(n=250, seed=777, maxlen=80) + [
+        None, "", " ", "x", "X  x\tX", "répé répé ß", "a " * 200]
+    from riko_spark.operators.dedupe import simhash64
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: r["s"] for r in
+           df.select("i", simhash64(F.col("t")).alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == reference(t), (i, t)
+
+
+def test_group_ranges_properties():
+    # invariants of the WARC shard grouper: the shards PARTITION the
+    # index (every byte range covered exactly once, in order), never
+    # exceed num_shards, and merged ranges are genuinely contiguous
+    import random
+
+    from riko_spark.sources.warc import _group_ranges
+
+    rng = random.Random(99)
+    for trial in range(200):
+        n = rng.randrange(1, 40)
+        pos, idx = rng.randrange(0, 50), []
+        for _ in range(n):
+            ln = rng.randrange(1, 500)
+            idx.append((pos, ln))
+            pos += ln + (rng.randrange(0, 30) if rng.random() < 0.3 else 0)
+        shards = _group_ranges(idx, rng.randrange(1, 10))
+        assert 1 <= len(shards) <= min(9, n)
+        flat = []
+        for s in shards:
+            for off, ln in s:
+                flat.append((off, ln))
+        # reconstruct the original entries from the merged ranges
+        covered = []
+        starts = {o: ln for o, ln in sorted(idx)}
+        for off, ln in flat:
+            end = off + ln
+            cur = off
+            while cur < end:
+                assert cur in starts, (trial, cur)
+                covered.append((cur, starts[cur]))
+                cur += starts[cur]
+            assert cur == end
+        assert covered == sorted(idx)
