@@ -187,8 +187,9 @@ def line_dedupe_op(
     ``min_docs`` DISTINCT documents — navigation bars, cookie
     banners, share buttons, footers.
 
-    100 TB shape — NO line text ever crosses an exchange; every
-    shuffled relation is boilerplate- or hash-proportional:
+    100 TB shape — line text never enters an aggregation or the
+    frequency/hit joins; in the typical regime (docs with boilerplate
+    hits ≪ corpus) no text crosses any exchange at all:
 
     1. ``posexplode`` the trimmed lines and immediately project each
        occurrence down to ``(doc, pos, xxhash64(line))`` — 20 bytes —
