@@ -235,16 +235,29 @@ def line_dedupe_op(
         F.col(id_col),
         F.posexplode(lines_col(src)).alias("__pos", "__line"),
     ).select(id_col, "__pos", F.xxhash64("__line").alias("__h"))
+    # The REBALANCE hint after each agg+filter inserts an AQE stage
+    # boundary whose measured output is the TRUE (post-filter) side
+    # size.  Without it AQE sizes the broadcast decision from the
+    # nearest exchange BELOW the aggregation — all distinct line
+    # hashes (respectively all partial position sets) — which blocks
+    # the SMJ->broadcast conversion even for a 2-row frequent set (a
+    # same-key .repartition() does not work: CollapseRepartition
+    # removes it as redundant).  Cost when the side really is big:
+    # one extra hash-only (respectively (id, int-positions)) pass,
+    # small next to the corpus exchange it saves when broadcast
+    # applies.
     frequent = (
         occurrences.select("__h", id_col).distinct()
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= F.lit(min_docs))
         .select("__h")
+        .hint("rebalance")
     )
     drops = (
         occurrences.join(frequent, on="__h")
         .groupBy(id_col)
         .agg(F.collect_set("__pos").alias("__drop"))
+        .hint("rebalance")
     )
     arr = lines_col(src)
     drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))

@@ -93,6 +93,26 @@ CLEAN_MULT = int(os.environ.get("SCALE_CLEAN_MULT", "600"))
 #: behind Arrow, so this is the compute-bound leg for the capstone
 CRAWL_N = int(os.environ.get("SCALE_CRAWL_N", "500000"))
 
+#: clean_sparse planting: the line_dedupe rewrite's TARGET regime —
+#: only 10% of docs carry a corpus-frequent line (disjoint 5% residue
+#: classes for two planted boilerplate strings; every other line is
+#: doc_id-unique), so the per-doc drop map is ~10% of the corpus and
+#: AQE broadcasts it: ZERO text through any exchange.
+_SPARSE_SQL = (
+    "'Doc ' || CAST(doc_id AS STRING) || ' opens with a unique line.'"
+    " || chr(10) || "
+    "CASE WHEN doc_id % 20 = 0 THEN 'Subscribe to our newsletter today.' "
+    "ELSE 'Filler ' || CAST(doc_id AS STRING) || ' adds unique prose.' END"
+    " || chr(10) || "
+    "'Body ' || CAST(doc_id AS STRING) || ' ' || substr(text, 1, 40)"
+    " || chr(10) || "
+    "CASE WHEN doc_id % 20 = 10 THEN "
+    "'Accept all cookies to continue browsing.' "
+    "ELSE 'Second ' || CAST(doc_id AS STRING) || ' keeps going.' END"
+    " || chr(10) || "
+    "'Tail ' || CAST(doc_id AS STRING) || ' closes the page.'"
+)
+
 
 #: planted connected-components graphs (round-7 judge ask #4): chains
 #: force multi-round label propagation (diameter = chain_len - 1),
@@ -286,7 +306,7 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
 
         ids = spark.range(FLAC_N).select(F.col("id"))
         big = ids.repartition(64).mapInPandas(gen, "id bigint, blob binary")
-    elif workload == "clean":
+    elif workload in ("clean", "clean_sparse"):
         import __spark_entry__ as em
 
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -296,7 +316,11 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
             d.crossJoin(reps)
             .select((F.col("doc_id") + F.col("__rep") * 1_000_000)
                     .alias("doc_id"), "text")
-            .withColumn("text", F.expr(em._PAGED_SQL))
+            .withColumn("text", F.expr(
+                em._PAGED_SQL if workload == "clean" else _SPARSE_SQL))
+            # the crossJoin inherits the single-file scan's one
+            # partition; spread the (one-time) fixture write
+            .repartition(64)
         )
     elif workload == "crawl":
         # the capstone's input: CRAWL_N seeded pages (cached fixture)
@@ -347,7 +371,7 @@ def _run_workload(spark, workload: str, path: str):
             F.sum(F.col("width") + F.col("height")
                   + F.aggregate("feature", F.lit(0.0),
                                 lambda a, x: a + x))).collect()[0][0]
-    if workload == "clean":
+    if workload in ("clean", "clean_sparse"):
         from riko_spark.operators.cleaning import (
             c4_line_filter_op,
             line_dedupe_op,
@@ -454,7 +478,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
                     choices=["cep", "simhash", "pii", "jpeg", "flac",
-                             "clean", "cc", "crawl"])
+                             "clean", "clean_sparse", "cc", "crawl"])
     ap.add_argument("--sets", type=int, default=3)
     ap.add_argument("--_leg", dest="leg_workload", default=None)
     ap.add_argument("--_ccleg", dest="cc_leg", default=None)
