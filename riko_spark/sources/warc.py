@@ -15,6 +15,8 @@ per-member gzip layout additionally allows offset-sharded reads from a
 member index (CC publishes one): :func:`warc_records_sharded` groups
 the index into byte-balanced shards and each task seeks + parses its
 ranges with the same kernel, so one archive spreads across a cluster;
+:func:`warc_stream_sharded` is its incremental/checkpointable
+Structured Streaming twin (shard manifests as the file-source unit);
 :func:`warc_member_index` computes an index for archives that ship
 without one.
 
@@ -167,15 +169,47 @@ def warc_extract(df, conf: dict | None = None, field: str = "blob",
     return df.mapInPandas(run, WARC_SCHEMA)
 
 
-def warc_records(spark, path: str, keep_types: tuple[str, ...] | None = None):
+# One binaryFile task holds a whole archive in executor memory; past
+# this size, steer users to the offset-sharded reader instead.
+_SHARD_ADVICE_BYTES = 512 * 1024 * 1024
+
+
+def warc_records(spark, path: str, keep_types: tuple[str, ...] | None = None,
+                 size_check: bool = True):
     """Read WARC archives under ``path`` (plain or .gz) into a record
     DataFrame via Spark's binaryFile source — the file is the parallel
-    unit, matching Common Crawl's ~64k-files-per-snapshot layout."""
+    unit, matching Common Crawl's ~64k-files-per-snapshot layout.
+
+    Each task materializes ONE whole archive blob (Arrow batch of
+    file bytes), so this path is sized for CC-style ~1 GB-max files
+    with executor memory to match; archives past
+    ``_SHARD_ADVICE_BYTES`` (512 MB) trigger a ``UserWarning``
+    steering to :func:`warc_records_sharded`, which spreads one
+    archive across tasks from its member index (``size_check=False``
+    skips the metadata-only listing job that performs the check)."""
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*")
-             .load(path)
-             .select("content").withColumnRenamed("content", "blob"))
-    return warc_extract(files, keep_types=keep_types)
+             .load(path))
+    if size_check:
+        import warnings
+
+        import pyspark.sql.functions as F
+
+        # metadata-only: binaryFile prunes `content` when unselected,
+        # so this job lists file statuses without reading bytes
+        big = (files.select("path", "length")
+               .filter(F.col("length") > _SHARD_ADVICE_BYTES)
+               .limit(1).collect())
+        if big:
+            warnings.warn(
+                f"WARC archive {big[0]['path']} is "
+                f"{big[0]['length'] / 2**20:.0f} MB — one binaryFile task "
+                "holds the whole archive; use warc_records_sharded() with "
+                "a member index to spread it across tasks",
+                UserWarning, stacklevel=2)
+    return warc_extract(
+        files.select("content").withColumnRenamed("content", "blob"),
+        keep_types=keep_types)
 
 
 def warc_stream(spark, path: str, keep_types: tuple[str, ...] | None = None,
@@ -214,9 +248,13 @@ def warc_member_index(data: bytes) -> list[tuple[int, int]]:
     """Compute the ``(offset, length)`` member index of an archive —
     gzip member boundaries for a .warc.gz (the layout Common Crawl's
     published cdx index encodes), record boundaries for an
-    uncompressed archive.  O(archive) single pass: for fixtures and
-    for archives that ship without an index; a real CC pipeline reads
-    the published index instead of rescanning.
+    uncompressed archive.  The gzip path feeds each member's
+    decompressor fixed 64 KiB slices of a memoryview (never the whole
+    remaining buffer), so total copying is O(archive + members x 64
+    KiB) — for typical ~20-50 KiB CC members that is within ~2x of a
+    true single pass.  Intended for fixtures and for archives that
+    ship without an index; a real CC pipeline reads the published
+    index instead of rescanning.
 
     Uncompressed record lengths absorb the trailing inter-record CRLF
     pairs so consecutive entries tile the file contiguously (shard
@@ -224,15 +262,22 @@ def warc_member_index(data: bytes) -> list[tuple[int, int]]:
     out: list[tuple[int, int]] = []
     n = len(data)
     if data[:2] == b"\x1f\x8b":
+        mv = memoryview(data)
+        chunk = 64 * 1024
         pos = 0
         while pos < n:
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            fed = 0
             try:
-                d.decompress(data[pos:])
-                d.flush()
+                while not d.eof:
+                    if pos + fed >= n:
+                        raise ValueError("WARC: corrupt gzip member")
+                    piece = mv[pos + fed: pos + fed + chunk]
+                    d.decompress(piece)
+                    fed += len(piece)
             except zlib.error as e:
                 raise ValueError(f"WARC: corrupt gzip member: {e}") from e
-            consumed = n - pos - len(d.unused_data)
+            consumed = fed - len(d.unused_data)
             if consumed <= 0:
                 raise ValueError("WARC: corrupt gzip member")
             out.append((pos, consumed))
@@ -289,6 +334,45 @@ def _group_ranges(index, num_shards: int) -> list[list[tuple[int, int]]]:
     return shards
 
 
+def _local_path(p: str) -> str:
+    """Resolve a path-or-file-URI to a local filesystem path (handles
+    ``file:/p``, ``file:///p`` and ``file://host/p`` forms, with
+    percent-encoding)."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    if u.scheme == "file":
+        return unquote(u.path)
+    return p
+
+
+def _read_ranges(batches):
+    """mapInPandas kernel shared by the batch and streaming sharded
+    readers: each input row is one shard manifest ``(path, offsets,
+    lengths)``; seek + read the ranges and emit the concatenation as
+    one archive blob (ranges start on member/record boundaries, so the
+    concatenation is itself a valid archive for :func:`parse_warc`).
+
+    Opens ``path`` with plain ``open()`` on the EXECUTOR — the archive
+    must live on a filesystem every executor can see (local[*], NFS,
+    or a FUSE mount); for object stores, read via the published index
+    with a range-capable client or fall back to the whole-file
+    binaryFile path."""
+    import pandas as pd
+
+    for pdf in batches:
+        blobs = []
+        for p, offs, lens in zip(pdf["path"], pdf["offsets"],
+                                 pdf["lengths"]):
+            buf = bytearray()
+            with open(_local_path(p), "rb") as fh:
+                for o, ln in zip(offs, lens):
+                    fh.seek(int(o))
+                    buf += fh.read(int(ln))
+            blobs.append(buf)
+        yield pd.DataFrame({"blob": blobs})
+
+
 def warc_records_sharded(spark, file_path: str, index,
                          num_shards: int | None = None,
                          keep_types: tuple[str, ...] | None = None):
@@ -305,9 +389,10 @@ def warc_records_sharded(spark, file_path: str, index,
     the whole-file path — ranges start on member/record boundaries, so
     a shard can never split a record.  This is the scale path for the
     single-huge-archive layout the file-granularity
-    :func:`warc_records` source cannot parallelize."""
-    import pandas as pd
+    :func:`warc_records` source cannot parallelize.
 
+    Executors open ``file_path`` directly (see :func:`_read_ranges`),
+    so it must be visible on every executor's filesystem."""
     if num_shards is None:
         num_shards = spark.sparkContext.defaultParallelism
     shards = _group_ranges(index, num_shards)
@@ -315,23 +400,72 @@ def warc_records_sharded(spark, file_path: str, index,
             for s in shards]
     ranges = spark.createDataFrame(
         rows, "path string, offsets array<bigint>, lengths array<bigint>")
-
-    def read_ranges(batches):
-        for pdf in batches:
-            blobs = []
-            for p, offs, lens in zip(pdf["path"], pdf["offsets"],
-                                     pdf["lengths"]):
-                p = p[5:] if p.startswith("file:") else p
-                buf = bytearray()
-                with open(p, "rb") as fh:
-                    for o, ln in zip(offs, lens):
-                        fh.seek(int(o))
-                        buf += fh.read(int(ln))
-                blobs.append(buf)
-            yield pd.DataFrame({"blob": blobs})
-
     files = ranges.repartition(max(1, len(rows))).mapInPandas(
-        read_ranges, "blob binary")
+        _read_ranges, "blob binary")
+    return warc_extract(files, keep_types=keep_types)
+
+
+def warc_stream_sharded(spark, file_path: str, index, manifest_dir: str,
+                        num_shards: int | None = None,
+                        keep_types: tuple[str, ...] | None = None,
+                        max_shards_per_trigger: int | None = None):
+    """Streaming twin of :func:`warc_records_sharded`: incremental,
+    checkpointable ingest of ONE huge archive with offset-shard
+    parallelism — closing the gap where :func:`warc_stream` can only
+    parallelize across FILES (useless when the corpus is a single
+    multi-GB .warc.gz).
+
+    Mechanics: the member index is grouped driver-side into
+    byte-balanced shards exactly as in the batch path, then ONE
+    one-line JSON manifest file per shard is written under
+    ``manifest_dir`` (tmp-write + rename, so the file source never
+    sees a partial manifest); the stream is a file-source over those
+    manifests (``maxFilesPerTrigger`` = ``max_shards_per_trigger``),
+    so Spark's file-source offset log gives replay / checkpoint-resume
+    bookkeeping per SHARD, and each micro-batch range-reads its shards
+    with the shared :func:`_read_ranges` kernel.  Parallelism within a
+    trigger = manifest files in the trigger; the archive itself is
+    opened on executors (same shared-filesystem requirement as the
+    batch path).
+
+    100 TB shape: manifests are ~bytes-per-shard of metadata; archive
+    bytes never pass through the driver; a real deployment points
+    ``manifest_dir`` at the landing zone where index-building jobs
+    drop manifests and the stream picks up new shards as they appear.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if num_shards is None:
+        num_shards = spark.sparkContext.defaultParallelism
+    shards = _group_ranges(index, num_shards)
+    _os.makedirs(manifest_dir, exist_ok=True)
+    for i, s in enumerate(shards):
+        row = {"path": file_path, "offsets": [o for o, _ in s],
+               "lengths": [ln for _, ln in s]}
+        tmp = _os.path.join(manifest_dir, f".shard-{i:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps(row) + "\n")
+        _os.rename(tmp, _os.path.join(manifest_dir, f"shard-{i:05d}.json"))
+
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("offsets", ArrayType(LongType())),
+        StructField("lengths", ArrayType(LongType())),
+    ])
+    reader = spark.readStream.schema(schema)
+    if max_shards_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_shards_per_trigger)
+    manifests = reader.json(manifest_dir)
+    files = manifests.mapInPandas(_read_ranges, "blob binary")
     return warc_extract(files, keep_types=keep_types)
 
 

@@ -266,3 +266,101 @@ def test_sharded_read_matches_whole_file(spark, tmp_path):
                                                num_shards=3)))
         assert len(sharded) == 11 and sharded == whole
         p.unlink()
+
+
+def test_member_index_chunked_large_member():
+    # a member whose COMPRESSED size exceeds the 64 KiB feed chunk
+    # exercises the multi-feed loop (several decompress calls per
+    # member); incompressible sha256-chained bytes keep it >64 KiB
+    import hashlib
+
+    from riko_spark.sources.warc import warc_member_index
+
+    noise = b"".join(hashlib.sha256(str(i).encode()).digest()
+                     for i in range(8000))  # 256 KiB, incompressible
+    recs = _mk_records(3)
+    recs[1]["content"] = b"HTTP/1.1 200 OK\r\n\r\n" + noise
+    blob = build_warc(recs, gzip_members=True)
+    assert len(blob) > 200_000  # the middle member really is >64 KiB
+    idx = warc_member_index(blob)
+    assert len(idx) == 3
+    pos = 0
+    for off, ln in idx:
+        assert off == pos and ln > 0
+        pos += ln
+    assert pos == len(blob)
+    mid = list(parse_warc(blob[idx[1][0]: idx[1][0] + idx[1][1]]))
+    assert len(mid) == 1 and mid[0]["payload"] == noise
+
+
+def test_member_index_rejects_truncated_gzip():
+    from riko_spark.sources.warc import warc_member_index
+
+    blob = build_warc(_mk_records(3), gzip_members=True)
+    with pytest.raises(ValueError, match="corrupt gzip member"):
+        warc_member_index(blob[:-10])
+
+
+def test_local_path_resolves_file_uris():
+    from riko_spark.sources.warc import _local_path
+
+    assert _local_path("/a/b.warc") == "/a/b.warc"
+    assert _local_path("file:/a/b.warc") == "/a/b.warc"
+    assert _local_path("file:///a/b.warc") == "/a/b.warc"
+    assert _local_path("file://localhost/a/b.warc") == "/a/b.warc"
+    assert _local_path("file:///a/with%20space.warc") == "/a/with space.warc"
+
+
+def test_warc_records_warns_on_oversized_archive(spark, tmp_path, monkeypatch):
+    import warnings
+
+    import riko_spark.sources.warc as w
+
+    blob = build_warc(_mk_records(5), gzip_members=True)
+    (tmp_path / "a.warc.gz").write_bytes(blob)
+    monkeypatch.setattr(w, "_SHARD_ADVICE_BYTES", 10)
+    with pytest.warns(UserWarning, match="warc_records_sharded"):
+        w.warc_records(spark, str(tmp_path))
+    # under the threshold, or with the check disabled: silent
+    monkeypatch.setattr(w, "_SHARD_ADVICE_BYTES", 1 << 40)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        assert w.warc_records(spark, str(tmp_path)).count() == 5
+    monkeypatch.setattr(w, "_SHARD_ADVICE_BYTES", 10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        assert w.warc_records(spark, str(tmp_path), size_check=False).count() == 5
+
+
+def test_sharded_stream_matches_batch(spark, tmp_path):
+    from riko_spark.sources.warc import (
+        warc_member_index,
+        warc_records,
+        warc_stream_sharded,
+    )
+
+    for gz, name, qn in ((True, "big.warc.gz", "shards_gz"),
+                         (False, "big.warc", "shards_plain")):
+        blob = build_warc(_mk_records(11), gzip_members=gz)
+        p = tmp_path / name
+        p.write_bytes(blob)
+        idx = warc_member_index(blob)
+        stream = warc_stream_sharded(
+            spark, str(p), idx, str(tmp_path / f"man_{qn}"),
+            num_shards=4, max_shards_per_trigger=2)
+        assert stream.isStreaming
+        q = (stream.writeStream.format("memory").queryName(qn)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"ckpt_{qn}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # shard granularity really is incremental: 4 shards at 2 per
+        # trigger means more than one non-empty micro-batch
+        fed = [pr for pr in q.recentProgress if pr["numInputRows"]]
+        assert len(fed) >= 2
+        got = sorted((r["warc_target_uri"], bytes(r["payload"]))
+                     for r in rows(spark.table(qn)))
+        whole = sorted((r["warc_target_uri"], bytes(r["payload"]))
+                       for r in rows(warc_records(spark, str(p))))
+        assert len(got) == 11 and got == whole
+        p.unlink()
