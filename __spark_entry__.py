@@ -925,8 +925,14 @@ def q_stream_corpus_batch(spark, sf):
     (md5(text), n_words, n_sentences) — identical for every member of
     a dup group, so the comparison is independent of which URL the
     batch dedupe happens to keep; the oracle recomputes survival
-    (url-gate OR mirror), the gate arithmetic, and the distinct-text
-    collapse analytically from the documents table."""
+    (url-gate OR mirror), the gate arithmetic, and the content
+    collapse analytically from the documents table.  The oracle
+    dedupes on the ENGINE's key — md5 of normalized text (lower +
+    collapsed whitespace, operators/dedupe.py:_norm) — not raw
+    md5(text); its per-group min() of the output columns equals the
+    engine's arbitrary group member only while every norm-group here
+    is byte-identical (planted texts embed doc_id), the invariant a
+    future fixture change must keep."""
     from riko_spark.sources.warc import warc_extract
     from riko_spark.streaming.corpus import clean_corpus
 
@@ -2207,33 +2213,88 @@ def q_pipe_graph(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is the per-round ROTATION of the driver's 50-entry
-    # correctness gate (it verifies the first 50 entries).  Round-7
-    # rotation (standing judge ask): every operator whose CODE changed
-    # this round LEADS — the NEW streaming-capstone batch twin, the
-    # line_dedupe boilerplate-proportional reassembly rewrite (and
-    # corpus_pipeline, which runs it), main_content/crawl_pipeline
-    # (id_col-derived schema + keep_cols pass-through), neardup_clusters
-    # (fused CC convergence check in graph.py), audio_features_flac
-    # (unknown-total_samples decode) — then 43 of the 49 entries that
-    # sat past the round-6 gate (driver-green r05 or earlier, judge
-    # re-verified r6), so their green rows refresh.  Past position 50:
-    # dateformat/datebuilder/subelement/urlbuilder/urlparse/itembuilder
-    # (r05 driver-green, code unchanged, first under the gate next
-    # round) and the 44 unchanged entries with fresh CORRECTNESS_r06
-    # green rows — ALL 100 entries re-verified via a full
-    # tools/check_oracle.py run at sf0.01 this session (see BENCH.md
-    # round-7 notes).
+    # correctness gate (it verifies the first 50 entries).  Round-8
+    # rotation (VERDICT r7 ask #1): code-changed-this-round entries
+    # LEAD — stream_corpus_batch (oracle now dedupes on the engine's
+    # normalized-md5 key, ADVICE r7; its streaming path gained the
+    # per-partition pre-dedupe) and warc_sharded (chunked member
+    # indexing + URI resolution + sharded streaming source) — then the
+    # 7 entries whose last driver-green row is r05 (simplemath,
+    # dateformat, datebuilder, subelement, urlbuilder, urlparse,
+    # itembuilder), then 41 of the 44 r06-head entries so no driver
+    # row ages past 2 rounds.  Past position 50: the last three
+    # r06-head entries (video_frames_mjpeg, video_frames_gif,
+    # frame_sample — code unchanged, re-verified via this session's
+    # full tools/check_oracle.py run; they lead the r9 rotation) and
+    # the 48 remaining r07-head entries (driver-green one round ago,
+    # code unchanged, same full re-run).
     return {
-        # -- code changed round 7 + the new capstone batch twin --
+        # -- code changed round 8 --
         "stream_corpus_batch": q_stream_corpus_batch,
+        "warc_sharded": q_warc_sharded,
+        # -- last driver-green r05: refresh first --
+        "simplemath": q_simplemath,
+        "dateformat": q_dateformat,
+        "datebuilder": q_datebuilder,
+        "subelement": q_subelement,
+        "urlbuilder": q_urlbuilder,
+        "urlparse": q_urlparse,
+        "itembuilder": q_itembuilder,
+        # -- r06-head entries rotated back under the gate --
+        "uniq_limited": q_uniq_limited,
+        "salted_count": q_salted_count,
+        "filter": q_filter,
+        "filter_or_block": q_filter_or_block,
+        "sort_truncate": q_sort_truncate,
+        "truncate": q_truncate,
+        "count": q_count,
+        "count_group": q_count_group,
+        "sum_group": q_sum_group,
+        "union": q_union,
+        "uniq": q_uniq,
+        "join": q_join,
+        "regex": q_regex,
+        "rename": q_rename,
+        "union_ragged": q_union_ragged,
+        "regex_casematch": q_regex_casematch,
+        "sliding_count": q_sliding_count,
+        "first_k_per_key": q_first_k_per_key,
+        "image_features_jpeg": q_image_features_jpeg,
+        "image_features_jpeg_prog": q_image_features_jpeg_prog,
+        "image_features_tiff": q_image_features_tiff,
+        "image_neardup": q_image_neardup,
+        "c4_line_filter": q_c4_line_filter,
+        "c4_doc_filter": q_c4_doc_filter,
+        "ngram_contamination": q_ngram_contamination,
+        "warc_ingest": q_warc_ingest,
+        "url_filter": q_url_filter,
+        "pack_sequences": q_pack_sequences,
+        "host_stats": q_host_stats,
+        "audio_neardup": q_audio_neardup,
+        "sequence_match": q_sequence_match,
+        "absence_match": q_absence_match,
+        "image_features": q_image_features,
+        "image_features_gif": q_image_features_gif,
+        "media_metadata": q_media_metadata,
+        "audio_features": q_audio_features,
+        "audio_features_zcr": q_audio_features_zcr,
+        "audio_features_g711": q_audio_features_g711,
+        "audio_features_float": q_audio_features_float,
+        "audio_features_adpcm": q_audio_features_adpcm,
+        "video_frames": q_video_frames,
+        # -- past the 50-entry gate: r06-green tail (unchanged,
+        #    check_oracle re-run this session; lead r9) --
+        "video_frames_mjpeg": q_video_frames_mjpeg,
+        "video_frames_gif": q_video_frames_gif,
+        "frame_sample": q_frame_sample,
+        # -- r07-head: driver-green in CORRECTNESS_r07 (one round
+        #    old), code unchanged this round --
         "line_dedupe": q_line_dedupe,
         "corpus_pipeline": q_corpus_pipeline,
         "main_content": q_main_content,
         "crawl_pipeline": q_crawl_pipeline,
         "neardup_clusters": q_neardup_clusters,
         "audio_features_flac": q_audio_features_flac,
-        "warc_sharded": q_warc_sharded,
-        # -- r06 tail rotated back under the gate --
         "image_features_real": q_image_features_real,
         "image_dhash": q_image_dhash,
         "sequence_match_alt": q_sequence_match_alt,
@@ -2276,65 +2337,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slugify": q_slugify,
         "hash_md5": q_hash_md5,
         "typecast": q_typecast,
-        # -- past the 50-entry gate: simplemath (r05 driver-green,
-        #    code unchanged, PASS in this session's full
-        #    check_oracle.py run) yields its slot to the new
-        #    warc_sharded entry; then the last six r06-tail entries
-        #    (r05 driver-green, code unchanged since; they lead the
-        #    rotation next round) --
-        "simplemath": q_simplemath,
-        "dateformat": q_dateformat,
-        "datebuilder": q_datebuilder,
-        "subelement": q_subelement,
-        "urlbuilder": q_urlbuilder,
-        "urlparse": q_urlparse,
-        "itembuilder": q_itembuilder,
-        # -- r06 head: driver-green in CORRECTNESS_r06 (one round old),
-        #    code unchanged this round --
-        "uniq_limited": q_uniq_limited,
-        "salted_count": q_salted_count,
-        "filter": q_filter,
-        "filter_or_block": q_filter_or_block,
-        "sort_truncate": q_sort_truncate,
-        "truncate": q_truncate,
-        "count": q_count,
-        "count_group": q_count_group,
-        "sum_group": q_sum_group,
-        "union": q_union,
-        "uniq": q_uniq,
-        "join": q_join,
-        "regex": q_regex,
-        "rename": q_rename,
-        "union_ragged": q_union_ragged,
-        "regex_casematch": q_regex_casematch,
-        "sliding_count": q_sliding_count,
-        "first_k_per_key": q_first_k_per_key,
-        "image_features_jpeg": q_image_features_jpeg,
-        "image_features_jpeg_prog": q_image_features_jpeg_prog,
-        "image_features_tiff": q_image_features_tiff,
-        "image_neardup": q_image_neardup,
-        "c4_line_filter": q_c4_line_filter,
-        "c4_doc_filter": q_c4_doc_filter,
-        "ngram_contamination": q_ngram_contamination,
-        "warc_ingest": q_warc_ingest,
-        "url_filter": q_url_filter,
-        "pack_sequences": q_pack_sequences,
-        "host_stats": q_host_stats,
-        "audio_neardup": q_audio_neardup,
-        "sequence_match": q_sequence_match,
-        "absence_match": q_absence_match,
-        "image_features": q_image_features,
-        "image_features_gif": q_image_features_gif,
-        "media_metadata": q_media_metadata,
-        "audio_features": q_audio_features,
-        "audio_features_zcr": q_audio_features_zcr,
-        "audio_features_g711": q_audio_features_g711,
-        "audio_features_float": q_audio_features_float,
-        "audio_features_adpcm": q_audio_features_adpcm,
-        "video_frames": q_video_frames,
-        "video_frames_mjpeg": q_video_frames_mjpeg,
-        "video_frames_gif": q_video_frames_gif,
-        "frame_sample": q_frame_sample,
     }
 
 
@@ -3687,6 +3689,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             sig AS (
                 SELECT md5(text) AS clean_md5,
+                       -- the ENGINE's dedupe key: md5 of NORMALIZED
+                       -- text (lower + collapsed whitespace + trim,
+                       -- operators/dedupe.py:_norm) — dedupe on the
+                       -- same key the engine uses, not raw md5
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                           'g'))) AS norm_md5,
                        CAST(len(toks) AS INT) AS n_words,
                        round(CAST(list_aggregate(list_transform(toks,
                            x -> length(x)), 'sum') AS DOUBLE)
@@ -3695,11 +3703,19 @@ def oracle_sql() -> dict[str, str]:
                            AS n_sentences
                 FROM s
             )
-            SELECT DISTINCT clean_md5, n_words, n_sentences
+            -- one row per NORM key; min() == the engine's arbitrary
+            -- pick because every member of a norm group here is
+            -- byte-identical (mirror copies), so the output columns
+            -- are group-homogeneous — the invariant a fixture change
+            -- must preserve (or drop clean_md5 from the projection)
+            SELECT min(clean_md5) AS clean_md5,
+                   min(n_words) AS n_words,
+                   min(n_sentences) AS n_sentences
             FROM sig
             WHERE n_words >= 50 AND n_words <= 100000
               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
               AND n_sentences >= 3
+            GROUP BY norm_md5
         """),
         "host_stats": (
             r"""

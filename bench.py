@@ -70,6 +70,17 @@ def _timed(fn):
     return time.time() - t0, n
 
 
+def _await_drain(q, timeout=600):
+    """awaitTermination that cannot silently bless a partial drain: on
+    timeout the query is stopped and the caller gets timed_out=True to
+    tag the result dict — an over-`timeout` drain must be visibly a
+    partial run, not a quietly wrong docs/sec (ADVICE r7)."""
+    finished = q.awaitTermination(timeout)
+    if not finished:
+        q.stop()
+    return not finished
+
+
 def headline_queries(spark, sf_dir):
     """Representative operator benchmarks over the sf tables."""
     import pyspark.sql.functions as F
@@ -206,7 +217,7 @@ def bench_stream(spark, path, tmp, files_per_trigger=11):
     try:
         t0 = time.time()
         q = write_stream_upsert(agg, sink, os.path.join(tmp, "ckpt"))
-        q.awaitTermination(600)
+        timed_out = _await_drain(q)
         wall = time.time() - t0
     finally:
         _restore_conf(spark, old)
@@ -214,13 +225,16 @@ def bench_stream(spark, path, tmp, files_per_trigger=11):
     spark.streams.removeListener(listener)
     prog = [r for r in listener.records if r["event"] == "progress" and r["num_input_rows"]]
     lat = [r["batch_duration_ms"] for r in prog]
-    return {
+    res = {
         "docs_per_sec": round(n_docs / wall, 1),
         "wall_sec": round(wall, 2),
         "batches": len(prog),
         "mean_batch_latency_ms": round(sum(lat) / len(lat), 1) if lat else None,
         "max_batch_latency_ms": max(lat) if lat else None,
     }
+    if timed_out:
+        res["timed_out"] = True
+    return res
 
 
 def bench_stream_cep(spark, sf_dir, tmp, volume=1, files_per_trigger=2):
@@ -295,7 +309,7 @@ def bench_stream_cep(spark, sf_dir, tmp, volume=1, files_per_trigger=2):
         q = (out.writeStream.foreachBatch(grab).outputMode("append")
              .option("checkpointLocation", os.path.join(tmp, "cep_ckpt"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(600)
+        timed_out = _await_drain(q)
         wall = time.time() - t0
     finally:
         _restore_conf(spark, old)
@@ -304,7 +318,7 @@ def bench_stream_cep(spark, sf_dir, tmp, volume=1, files_per_trigger=2):
     prog = [r for r in listener.records if r["event"] == "progress" and r["num_input_rows"]]
     lat = [r["batch_duration_ms"] for r in prog]
     state_rows = [sum(r["state_rows"]) for r in prog if r["state_rows"]]
-    return {
+    res = {
         "events_per_sec": round(n_events / wall, 1),
         "wall_sec": round(wall, 2),
         "batches": len(prog),
@@ -315,6 +329,9 @@ def bench_stream_cep(spark, sf_dir, tmp, volume=1, files_per_trigger=2):
         "max_state_rows": max(state_rows) if state_rows else None,
         "state_buckets": 64,
     }
+    if timed_out:
+        res["timed_out"] = True
+    return res
 
 
 def _build_warc_fixture(spark, pages_path, out_dir, files=32):
@@ -378,7 +395,7 @@ def bench_stream_corpus(spark, warc_dir, n_docs, tmp, files_per_trigger=8):
                   # the input count
                   "watermark": "30 days"},
             max_files_per_trigger=files_per_trigger)
-        q.awaitTermination(600)
+        timed_out = _await_drain(q)
         wall = time.time() - t0
         kept = sink.result(spark).count()
     finally:
@@ -388,7 +405,7 @@ def bench_stream_corpus(spark, warc_dir, n_docs, tmp, files_per_trigger=8):
     prog = [r for r in listener.records
             if r["event"] == "progress" and r["num_input_rows"]]
     lat = [r["batch_duration_ms"] for r in prog]
-    return {
+    res = {
         "docs_per_sec": round(n_docs / wall, 1),
         "wall_sec": round(wall, 2),
         "kept_rows": kept,
@@ -396,6 +413,9 @@ def bench_stream_corpus(spark, warc_dir, n_docs, tmp, files_per_trigger=8):
         "mean_batch_latency_ms": round(sum(lat) / len(lat), 1) if lat else None,
         "max_batch_latency_ms": max(lat) if lat else None,
     }
+    if timed_out:
+        res["timed_out"] = True
+    return res
 
 
 def _stream_warmup(spark, path, tmp):
@@ -616,6 +636,8 @@ def main():
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skip-stream", action="store_true")
+    ap.add_argument("--skip-probes", action="store_true",
+                    help="skip the embedded same-minute CPU/DRAM probes")
     # sustained-volume stream check: drain N x the input (hardlinked
     # shards) through the same graph + sink; per-doc cost should
     # IMPROVE with volume (per-batch overheads amortize) and batch
@@ -641,6 +663,7 @@ def main():
         return
 
     pages_path = pages_fixture(n=args.rows)
+    t_start = time.time()
 
     spark = get_spark(app_name="riko_spark-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS,
@@ -740,6 +763,23 @@ def main():
     except Exception as e:  # noqa: BLE001
         out["main_content"] = f"ERROR: {type(e).__name__}"
 
+    # same-minute hardware probes (VERDICT r7 ask #2): measure the
+    # VM's delivered CPU and DRAM bandwidth IN THIS RUN, right after
+    # the query suite, so a stall-regime artifact self-annotates (the
+    # r7 driver bench needed BENCH.md forensics to adjudicate a
+    # uniform 5-35% degradation).  hardware_ceiling_efficiency well
+    # below its usual ~0.85 / a bandwidth ratio well off ~1.3 marks a
+    # degraded window; both numbers are directly comparable with the
+    # scaling scripts' paired probes (same functions).
+    if not args.skip_probes:
+        t_probe = time.time()
+        try:
+            out["cpu_probe"] = cpu_probe()
+            out["mem_probe"] = mem_probe()
+        except Exception as e:  # noqa: BLE001
+            out["cpu_probe"] = f"ERROR: {type(e).__name__}"
+        out["probe_at_sec"] = round(t_probe - t_start, 1)
+
     if not args.skip_stream:
         import tempfile
 
@@ -831,6 +871,7 @@ def main():
     if args.scaling:
         out["scaling"] = bench_scaling(pages_path, args.rows, args.multiplier)
 
+    out["wall_total_sec"] = round(time.time() - t_start, 1)
     out["value"] = round(sum(v for v in out["queries"].values() if isinstance(v, float)), 3)
     print(json.dumps(out))
 

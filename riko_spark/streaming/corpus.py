@@ -28,10 +28,17 @@ Stage map (each stage is an existing, individually-oracled operator):
 100 TB shape: stages 2/3/5 are row-local native projections, stage 4
 is scan-parallel Python behind Arrow, and the ONLY stateful exchange
 is the dedupe's keyed state — bounded by the watermark horizon, not
-corpus size.  Throughput therefore scales with executors until the
-dedupe shuffle's network share dominates, which a (url-domain-salted)
-pre-partitioning defers; the bench row (``bench.py stream_corpus``)
-measures the whole graph cold-drain on the pages fixture.
+corpus size.  The dedupe's shuffle volume is bounded too: a
+per-partition, per-micro-batch local collapse (one max-event-time row
+per content key per task slice — :func:`riko_spark.streaming.dedupe.
+_partition_local_dedupe`, on by default) runs BEFORE the keyed
+exchange, so the hottest key — at crawl scale, the duplicated
+boilerplate page itself — crosses the wire once per task slice
+instead of once per copy.  Salting cannot apply here (equal keys must
+meet in one state partition); the local collapse is the map-side
+combine that plays that role.  The bench row (``bench.py
+stream_corpus``) measures the whole graph cold-drain on the pages
+fixture.
 """
 
 from __future__ import annotations

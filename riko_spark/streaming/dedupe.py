@@ -25,12 +25,78 @@ def dedupe_within_watermark(
     return df.dropDuplicates(keys)
 
 
+def _partition_local_dedupe(df: DataFrame, key_col: str,
+                            ts_col: str) -> DataFrame:
+    """Per-partition, per-micro-batch local dedupe: keep, for each
+    ``key_col`` value, the single copy with the MAXIMUM ``ts_col``
+    event time in the partition's slice (stateless across
+    micro-batches, so streaming-legal before a stateful op).
+
+    This is the map-side combine the streaming state store cannot do
+    for itself: ``dropDuplicatesWithinWatermark`` shuffles EVERY input
+    row to its key's state partition — at crawl scale the hottest
+    content key is exactly the duplicated boilerplate page, so all its
+    copies cross the exchange to one partition.  Salting can't apply
+    (equal keys must meet), but collapsing each key to one row locally
+    cuts the shuffled rows by the within-partition duplication factor
+    before the exchange.
+
+    Why max-event-time and not first-seen: the stateful op drops input
+    rows older than the current watermark.  Keeping the first-seen
+    copy could discard an in-window copy in favour of a late one the
+    watermark then kills — losing the key for the batch, an outcome
+    the unmodified pipeline cannot produce.  Keeping the max-ts copy
+    is outcome-legal: if ANY copy in the slice is in-window, the
+    max-ts copy is, so the key still reaches the state store; and
+    emitting that copy rather than another is within the engine's
+    existing nondeterminism (which same-batch copy wins the state race
+    is already partition-order dependent).  Rows with NULL event time
+    pass through untouched — their fate belongs to the watermark
+    machinery, not a local heuristic.
+
+    Memory: one full row per distinct key in one partition's slice of
+    one micro-batch (the same rows the exchange would buffer anyway);
+    the reduce state dies with the partition iterator."""
+    schema = df.schema
+
+    def run(batches):
+        import pandas as pd
+
+        best = None  # one max-ts row per key seen so far in this slice
+
+        def reduce_max(pdf):
+            idx = (pdf[ts_col]
+                   .groupby(pdf[key_col].to_numpy(), sort=False)
+                   .idxmax())
+            return pdf.loc[idx]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nat = pdf[ts_col].isna()
+            if nat.any():
+                yield pdf[nat]
+                pdf = pdf[~nat]
+                if not len(pdf):
+                    continue
+            chunk_best = reduce_max(pdf)
+            best = (chunk_best if best is None
+                    else reduce_max(pd.concat([best, chunk_best],
+                                              ignore_index=True)))
+        if best is not None:
+            yield best
+
+    return df.mapInPandas(run, schema)
+
+
 def neardup_dedupe_within_watermark(
     df: DataFrame,
     field: str = "text",
     ts_col: str = "warc_ts",
     delay: str = "30 seconds",
     mode: str = "exact",
+    pre_dedupe: bool = True,
+    observe_reduction: bool = False,
 ) -> DataFrame:
     """CONTENT near-dup dedupe for a streaming corpus pipeline: derive
     a content key from ``field`` and keep the first document per key
@@ -55,7 +121,22 @@ def neardup_dedupe_within_watermark(
 
     Batch input falls back to ``dropDuplicates`` on the same key, so
     stream ≡ batch parity is testable by replaying the same files.
-    The key column is internal and dropped from the output."""
+    The key column is internal and dropped from the output.
+
+    ``pre_dedupe`` (streaming only; default on) inserts
+    :func:`_partition_local_dedupe` between the key projection and
+    the stateful exchange, so hot duplicated keys shuffle once per
+    partition per micro-batch instead of once per copy — the streaming
+    analogue of the map-side partial aggregate batch ``dropDuplicates``
+    gets for free.  Cross-batch and cross-partition semantics are
+    unchanged: the state store still picks one winner per key; the
+    local pass keeps each key's max-event-time copy, the one choice
+    provably outcome-legal under late-row dropping (see
+    :func:`_partition_local_dedupe`).  ``observe_reduction`` additionally
+    tags the plan with named observations (``neardup_pre_local`` /
+    ``neardup_post_local`` row counts, readable from each progress
+    event's ``observedMetrics``) to measure the shuffle-row reduction;
+    off by default because observation names must be unique per query."""
     if mode == "exact":
         from riko_spark.operators.dedupe import _norm
 
@@ -68,6 +149,14 @@ def neardup_dedupe_within_watermark(
         raise ValueError("mode must be 'exact' or 'simhash'")
     keyed = df.withColumn("__ndk", key)
     if df.isStreaming:
+        if observe_reduction:
+            keyed = keyed.observe(
+                "neardup_pre_local", F.count(F.lit(1)).alias("rows"))
+        if pre_dedupe:
+            keyed = _partition_local_dedupe(keyed, "__ndk", ts_col)
+        if observe_reduction:
+            keyed = keyed.observe(
+                "neardup_post_local", F.count(F.lit(1)).alias("rows"))
         out = (keyed.withWatermark(ts_col, delay)
                .dropDuplicatesWithinWatermark(["__ndk"]))
     else:

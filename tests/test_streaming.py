@@ -567,3 +567,98 @@ def test_neardup_dedupe_registered_pipe(spark):
     df = spark.createDataFrame(
         [("a b", 1), ("A  B", 2), ("c", 3)], "text string, i long")
     assert fn(df, {"mode": "exact"}).count() == 2
+
+
+def test_partition_local_dedupe_max_ts_and_nulls(spark):
+    """The streaming pre-dedupe keeps, per key per partition slice, the
+    single MAX-event-time copy — the lateness-safe choice: keep-first
+    could strand a key by preferring a copy the watermark then drops —
+    and passes NULL-event-time rows through untouched."""
+    import datetime as dt
+
+    from riko_spark.streaming.dedupe import _partition_local_dedupe
+
+    def t(s):
+        return dt.datetime(2026, 1, 1, 0, 0, s)
+
+    rows_in = [
+        # key 'a': stale copy arrives FIRST, fresh copy later — the
+        # fresh one must be the survivor
+        ("a", t(0), "a-old"),
+        ("b", t(5), "b-only"),
+        ("a", t(30), "a-new"),
+        ("a", t(10), "a-mid"),
+        ("c", None, "c-null-ts"),
+        ("c", None, "c-null-ts-2"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, "k string, warc_ts timestamp, tag string").coalesce(1)
+    out = _partition_local_dedupe(df, "k", "warc_ts").collect()
+    assert sorted(r["tag"] for r in out) == [
+        "a-new", "b-only", "c-null-ts", "c-null-ts-2"]
+
+
+def test_partition_local_dedupe_cross_chunk(spark):
+    """The per-slice reduce is correct across Arrow chunk boundaries
+    (the generator's carried `best` state, not just one-chunk groupby)."""
+    import datetime as dt
+
+    from riko_spark.streaming.dedupe import _partition_local_dedupe
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "2")
+    try:
+        data = [(f"k{i % 3}", dt.datetime(2026, 1, 1, 0, 0, i), i)
+                for i in range(30)]
+        df = spark.createDataFrame(
+            data, "k string, warc_ts timestamp, i long").coalesce(1)
+        out = _partition_local_dedupe(df, "k", "warc_ts").collect()
+        assert sorted((r["k"], r["i"]) for r in out) == [
+            ("k0", 27), ("k1", 28), ("k2", 29)]
+    finally:
+        spark.conf.set(conf, old)
+
+
+def test_pre_dedupe_cuts_rows_before_stateful_exchange(
+        spark, tmp_path, pages_path):
+    """High-duplication stream: the local collapse shrinks the stateful
+    exchange's input by ~the duplication factor (observed via the
+    observe_reduction plan metrics); the deduped output is unchanged."""
+    from riko_spark.streaming.dedupe import neardup_dedupe_within_watermark
+
+    base = spark.read.parquet(pages_path).select(
+        "url", "warc_ts", "text").limit(20)
+    # 8 copies of every doc (distinct urls, same text): the hot-key
+    # regime — every copy of a content key would otherwise cross the
+    # keyed exchange to one state partition
+    dup = base.crossJoin(spark.range(8)).select(
+        F.concat("url", F.lit("#"), "id").alias("url"), "warc_ts", "text")
+    dup_path = str(tmp_path / "dup")
+    dup.repartition(2).write.parquet(dup_path)
+
+    stream = _read_stream(spark, dup_path, max_files=100)
+    deduped = neardup_dedupe_within_watermark(
+        stream, field="text", delay="1 hour", mode="exact",
+        observe_reduction=True)
+    rows_out = []
+    q = (deduped.writeStream
+         .foreachBatch(lambda b, _i: rows_out.extend(b.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(rows_out) == 20  # output unchanged: one row per content
+
+    pre = post = 0
+    for p in q.recentProgress:
+        om = p.observedMetrics
+        if "neardup_pre_local" in om:
+            pre += om["neardup_pre_local"]["rows"]
+        if "neardup_post_local" in om:
+            post += om["neardup_post_local"]["rows"]
+    assert pre == 160
+    # at most one survivor per key per scan partition reaches the
+    # exchange; with factor-8 duplication that's a >=2x row cut even
+    # if the scan splits into a few partitions
+    assert 20 <= post <= pre // 2
