@@ -150,10 +150,14 @@ def csv_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) 
 @register("fetchtable", sub_kind="source")
 def fetchtable_op(df: DataFrame | None, conf: dict, spark: SparkSession | None = None) -> DataFrame:
     """Tabular fetch (riko/modules/fetchtable.py:102-138 reads
-    csv/xls/json via meza): csv/json/parquet by extension; .xlsx via
-    the dependency-free SpreadsheetML reader (functions/xlsx.py) and
-    legacy binary .xls via the BIFF8/CFB reader (functions/xls.py) —
-    driver-side parse, tables riko fetches this way are small dims."""
+    csv/xls/json/geojson via meza): csv/json/parquet by extension;
+    .geojson FeatureCollections explode to one row per feature (id +
+    lon/lat lifted from Point geometries, properties flattened —
+    meza ``read_geojson``'s record shape, the inverse of
+    ``sinks.export(df, 'geojson')``); .xlsx via the dependency-free
+    SpreadsheetML reader (functions/xlsx.py) and legacy binary .xls
+    via the BIFF8/CFB reader (functions/xls.py) — driver-side parse,
+    tables riko fetches this way are small dims."""
     spark = spark or SparkSession.getActiveSession()
     url = _resolve(conf["url"])
     ext = url.rsplit(".", 1)[-1].lower()
@@ -171,6 +175,18 @@ def fetchtable_op(df: DataFrame | None, conf: dict, spark: SparkSession | None =
         data = [tuple(None if r.get(k) is None else str(r.get(k)) for k in keys)
                 for r in rows]
         return spark.createDataFrame(data, ", ".join(f"`{k}` string" for k in keys))
+    if ext == "geojson":
+        fc = spark.read.option("multiLine", "true").json(url)
+        feats = fc.select(F.explode("features").alias("f")).select("f.*")
+        cols = [F.col("id")] if "id" in feats.columns else []
+        geom = dict(feats.dtypes).get("geometry", "")
+        if "coordinates:array<double>" in geom.replace(" ", ""):
+            # homogeneous Point collection: lift coordinates to lon/lat
+            cols += [F.col("geometry.coordinates")[0].alias("lon"),
+                     F.col("geometry.coordinates")[1].alias("lat")]
+        else:
+            cols += [F.col("geometry")]  # mixed/nested geometries: as-is
+        return feats.select(*cols, "properties.*")
     if ext == "json":
         return spark.read.option("multiLine", "true").json(url)
     if ext == "parquet":

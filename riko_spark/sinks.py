@@ -9,13 +9,96 @@ target (partitioned parquet / Iceberg):
     export(df, 'json', path)-> JSON lines dataset
     export(df, 'csv', path) -> CSV dataset
     export(df, 'parquet', path [, partition_by])   -> the real sink
+    export(df, 'geojson', path)  -> ONE FeatureCollection document
+    export(df, 'geojsonl', path) -> feature-per-line dataset (RFC
+                                    8142 text sequence, the scale twin)
+
+geojson follows meza ``records2geojson``'s record shaping
+(riko/collections.py:276): each row becomes a Feature; the ``id`` /
+``lon`` / ``lat`` columns (names configurable) are lifted OUT of
+properties into the feature id and a Point geometry; a ``geometry``
+struct column (``type`` + ``coordinates``), when present, passes
+through as-is instead.  The collection carries ``bbox`` and the CRS84
+``crs`` member.  Feature JSON is built JVM-side (``to_json`` over a
+struct — no Python worker); the single-document writer streams
+partitions through the driver via ``toLocalIterator`` (bounded
+memory, but inherently one writer — a FeatureCollection is one JSON
+value; use ``geojsonl`` for corpus-scale output).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-TARGETS = ("list", "tuple", "json", "csv", "parquet")
+TARGETS = ("list", "tuple", "json", "csv", "parquet", "geojson", "geojsonl")
+
+#: CRS member meza stamps on collections (GeoJSON's default CRS).
+_CRS84 = {"type": "name",
+          "properties": {"name": "urn:ogc:def:crs:OGC:1.3:CRS84"}}
+
+
+def _feature_json(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                  key: str = "id", geometry: str = "geometry"):
+    """(feature-JSON column, bbox-mode flag): one GeoJSON Feature per
+    row, serialized JVM-side.  Point mode needs ``lon``/``lat``
+    columns; a ``geometry`` struct column wins if present (bbox is
+    then skipped — coordinates nest per geometry type)."""
+    import pyspark.sql.functions as F
+
+    cols = df.columns
+    if geometry in cols:
+        geom = F.col(geometry)
+        lifted = {geometry, key}
+        point_mode = False
+    elif lon in cols and lat in cols:
+        geom = F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col(lon).cast("double"),
+                    F.col(lat).cast("double")).alias("coordinates"))
+        lifted = {lon, lat, key}
+        point_mode = True
+    else:
+        raise ValueError(
+            f"geojson export needs '{lon}'/'{lat}' columns or a "
+            f"'{geometry}' struct column; have {cols}")
+    fields = [F.lit("Feature").alias("type")]
+    if key in cols:
+        fields.append(F.col(key).alias("id"))
+    props = [c for c in cols if c not in lifted]
+    fields += [geom.alias("geometry"),
+               F.struct(*[F.col(c) for c in props]).alias("properties")]
+    return F.to_json(F.struct(*fields)), point_mode
+
+
+def _write_geojson(df: DataFrame, path: str, lon: str = "lon",
+                   lat: str = "lat", key: str = "id",
+                   geometry: str = "geometry") -> str:
+    """Single FeatureCollection document: distributed bbox aggregate +
+    distributed feature serialization, then ONE streamed writer pass
+    (``toLocalIterator`` holds one partition, not the dataset)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    feature, point_mode = _feature_json(df, lon, lat, key, geometry)
+    head = {"type": "FeatureCollection"}
+    if point_mode:
+        b = df.agg(
+            F.min(F.col(lon).cast("double")), F.min(F.col(lat).cast("double")),
+            F.max(F.col(lon).cast("double")), F.max(F.col(lat).cast("double")),
+        ).first()
+        if b[0] is not None:
+            head["bbox"] = list(b)
+    head["crs"] = _CRS84
+    prefix = json.dumps(head, ensure_ascii=False)[:-1]  # open the object
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(prefix + ', "features": [')
+        first = True
+        for row in df.select(feature.alias("f")).toLocalIterator():
+            fh.write(("" if first else ", ") + row["f"])
+            first = False
+        fh.write("]}")
+    return path
 
 
 def export(
@@ -24,6 +107,7 @@ def export(
     path: str | None = None,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    **geo,
 ):
     """Materialize a pipeline result.  ``list``/``tuple`` collect to the
     driver (riko's default — only sane for small finals); file targets
@@ -33,6 +117,12 @@ def export(
         return rows if target == "list" else tuple(rows)
     if path is None:
         raise ValueError(f"export target {target!r} requires path=")
+    if target == "geojson":
+        return _write_geojson(df, path, **geo)
+    if target == "geojsonl":
+        feature, _ = _feature_json(df, **geo)
+        df.select(feature).write.mode(mode).text(path)
+        return path
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
