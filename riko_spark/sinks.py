@@ -12,6 +12,11 @@ target (partitioned parquet / Iceberg):
     export(df, 'geojson', path)  -> ONE FeatureCollection document
     export(df, 'geojsonl', path) -> feature-per-line dataset (RFC
                                     8142 text sequence, the scale twin)
+    export(df, 'qif'|'ofx', path)-> transaction-shaped rows as QIF /
+                                    OFX 1.02 SGML (riko's optional
+                                    csv2ofx targets, collections.py
+                                    :263-287, re-expressed from the
+                                    public formats)
 
 geojson follows meza ``records2geojson``'s record shaping
 (riko/collections.py:276): each row becomes a Feature; the ``id`` /
@@ -30,7 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-TARGETS = ("list", "tuple", "json", "csv", "parquet", "geojson", "geojsonl")
+TARGETS = ("list", "tuple", "json", "csv", "parquet", "geojson", "geojsonl",
+           "ofx", "qif")
 
 #: CRS member meza stamps on collections (GeoJSON's default CRS).
 _CRS84 = {"type": "name",
@@ -101,6 +107,99 @@ def _write_geojson(df: DataFrame, path: str, lon: str = "lon",
     return path
 
 
+def _txn_fields(df: DataFrame, date: str, amount: str, payee: str,
+                desc: str, key: str):
+    """Typed transaction projection shared by the ofx/qif writers:
+    (date, amount, name, memo, fitid) with stable per-row ids —
+    the provided ``key`` column, else a deterministic md5 of the
+    transaction fields (what makes a re-export idempotent for OFX
+    consumers, which dedupe on FITID)."""
+    import pyspark.sql.functions as F
+
+    cols = df.columns
+    for c in (date, amount):
+        if c not in cols:
+            raise ValueError(
+                f"ofx/qif export needs '{date}'/'{amount}' columns; "
+                f"have {cols}")
+    d = F.to_date(date)
+    name = F.col(payee) if payee in cols else F.lit(None).cast("string")
+    memo = F.col(desc) if desc in cols else F.lit(None).cast("string")
+    fitid = (F.col(key).cast("string") if key in cols else
+             F.md5(F.concat_ws("|", d.cast("string"),
+                               F.col(amount).cast("string"), name, memo)))
+    return df.select(
+        F.date_format(d, "yyyyMMdd").alias("d8"),
+        F.date_format(d, "MM/dd/yyyy").alias("dq"),
+        F.col(amount).cast("decimal(18,2)").cast("string").alias("amt"),
+        F.when(F.col(amount).cast("double") < 0, "DEBIT")
+        .otherwise("CREDIT").alias("ttype"),
+        name.alias("name"), memo.alias("memo"), fitid.alias("fitid"))
+
+
+def _write_qif(df: DataFrame, path: str, date: str = "date",
+               amount: str = "amount", payee: str = "payee",
+               desc: str = "desc", key: str = "id",
+               atype: str = "Bank") -> str:
+    """QIF (public Quicken Interchange Format): one ``!Type:`` header
+    then D/T/P/M records terminated by ``^``.  Transaction shaping
+    (date/amount/payee/desc columns) mirrors riko's csv2ofx-backed
+    target (riko/collections.py:263-270); the serialization is this
+    engine's own, pinned by test_sinks goldens — csv2ofx is optional
+    in riko and absent here, so byte-parity is not claimed."""
+    txns = _txn_fields(df, date, amount, payee, desc, key)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(f"!Type:{atype}\n")
+        for r in txns.toLocalIterator():
+            fh.write(f"D{r['dq']}\nT{r['amt']}\n")
+            if r["name"]:
+                fh.write(f"P{r['name']}\n")
+            if r["memo"]:
+                fh.write(f"M{r['memo']}\n")
+            fh.write("^\n")
+    return path
+
+
+def _write_ofx(df: DataFrame, path: str, date: str = "date",
+               amount: str = "amount", payee: str = "payee",
+               desc: str = "desc", key: str = "id",
+               account: str = "N/A", currency: str = "USD") -> str:
+    """OFX 1.02 SGML bank statement (public spec): OFXHEADER block +
+    BANKMSGSRSV1/STMTTRNRS/STMTRS with one STMTTRN per row (TRNTYPE
+    from the amount's sign, DTPOSTED yyyyMMdd, FITID stable per row).
+    Same shaping/fencing note as :func:`_write_qif`.  DTSTART/DTEND
+    are a distributed min/max aggregate; rows stream through
+    ``toLocalIterator`` like the geojson writer."""
+    import pyspark.sql.functions as F
+
+    txns = _txn_fields(df, date, amount, payee, desc, key)
+    span = txns.agg(F.min("d8"), F.max("d8")).first()
+    hdr = ("OFXHEADER:100\nDATA:OFXSGML\nVERSION:102\nSECURITY:NONE\n"
+           "ENCODING:UTF-8\nCHARSET:NONE\nCOMPRESSION:NONE\n"
+           "OLDFILEUID:NONE\nNEWFILEUID:NONE\n\n")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(hdr)
+        fh.write("<OFX><BANKMSGSRSV1><STMTTRNRS><TRNUID>1"
+                 "<STATUS><CODE>0<SEVERITY>INFO</STATUS>"
+                 f"<STMTRS><CURDEF>{currency}"
+                 f"<BANKACCTFROM><BANKID>{account}<ACCTID>{account}"
+                 "<ACCTTYPE>CHECKING</BANKACCTFROM>"
+                 f"<BANKTRANLIST><DTSTART>{span[0] or ''}"
+                 f"<DTEND>{span[1] or ''}\n")
+        for r in txns.toLocalIterator():
+            fh.write(f"<STMTTRN><TRNTYPE>{r['ttype']}"
+                     f"<DTPOSTED>{r['d8']}<TRNAMT>{r['amt']}"
+                     f"<FITID>{r['fitid']}")
+            if r["name"]:
+                fh.write(f"<NAME>{r['name']}")
+            if r["memo"]:
+                fh.write(f"<MEMO>{r['memo']}")
+            fh.write("</STMTTRN>\n")
+        fh.write("</BANKTRANLIST></STMTRS></STMTTRNRS>"
+                 "</BANKMSGSRSV1></OFX>\n")
+    return path
+
+
 def export(
     df: DataFrame,
     target: str = "list",
@@ -123,6 +222,10 @@ def export(
         feature, _ = _feature_json(df, **geo)
         df.select(feature).write.mode(mode).text(path)
         return path
+    if target == "qif":
+        return _write_qif(df, path, **geo)
+    if target == "ofx":
+        return _write_ofx(df, path, **geo)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -82,3 +82,52 @@ def test_export_geojson_geometry_passthrough_and_geojsonl(spark, tmp_path):
     assert len(lines) == 10
     assert {ln["id"] for ln in lines} == set(range(10))
     assert all(ln["geometry"]["type"] == "Point" for ln in lines)
+
+
+def test_export_qif_and_ofx(spark, tmp_path):
+    """ofx/qif targets (riko's optional csv2ofx-backed exports,
+    collections.py:263-287): transaction-shaped rows serialize to the
+    public QIF record format and an OFX 1.02 SGML statement; goldens
+    pin the serialization (csv2ofx absent -> byte-parity not claimed,
+    format correctness is)."""
+    df = spark.createDataFrame(
+        [("t1", "2026-01-15", -42.50, "Grocer", "weekly shop"),
+         ("t2", "2026-01-16", 1200.00, "Employer", None)],
+        "id string, date string, amount double, payee string, desc string",
+    ).coalesce(1)
+
+    q = str(tmp_path / "out.qif")
+    export(df.orderBy("id"), "qif", q)
+    assert open(q).read() == (
+        "!Type:Bank\n"
+        "D01/15/2026\nT-42.50\nPGrocer\nMweekly shop\n^\n"
+        "D01/16/2026\nT1200.00\nPEmployer\n^\n")
+
+    o = str(tmp_path / "out.ofx")
+    export(df.orderBy("id"), "ofx", o)
+    text = open(o).read()
+    assert text.startswith("OFXHEADER:100\nDATA:OFXSGML\nVERSION:102")
+    assert "<DTSTART>20260115<DTEND>20260116" in text
+    assert ("<STMTTRN><TRNTYPE>DEBIT<DTPOSTED>20260115<TRNAMT>-42.50"
+            "<FITID>t1<NAME>Grocer<MEMO>weekly shop</STMTTRN>") in text
+    assert ("<STMTTRN><TRNTYPE>CREDIT<DTPOSTED>20260116<TRNAMT>1200.00"
+            "<FITID>t2<NAME>Employer</STMTTRN>") in text
+    assert text.rstrip().endswith(
+        "</BANKTRANLIST></STMTRS></STMTTRNRS></BANKMSGSRSV1></OFX>")
+
+
+def test_export_ofx_fitid_defaults_to_content_hash(spark, tmp_path):
+    """Without an id column the FITID falls back to a deterministic
+    md5 of the transaction fields, so re-exports stay idempotent for
+    OFX consumers (they dedupe on FITID)."""
+    df = spark.createDataFrame(
+        [("2026-02-01", -5.0, "Cafe")],
+        "date string, amount double, payee string")
+    p1, p2 = str(tmp_path / "a.ofx"), str(tmp_path / "b.ofx")
+    export(df, "ofx", p1)
+    export(df, "ofx", p2)
+    t1, t2 = open(p1).read(), open(p2).read()
+    assert t1 == t2
+    import re
+    (fitid,) = re.findall(r"<FITID>([0-9a-f]{32})", t1)
+    assert len(fitid) == 32
