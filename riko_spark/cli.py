@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
                        help="JSON dict of C4 gate overrides "
                             "(min_words, min_sentences, ...)")
     crawl.add_argument("--max-files-per-trigger", type=int, default=None)
+    crawl.add_argument("--state-store", default=None,
+                       help="dedupe state backend: hdfs (Spark default,"
+                            " executor heap) or rocksdb (executor local"
+                            " disk, bounded memory — the corpus-scale"
+                            " choice), or a provider class name")
 
     args = ap.parse_args(argv)
 
@@ -191,6 +196,8 @@ def _crawl(args) -> int:
                         args.blocked_domains.split(","))
     conf.setdefault("watermark", args.watermark)
     conf.setdefault("dedupe_mode", args.dedupe_mode)
+    if args.state_store:
+        conf.setdefault("state_store", args.state_store)
     spark = get_spark(app_name=f"crawl:{args.warc_dir}", master=args.master)
     if args.batch:
         from riko_spark.sources.warc import warc_records

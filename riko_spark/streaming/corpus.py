@@ -112,9 +112,23 @@ def run_corpus_stream(
     → exactly-once UpsertSink keyed on url, partitioned
     ``days(warc_ts) x bucket(url)`` (the north rule's Iceberg layout,
     parquet-manifest implementation).  Returns ``(query, sink)`` —
-    await the query, then read the table back via ``sink.result``."""
+    await the query, then read the table back via ``sink.result``.
+
+    ``conf["state_store"]`` (``'hdfs'`` | ``'rocksdb'`` | provider
+    class name) selects where the dedupe's keyed state lives — see
+    :mod:`riko_spark.streaming.tuning`.  Default leaves the session
+    conf alone (``session.get_spark`` already defaults to RocksDB —
+    executor local disk behind a bounded block cache, the only
+    provider whose memory stays flat at the north rule's 10^12-doc
+    horizon); pass ``'hdfs'`` for small-state streams where the
+    heap-backed map's lower per-op latency wins.  Applied before the
+    query starts; an existing checkpoint keeps the provider it was
+    created with."""
     from riko_spark.sources.warc import warc_stream
     from riko_spark.streaming.sink import UpsertSink, write_stream_upsert
+    from riko_spark.streaming.tuning import configure_state_store
+
+    configure_state_store(spark, (conf or {}).get("state_store"))
 
     records = warc_stream(spark, warc_path, keep_types=("response",),
                           max_files_per_trigger=max_files_per_trigger)

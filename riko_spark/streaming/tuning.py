@@ -32,6 +32,41 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+STATE_STORE_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+STATE_STORE_PROVIDERS = {"hdfs": HDFS_PROVIDER, "rocksdb": ROCKSDB_PROVIDER}
+
+
+def resolve_state_store(provider: str) -> str:
+    """Alias (``hdfs`` / ``rocksdb``, case-insensitive) or a
+    fully-qualified StateStoreProvider class name → class name."""
+    cls = STATE_STORE_PROVIDERS.get(provider.strip().lower())
+    if cls:
+        return cls
+    if "." in provider:  # fully-qualified custom provider
+        return provider.strip()
+    raise ValueError(
+        f"unknown state store {provider!r}: expected one of "
+        f"{sorted(STATE_STORE_PROVIDERS)} or a fully-qualified "
+        "StateStoreProvider class name")
+
+
+def configure_state_store(spark: SparkSession, provider: str | None) -> str | None:
+    """Set the session's state-store provider for queries started from
+    now on; returns the resolved class name (``None`` = leave the
+    session untouched — ``session.get_spark`` already defaults to
+    RocksDB, the large-state choice).  Must run before
+    ``writeStream.start()``; the provider is recorded in the query's
+    offset-log metadata, so an existing checkpoint KEEPS the provider
+    it was created with across restarts (Spark re-applies the
+    checkpointed value and ignores a changed session conf) — start a
+    fresh checkpoint to switch."""
+    if provider is None:
+        return None
+    cls = resolve_state_store(provider)
+    spark.conf.set(STATE_STORE_CONF, cls)
+    return cls
+
 
 @contextmanager
 def stream_conf(

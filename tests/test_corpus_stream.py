@@ -89,6 +89,10 @@ def test_stream_batch_parity_and_dedupe_winner(spark, tmp_path):
     assert winners[T1] == "http://site-a.example/0"
     assert winners[T2] == "http://site-b.example/0"
     assert winners[T4] == "http://site-d.example/0"
+    # the session-default state store (RocksDB, the large-state
+    # choice) actually held the dedupe state: provider-specific
+    # custom metrics on the stateful operator
+    assert any(k.startswith("rocksdb") for k in _state_metrics(q))
 
 
 def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
@@ -119,6 +123,63 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     # not displace the first-run winner
     assert {r["url"] for r in got if r["text"] == T2} == \
         {"http://site-b.example/0"}
+
+
+def _state_metrics(q):
+    """Union of the query's stateOperator customMetrics dicts."""
+    metrics = {}
+    for prog in q.recentProgress:
+        for op in prog.get("stateOperators") or []:
+            metrics.update(op.get("customMetrics") or {})
+    return metrics
+
+
+def test_state_store_knob_switches_provider(spark, tmp_path):
+    # The session default (session.get_spark) is ROCKSDB — the
+    # large-state choice.  conf["state_store"]="hdfs" must actually
+    # switch the dedupe state to the heap-backed provider — proven by
+    # the custom-metrics signature (rocksdb* keys vs loadedMapCache*
+    # keys), not just by the conf value — with results identical to
+    # the rocksdb run (same survivors, same first-arrival winners).
+    import pytest
+
+    from riko_spark.streaming.tuning import (
+        HDFS_PROVIDER,
+        STATE_STORE_CONF,
+        resolve_state_store,
+    )
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    _write_fixture(src)
+    try:
+        q, sink = run_corpus_stream(
+            spark, str(src), str(tmp_path / "sink"),
+            str(tmp_path / "ckpt"),
+            conf=dict(CONF, state_store="hdfs"),
+            max_files_per_trigger=1)
+        q.awaitTermination(120)
+        assert spark.conf.get(STATE_STORE_CONF) == HDFS_PROVIDER
+        got = sink.result(spark).collect()
+        assert sorted(r["text"] for r in got) == sorted([T1, T2, T4])
+        winners = {r["text"]: r["url"] for r in got}
+        assert winners[T1] == "http://site-a.example/0"
+        assert winners[T2] == "http://site-b.example/0"
+        metrics = _state_metrics(q)
+        assert metrics, "stateful operator reported no custom metrics"
+        assert not any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        spark.conf.unset(STATE_STORE_CONF)  # back to the rocksdb default
+
+    # alias resolution is case-insensitive; unknown aliases fail loud;
+    # fully-qualified custom providers pass through
+    assert resolve_state_store("HDFS") == HDFS_PROVIDER
+    assert resolve_state_store("RocksDB").endswith(
+        "RocksDBStateStoreProvider")
+    assert resolve_state_store("com.example.MyProvider") == \
+        "com.example.MyProvider"
+    with pytest.raises(ValueError, match="leveldb"):
+        resolve_state_store("leveldb")
 
 
 def test_clean_corpus_output_schema_stable(spark, tmp_path):
