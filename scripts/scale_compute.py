@@ -43,6 +43,15 @@ small, where raw >=0.8 is physically reachable on one box:
                  Python/Arrow compute; the gates are native
                  projections and the only shuffle is the content-key
                  dedupe — the capstone's compute-bound scaling leg.
+* ``warc_stream`` — round-8 sharded streaming ingest of ONE huge
+                 per-record-gzip archive (the single-file CC case):
+                 the stream is a file source over byte-balanced shard
+                 manifests, executors range-read + inflate + parse
+                 their shards (warc_stream_sharded); all per-page cost
+                 is Python/Arrow compute with NO stateful stage, so
+                 read parallelism comes entirely from the offset
+                 shards — the leg proves a single archive scales with
+                 cores, not with file count.
 * ``pii``      — the JVM regexp_count/regexp_replace PII-scrub chain
                  over 128x documents (round-6 judge ask #5: a SECOND
                  >=0.8 leg on a different compute-bound workload, this
@@ -92,6 +101,13 @@ CLEAN_MULT = int(os.environ.get("SCALE_CLEAN_MULT", "600"))
 #: is Python-side (gzip inflate + WARC parse + DOM extract + simhash)
 #: behind Arrow, so this is the compute-bound leg for the capstone
 CRAWL_N = int(os.environ.get("SCALE_CRAWL_N", "500000"))
+#: sharded-WARC streaming-ingest leg (round 8): ONE huge
+#: per-record-gzip archive, read-parallelism entirely from the offset
+#: shard manifests (the single-file CC case warc_stream_sharded
+#: exists for); per-page cost is gzip-member inflate + WARC header
+#: walk + HTTP payload split in Python behind Arrow
+WARC_STREAM_N = int(os.environ.get("SCALE_WARC_STREAM_N", "400000"))
+WARC_STREAM_SHARDS = int(os.environ.get("SCALE_WARC_STREAM_SHARDS", "128"))
 
 #: clean_sparse planting: the line_dedupe rewrite's TARGET regime —
 #: only 10% of docs carry a corpus-frequent line (disjoint 5% residue
@@ -335,6 +351,49 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
         n = _build_warc_fixture(spark, pages, path, files=64)
         spark.stop()
         return path, n
+    elif workload == "warc_stream":
+        # ONE huge archive + its member index, both built once: the
+        # single-file CC regime.  The archive is written by one task
+        # (a single file is inherently a sequential write); the index
+        # is computed once here — a real CC pipeline reads the
+        # published cdx index instead of rescanning.
+        import json as _json
+
+        from riko_spark.sources.pages import pages_fixture
+        from riko_spark.sources.warc import warc_member_index
+
+        pages = pages_fixture(n=WARC_STREAM_N)
+        path = os.path.join(out_dir, "scale_warc_stream")
+        os.makedirs(path, exist_ok=True)
+        arch = os.path.join(path, "big.warc.gz")
+        d = spark.read.parquet(pages).select(
+            "url",
+            F.date_format("warc_ts",
+                          "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("date"),
+            "html")
+        n = d.count()
+
+        def write_all(it):
+            from riko_spark.sources.warc import build_warc
+
+            with open(arch, "wb") as fh:
+                for row in it:
+                    fh.write(build_warc([{
+                        "warc_type": "response", "uri": row["url"],
+                        "date": row["date"],
+                        "content_type":
+                            "application/http; msgtype=response",
+                        "content": b"HTTP/1.1 200 OK\r\n\r\n"
+                                   + bytes(row["html"]),
+                    }], gzip_members=True))
+
+        d.coalesce(1).foreachPartition(write_all)
+        with open(arch, "rb") as fh:
+            index = warc_member_index(fh.read())
+        with open(os.path.join(path, "index.json"), "w") as fh:
+            _json.dump(index, fh)
+        spark.stop()
+        return path, n
     elif workload in ("simhash", "pii"):
         # per-doc kernel: no joins/groupBys on doc_id, so duplicate ids
         # are harmless — read the same file DOC_MULT times instead of
@@ -401,6 +460,39 @@ def _run_workload(spark, workload: str, path: str):
         # + gate arithmetic) so no stage prunes away
         return out.agg(F.count(F.lit(1)), F.sum(F.length("text")),
                        F.sum("n_words")).collect()[0][0]
+    if workload == "warc_stream":
+        import json as _json
+        import tempfile as _tf
+
+        from riko_spark.sources.warc import warc_stream_sharded
+
+        arch = os.path.join(path, "big.warc.gz")
+        with open(os.path.join(path, "index.json")) as fh:
+            index = [tuple(x) for x in _json.load(fh)]
+        # one manifest file per scan partition: a shard IS the unit of
+        # read parallelism, so the tiny JSON manifests must not get
+        # bin-packed together by the file source's open-cost heuristic
+        spark.conf.set("spark.sql.files.openCostInBytes",
+                       str(32 * 1024 * 1024))
+        agg = {"rows": 0, "payload": 0}
+
+        def sink(b, _i):
+            r = b.agg(F.count(F.lit(1)),
+                      F.sum(F.length("payload"))).collect()[0]
+            agg["rows"] += r[0]
+            agg["payload"] += r[1] or 0
+
+        with _tf.TemporaryDirectory() as tmp:
+            out = warc_stream_sharded(
+                spark, arch, index, os.path.join(tmp, "manifests"),
+                num_shards=WARC_STREAM_SHARDS, keep_types=("response",))
+            q = (out.writeStream.foreachBatch(sink).outputMode("append")
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True).start())
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("warc_stream leg timed out")
+        return agg["rows"]
     if workload == "pii":
         from riko_spark.operators.textstats import pii_scrub_op
 
@@ -478,7 +570,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
                     choices=["cep", "simhash", "pii", "jpeg", "flac",
-                             "clean", "clean_sparse", "cc", "crawl"])
+                             "clean", "clean_sparse", "cc", "crawl",
+                             "warc_stream"])
     ap.add_argument("--sets", type=int, default=3)
     ap.add_argument("--_leg", dest="leg_workload", default=None)
     ap.add_argument("--_ccleg", dest="cc_leg", default=None)
