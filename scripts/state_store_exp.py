@@ -110,9 +110,46 @@ def drain(path: str, provider: str, files_per_trigger: int) -> dict:
     return res
 
 
+def run_pair(uniques: int, files_per_trigger: int) -> dict:
+    """Build the fixture at ``uniques`` keys, drain it under both
+    providers (fresh JVM per leg), return the paired summary."""
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "pages_uniq")
+        n = build_fixture(src, uniques)
+        results = {}
+        for leg in ("hdfs", "rocksdb"):  # fresh JVM per leg
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_leg", leg,
+                 "--path", src, "--files-per-trigger",
+                 str(files_per_trigger)],
+                capture_output=True, text=True, timeout=1200)
+            if out.returncode or not out.stdout.strip():
+                sys.stderr.write(out.stderr[-2000:])
+                raise SystemExit(f"leg {leg} failed")
+            results[leg] = json.loads(out.stdout.strip().splitlines()[-1])
+    h, r = results["hdfs"], results["rocksdb"]
+    assert h["output_rows"] == r["output_rows"] == n, (h, r, n)
+    assert r["rocksdb_metrics"] and not h["rocksdb_metrics"], (h, r)
+    return {
+        "fixture_rows": n,
+        "hdfs": h,
+        "rocksdb": r,
+        "rocksdb_wall_overhead": round(r["wall_sec"] / h["wall_sec"], 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--uniques", type=int, default=200_000)
+    ap.add_argument("--sizes", default=None,
+                    help="comma-separated key counts: run the provider "
+                         "pairing at EACH size and report how each "
+                         "provider's state memory GROWS with keys — the "
+                         "heap map should scale ~linearly (bytes/key "
+                         "constant) while RocksDB's block-cache budget "
+                         "stays bounded; this is the single-box proxy "
+                         "for the state >> heap regime the sandbox "
+                         "cannot reach directly")
     ap.add_argument("--files-per-trigger", type=int, default=4)
     ap.add_argument("--_leg", default=None,
                     help="internal: provider alias, drain in this process")
@@ -124,30 +161,46 @@ def main() -> None:
                                args.files_per_trigger)))
         return
 
-    with tempfile.TemporaryDirectory() as d:
-        src = os.path.join(d, "pages_uniq")
-        n = build_fixture(src, args.uniques)
-        results = {}
-        for leg in ("hdfs", "rocksdb"):  # fresh JVM per leg
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_leg", leg,
-                 "--path", src, "--files-per-trigger",
-                 str(args.files_per_trigger)],
-                capture_output=True, text=True, timeout=1200)
-            if out.returncode or not out.stdout.strip():
-                sys.stderr.write(out.stderr[-2000:])
-                raise SystemExit(f"leg {leg} failed")
-            results[leg] = json.loads(out.stdout.strip().splitlines()[-1])
-    h, r = results["hdfs"], results["rocksdb"]
-    assert h["output_rows"] == r["output_rows"] == n, (h, r, n)
-    assert r["rocksdb_metrics"] and not h["rocksdb_metrics"], (h, r)
-    summary = {
-        "fixture_rows": n,
-        "hdfs": h,
-        "rocksdb": r,
-        "rocksdb_wall_overhead": round(r["wall_sec"] / h["wall_sec"], 2),
-    }
-    print(json.dumps(summary))
+    if args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",")]
+        pairs = []
+        for u in sizes:
+            p = run_pair(u, args.files_per_trigger)
+            pairs.append(p)
+            print(json.dumps(p), flush=True)
+        lo, hi = pairs[0], pairs[-1]
+        growth = hi["fixture_rows"] / lo["fixture_rows"]
+
+        def _pinned(leg):
+            return leg["rocksdb_metrics"].get(
+                "rocksdbPinnedBlocksMemoryUsage", 0)
+
+        summary = {
+            "sizes": sizes,
+            "key_growth": growth,
+            # heap provider: memoryUsedBytes IS the loaded map — linear
+            "hdfs_state_mem_growth": round(
+                hi["hdfs"]["state_memory_bytes"]
+                / max(1, lo["hdfs"]["state_memory_bytes"]), 2),
+            "hdfs_bytes_per_key": [
+                round(p["hdfs"]["state_memory_bytes"]
+                      / p["fixture_rows"], 1) for p in pairs],
+            # rocksdb: pinned-block bytes are the executor's actual
+            # RESIDENT store memory (the bounded working set); SST
+            # bytes are the full state, but they live on local disk
+            "rocksdb_pinned_bytes": [_pinned(p["rocksdb"])
+                                     for p in pairs],
+            "rocksdb_pinned_growth": round(
+                _pinned(hi["rocksdb"]) / max(1, _pinned(lo["rocksdb"])),
+                2),
+            "rocksdb_sst_bytes": [
+                p["rocksdb"]["rocksdb_metrics"].get(
+                    "rocksdbSstFileSize", 0) for p in pairs],
+        }
+        print(json.dumps(summary))
+        return
+
+    print(json.dumps(run_pair(args.uniques, args.files_per_trigger)))
 
 
 if __name__ == "__main__":
