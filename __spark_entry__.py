@@ -2217,21 +2217,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation (VERDICT r7 ask #1): code-changed-this-round entries
     # LEAD — stream_corpus_batch (oracle now dedupes on the engine's
     # normalized-md5 key, ADVICE r7; its streaming path gained the
-    # per-partition pre-dedupe) and warc_sharded (chunked member
-    # indexing + URI resolution + sharded streaming source) — then the
+    # per-partition pre-dedupe), warc_sharded (chunked member
+    # indexing + URI resolution + sharded streaming source), and the
+    # three queries through the rewritten zip_with shingle chain
+    # (minhash_lsh, ngram_jaccard, fingerprint; ngram_contamination
+    # also rides it and sits at ~37 in the r06 block) — then the
     # 7 entries whose last driver-green row is r05 (simplemath,
     # dateformat, datebuilder, subelement, urlbuilder, urlparse,
-    # itembuilder), then 41 of the 44 r06-head entries so no driver
-    # row ages past 2 rounds.  Past position 50: the last three
-    # r06-head entries (video_frames_mjpeg, video_frames_gif,
-    # frame_sample — code unchanged, re-verified via this session's
-    # full tools/check_oracle.py run; they lead the r9 rotation) and
-    # the 48 remaining r07-head entries (driver-green one round ago,
-    # code unchanged, same full re-run).
+    # itembuilder), then 38 of the 44 r06-head entries so no driver
+    # row ages past 2 rounds.  Past position 50: the last four
+    # r06-head entries (video_frames, video_frames_mjpeg,
+    # video_frames_gif, frame_sample — code unchanged, re-verified
+    # via this round's full tools/check_oracle.py runs; they lead the
+    # r9 rotation) and the remaining r07-head entries (driver-green
+    # one round ago, code unchanged, same full re-run).
     return {
         # -- code changed round 8 --
         "stream_corpus_batch": q_stream_corpus_batch,
         "warc_sharded": q_warc_sharded,
+        # (shingle construction rewritten as a zip_with chain this
+        # round — every query through word_shingles re-verifies:)
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "fingerprint": q_fingerprint,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2301,16 +2309,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_match_quant": q_sequence_match_quant,
         "threshold_match": q_threshold_match,
         "aggregate_udaf": q_aggregate_udaf,
-        "fingerprint": q_fingerprint,
         "topk_per_group": q_topk_per_group,
         "repetition_stats": q_repetition,
         "pii_scrub": q_pii_scrub,
         "strfind_last": q_strfind_last,
         "exact_dedupe": q_exact_dedupe,
-        "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
-        "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_bruteforce_vec": q_ann_bruteforce_vec,

@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from riko_spark.operators import register
-from riko_spark.operators.textstats import words_col
+from riko_spark.operators.textstats import word_shingles, words_col
 
 # line-level gates (C4): keep lines that end in terminal punctuation
 # and carry at least MIN_LINE_WORDS words.
@@ -317,13 +317,12 @@ def ngram_contamination_op(
 
     def ngram_hashes(text: Column) -> Column:
         toks = words_col(text)
-        # guard: Spark's sequence(1, 0) DESCENDS to [1, 0]
+        # word_shingles' zip_with chain: no per-gram array copies
+        # (at n=13 the naive slice form copies a 13-element array
+        # per gram, interpreted — see textstats.word_shingles)
         grams = F.when(
             F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
-            ),
+            F.transform(word_shingles(toks, n), lambda s: F.xxhash64(s)),
         ).otherwise(F.array().cast("array<bigint>"))
         return F.array_distinct(grams)
 
