@@ -2220,17 +2220,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-partition pre-dedupe), warc_sharded (chunked member
     # indexing + URI resolution + sharded streaming source), and the
     # three queries through the rewritten zip_with shingle chain
-    # (minhash_lsh, ngram_jaccard, fingerprint; ngram_contamination
-    # also rides it and sits at ~37 in the r06 block) — then the
-    # 7 entries whose last driver-green row is r05 (simplemath,
-    # dateformat, datebuilder, subelement, urlbuilder, urlparse,
-    # itembuilder), then 38 of the 44 r06-head entries so no driver
-    # row ages past 2 rounds.  Past position 50: the last four
-    # r06-head entries (video_frames, video_frames_mjpeg,
-    # video_frames_gif, frame_sample — code unchanged, re-verified
-    # via this round's full tools/check_oracle.py runs; they lead the
-    # r9 rotation) and the remaining r07-head entries (driver-green
-    # one round ago, code unchanged, same full re-run).
+    # (minhash_lsh, ngram_jaccard, fingerprint, repetition_stats;
+    # ngram_contamination also rides it, inside the r06 block below) —
+    # then the 7 entries whose last driver-green row is r05
+    # (simplemath, dateformat, datebuilder, subelement, urlbuilder,
+    # urlparse, itembuilder), then 37 of the 44 r06-head entries so no
+    # driver row ages past 2 rounds.  Past position 50: the last seven
+    # r06-head entries (audio_features_g711/float/adpcm, video_frames,
+    # video_frames_mjpeg, video_frames_gif, frame_sample — code
+    # unchanged, re-verified via this round's full
+    # tools/check_oracle.py runs; they lead the r9 rotation) and the
+    # remaining r07-head entries (driver-green one round ago, code
+    # unchanged, same full re-run).
     return {
         # -- code changed round 8 --
         "stream_corpus_batch": q_stream_corpus_batch,
@@ -2240,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2310,7 +2312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_match": q_threshold_match,
         "aggregate_udaf": q_aggregate_udaf,
         "topk_per_group": q_topk_per_group,
-        "repetition_stats": q_repetition,
         "pii_scrub": q_pii_scrub,
         "strfind_last": q_strfind_last,
         "exact_dedupe": q_exact_dedupe,

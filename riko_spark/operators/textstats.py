@@ -174,11 +174,7 @@ def repetition_stats_op(df: DataFrame, conf: dict | None = None,
     n_words = F.size(toks).cast("double")
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                                  F.element_at(toks, i + 1)),
-        ),
+        word_shingles(toks, 2),
     ).otherwise(F.array().cast("array<string>"))
     # most-frequent-element count of a SORTED array: linear fold keeping
     # (previous element, current run length, best run length)

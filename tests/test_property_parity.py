@@ -296,3 +296,36 @@ def test_group_ranges_properties():
                 cur += starts[cur]
             assert cur == end
         assert covered == sorted(idx)
+
+
+def test_word_shingles_parity_random(spark):
+    # the zip_with shingle chain (round 8) must produce exactly the
+    # shingles of the naive transform(sequence, i -> concat_ws(
+    # slice(toks, i, k))) construction it replaced for speed —
+    # including the <k-token and empty/whitespace edge cases
+    from riko_spark.operators.textstats import word_shingles, words_col
+
+    rng = random.Random(4242)
+    words = ["alpha", "beta", "Gamma", "DELTA", "e", "", "longish-token"]
+    texts = []
+    for _ in range(120):
+        n = rng.randrange(0, 12)
+        texts.append(" ".join(rng.choice(words) for _ in range(n))
+                     + rng.choice(["", "  ", "\t", "\n"]))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string")
+    for k in (2, 3, 5, 13):
+        toks = words_col(F.col("t"))
+        naive = F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        fast = F.when(
+            F.size(toks) >= k, word_shingles(toks, k)
+        ).otherwise(F.array().cast("array<string>"))
+        rows = df.select("i", naive.alias("a"), fast.alias("b")).collect()
+        for r in rows:
+            assert r["a"] == r["b"], (k, texts[r["i"]], r["a"], r["b"])
