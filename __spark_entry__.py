@@ -2221,12 +2221,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # indexing + URI resolution + sharded streaming source), and the
     # three queries through the rewritten zip_with shingle chain
     # (minhash_lsh, ngram_jaccard, fingerprint, repetition_stats;
-    # ngram_contamination also rides it, inside the r06 block below) —
-    # then the 7 entries whose last driver-green row is r05
-    # (simplemath, dateformat, datebuilder, subelement, urlbuilder,
-    # urlparse, itembuilder), then 37 of the 44 r06-head entries so no
-    # driver row ages past 2 rounds.  Past position 50: the last seven
-    # r06-head entries (audio_features_g711/float/adpcm, video_frames,
+    # ngram_contamination also rides it, inside the r06 block below)
+    # and the two pipelines composed over the natively-rewritten c4
+    # line-gate predicate (corpus_pipeline, crawl_pipeline;
+    # c4_line_filter itself and stream_corpus_batch also ride it and
+    # are already under the gate) — then the 7 entries whose last
+    # driver-green row is r05 (simplemath, dateformat, datebuilder,
+    # subelement, urlbuilder, urlparse, itembuilder), then 35 of the
+    # 44 r06-head entries so no driver row ages past 2 rounds.  Past
+    # position 50: the last nine r06-head entries (audio_features,
+    # audio_features_zcr/g711/float/adpcm, video_frames,
     # video_frames_mjpeg, video_frames_gif, frame_sample — code
     # unchanged, re-verified via this round's full
     # tools/check_oracle.py runs; they lead the r9 rotation) and the
@@ -2242,6 +2246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition,
+        # (c4 line-gate predicate rewritten natively this round —
+        # its composed pipelines re-verify:)
+        "corpus_pipeline": q_corpus_pipeline,
+        "crawl_pipeline": q_crawl_pipeline,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2300,9 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r07-head: driver-green in CORRECTNESS_r07 (one round
         #    old), code unchanged this round --
         "line_dedupe": q_line_dedupe,
-        "corpus_pipeline": q_corpus_pipeline,
         "main_content": q_main_content,
-        "crawl_pipeline": q_crawl_pipeline,
         "neardup_clusters": q_neardup_clusters,
         "audio_features_flac": q_audio_features_flac,
         "image_features_real": q_image_features_real,

@@ -53,8 +53,16 @@ def lines_col(text: Column) -> Column:
     )
 
 
+#: the characters TERMINAL_RE accepts as a line's final character
+_TERMINAL_CHARS = [".", "!", "?", '"', "”"]
+
+
 def _line_words(line: Column) -> Column:
-    return F.size(F.filter(F.split(line, r"\s+"), lambda w: w != F.lit("")))
+    # callers pass lines from lines_col (trimmed, non-empty), so a bare
+    # split can produce no empty tokens — skipping the per-token filter
+    # pass (these run interpreted inside the line-level higher-order
+    # filter; see word_shingles for why that matters)
+    return F.size(F.split(line, r"\s+"))
 
 
 @register("c4_line_filter")
@@ -81,7 +89,12 @@ def c4_line_filter_op(
     def keep(line: Column) -> Column:
         ok = _line_words(line) >= F.lit(min_words)
         if require_terminal:
-            ok = ok & (F.regexp_count(line, F.lit(TERMINAL_RE)) > 0)
+            # last-char isin == TERMINAL_RE on trimmed newline-free
+            # lines, without a per-line regex scan ($-anchored
+            # regexp_count still walks the whole line through the
+            # regex engine, interpreted inside this higher-order
+            # filter; measured ~20% off the c4 stage)
+            ok = ok & F.substring(line, -1, 1).isin(*_TERMINAL_CHARS)
         return ok
 
     kept = F.filter(lines, keep)
