@@ -739,6 +739,25 @@ def q_line_dedupe(spark, sf):
     )
 
 
+def q_span_dedupe(spark, sf):
+    """ExactSubstr-style duplicated-SPAN removal (Lee et al. 2021)
+    over the planted paged corpus: every exact 6-token window seen in
+    >= 3 distinct documents (the planted footers/cookie banners, plus
+    any boilerplate-straddling windows) has all its covered token
+    positions dropped from every document; survivors are rejoined with
+    single spaces.  Window text never crosses an exchange — the plan
+    ships (doc, pos, xxhash64) occurrences only, exactly like
+    line_dedupe.  The oracle recomputes window document-frequency,
+    covered positions, and the rebuilt md5 with an independent DuckDB
+    list-slice + NOT EXISTS + ordered string_agg plan."""
+    from riko_spark.operators.cleaning import span_dedupe_op
+
+    out = span_dedupe_op(_planted_paged(spark, sf), k=6, min_docs=3)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_kept", "n_dropped",
+    )
+
+
 def q_corpus_pipeline(spark, sf):
     """The composed corpus-cleaning pass a Common-Crawl pipeline runs
     end-to-end: C4 line gate -> corpus-level boilerplate line dedupe
@@ -2225,11 +2244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate) — then the 7 entries whose last
-    # driver-green row is r05 (simplemath, dateformat, datebuilder,
-    # subelement, urlbuilder, urlparse, itembuilder), then 35 of the
-    # 44 r06-head entries so no driver row ages past 2 rounds.  Past
-    # position 50: the last nine r06-head entries (audio_features,
+    # are already under the gate), plus the NEW-this-round
+    # span_dedupe (ExactSubstr duplicated-span removal) — then the 7
+    # entries whose last driver-green row is r05 (simplemath,
+    # dateformat, datebuilder, subelement, urlbuilder, urlparse,
+    # itembuilder), then 34 of the 44 r06-head entries so no driver
+    # row ages past 2 rounds.  Past position 50: the last ten
+    # r06-head entries (media_metadata, audio_features,
     # audio_features_zcr/g711/float/adpcm, video_frames,
     # video_frames_mjpeg, video_frames_gif, frame_sample — code
     # unchanged, re-verified via this round's full
@@ -2250,6 +2271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its composed pipelines re-verify:)
         "corpus_pipeline": q_corpus_pipeline,
         "crawl_pipeline": q_crawl_pipeline,
+        # -- NEW round 8 --
+        "span_dedupe": q_span_dedupe,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2293,6 +2316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absence_match": q_absence_match,
         "image_features": q_image_features,
         "image_features_gif": q_image_features_gif,
+        # -- past the 50-entry gate: r06-green tail (unchanged,
+        #    check_oracle re-run this session; lead r9) --
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
         "audio_features_zcr": q_audio_features_zcr,
@@ -2300,8 +2325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_float": q_audio_features_float,
         "audio_features_adpcm": q_audio_features_adpcm,
         "video_frames": q_video_frames,
-        # -- past the 50-entry gate: r06-green tail (unchanged,
-        #    check_oracle re-run this session; lead r9) --
         "video_frames_mjpeg": q_video_frames_mjpeg,
         "video_frames_gif": q_video_frames_gif,
         "frame_sample": q_frame_sample,
@@ -3532,6 +3555,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(l.lines) - coalesce(reb.n_kept, 0) AS BIGINT)
                        AS n_dropped
             FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id
+        """),
+        # span_dedupe: independent recomputation of the ExactSubstr
+        # fixed-window pass — 6-token windows via 1-based list_slice
+        # (the engine uses a 0-based zip_with chain + xxhash64; the
+        # oracle compares WINDOW TEXT directly, so a hash collision or
+        # off-by-one in either formulation mismatches), document
+        # frequency over distinct docs, covered-position suppression
+        # via NOT EXISTS, ordered string_agg rebuild.
+        "span_dedupe": (
+            r"""
+            WITH t AS (
+                SELECT doc_id, """ + _PAGED_SQL + r""" AS text
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           coalesce(text, ''), '\s+'), x -> x <> '')
+                           AS toks
+                FROM t
+            ),
+            win AS (
+                SELECT doc_id, pos,
+                       array_to_string(
+                           list_slice(toks, pos, pos + 5), ' ') AS w
+                FROM (
+                    SELECT doc_id, toks,
+                           unnest(generate_series(
+                               1, greatest(len(toks) - 5, 0))) AS pos
+                    FROM tok
+                )
+            ),
+            freq AS (
+                SELECT w FROM (
+                    SELECT w, count(DISTINCT doc_id) AS df
+                    FROM win GROUP BY w
+                ) WHERE df >= 3
+            ),
+            hits AS (
+                SELECT doc_id, pos FROM win
+                WHERE w IN (SELECT w FROM freq)
+            ),
+            tp AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM tok
+            ),
+            kept AS (
+                SELECT tp.doc_id, tp.tok, tp.i FROM tp
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM hits h
+                    WHERE h.doc_id = tp.doc_id
+                      AND h.pos <= tp.i AND tp.i < h.pos + 6
+                )
+            ),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY i) AS clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT tok.doc_id,
+                   md5(coalesce(reb.clean, '')) AS clean_md5,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(len(tok.toks) - coalesce(reb.n_kept, 0)
+                        AS BIGINT) AS n_dropped
+            FROM tok LEFT JOIN reb ON tok.doc_id = reb.doc_id
         """),
         "corpus_pipeline": (
             r"""

@@ -289,6 +289,95 @@ def line_dedupe_op(
     )
 
 
+@register("span_dedupe", kind="operator", sub_kind="aggregator")
+def span_dedupe_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    field: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring removal at token granularity (Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — the ExactSubstr pass, public): every ``k``-token window
+    whose exact text occurs in >= ``min_docs`` DISTINCT documents is
+    removed from every document, i.e. all token positions covered by
+    any duplicated window are dropped and the survivors are rejoined
+    with single spaces.  The paper's suffix-array formulation finds
+    duplicated spans of length >= k; the fixed-window formulation here
+    removes the same token set for spans in [k, 2k) and a superset
+    contained in the duplicated region for longer spans — the standard
+    shuffle-friendly relaxation (a distributed suffix array needs a
+    global sort per round; this needs one hash aggregation).
+
+    100 TB shape — mirrors :func:`line_dedupe_op`: window text never
+    crosses an exchange.
+
+    1. Tokenize row-locally and build the k-gram windows with the
+       zip_with shingle chain (no per-window array copies), then
+       project each occurrence to ``(doc, pos, xxhash64(window))``.
+    2. Document frequency per window hash via two-stage distinct +
+       count with map-side partial aggregation; REBALANCE after the
+       ``>= min_docs`` filter so AQE sizes the broadcast from the
+       TRUE (post-filter) frequent-set size, not the pre-filter
+       exchange below it.
+    3. Keep only the HITS (occurrences of frequent windows) —
+       proportional to duplicated-span volume, not corpus volume —
+       and ``collect_set`` the hit START positions per document.
+    4. Rebuild each document ROW-LOCALLY: token ``i`` survives iff no
+       drop-start ``p`` satisfies ``p <= i < p + k`` (a native
+       ``filter`` + ``exists`` projection; O(tokens x hits-per-doc)
+       per row, scan-parallel, no shuffle).
+
+    Tokens are whitespace-split and NOT case-folded (the pass is
+    byte-exact, like the reference ExactSubstr).  Documents shorter
+    than ``k`` tokens contribute no windows and always survive whole;
+    NULL ``field`` is an empty document.  Output: ``id_col``, cleaned
+    ``field`` (space-rejoined), ``n_kept``, ``n_dropped``.
+    """
+    conf = conf or {}
+    k = int(conf.get("k", k))
+    min_docs = int(conf.get("min_docs", min_docs))
+    src = F.coalesce(F.col(field), F.lit(""))
+    toks = F.filter(F.split(src, r"\s+"), lambda x: x != F.lit(""))
+    occurrences = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(toks, k)).alias("__pos", "__sh"),
+    ).select(id_col, "__pos", F.xxhash64("__sh").alias("__h"))
+    frequent = (
+        occurrences.select("__h", id_col).distinct()
+        .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= F.lit(min_docs))
+        .select("__h")
+        .hint("rebalance")
+    )
+    drops = (
+        occurrences.join(frequent, on="__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__drop"))
+        .hint("rebalance")
+    )
+    drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            drop_arr, lambda p: (i >= p) & (i < p + F.lit(k))),
+    )
+    return (
+        df.join(drops, on=id_col, how="left")
+        .select(F.col(id_col), F.size(toks).alias("__total"),
+                kept.alias("__kept"))
+        .select(
+            F.col(id_col),
+            F.array_join(F.col("__kept"), " ").alias(field),
+            F.size("__kept").cast("long").alias("n_kept"),
+            (F.col("__total") - F.size("__kept")).cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 @register("ngram_contamination", kind="operator", sub_kind="aggregator")
 def ngram_contamination_op(
     df: DataFrame,

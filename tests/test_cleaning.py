@@ -14,6 +14,7 @@ from riko_spark.operators.cleaning import (
     c4_doc_filter_op,
     c4_line_filter_op,
     line_dedupe_op,
+    span_dedupe_op,
 )
 
 from tests.conftest import rows
@@ -157,12 +158,91 @@ def test_line_dedupe_trims_before_matching(spark):
     assert all(out[i]["n_dropped"] == 1 for i in (1, 2, 3))
 
 
+# ---------------------------------------------------------------- span dedupe
+
+def test_span_dedupe_drops_duplicated_windows(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "intro words alpha beta gamma delta epsilon more tail"),
+        (3, "totally unique content nothing shared here at all ok"),
+        (4, "alpha beta gamma delta epsilon zeta closing remark"),
+    ]
+    out = {r["doc_id"]: r for r in rows(
+        span_dedupe_op(_docs(spark, docs), k=5, min_docs=2))}
+    # "alpha beta gamma delta epsilon" is in docs 1/2/4; doc 1 and 4
+    # additionally share the window shifted onto "zeta", so their
+    # covered region extends one token further.
+    assert out[1]["text"] == "eta theta"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 6
+    assert out[2]["text"] == "intro words more tail"
+    assert out[2]["n_kept"] == 4 and out[2]["n_dropped"] == 5
+    assert out[3]["n_dropped"] == 0
+    assert out[4]["text"] == "closing remark"
+
+
+def test_span_dedupe_exact_removal_for_spans_under_2k(spark):
+    # a duplicated run of 7 tokens with k=5 plants windows at offsets
+    # 0..2; their union covers exactly the 7 duplicated tokens — the
+    # fixed-window relaxation is EXACT for span lengths in [k, 2k).
+    dup = "one two three four five six seven"
+    docs = [
+        (1, f"{dup} tail1 tailA tailB"),
+        (2, f"head2 headX {dup}"),
+    ]
+    out = {r["doc_id"]: r for r in rows(
+        span_dedupe_op(_docs(spark, docs), k=5, min_docs=2))}
+    assert out[1]["text"] == "tail1 tailA tailB"
+    assert out[1]["n_dropped"] == 7
+    assert out[2]["text"] == "head2 headX"
+    assert out[2]["n_dropped"] == 7
+
+
+def test_span_dedupe_frequency_is_per_document_not_per_occurrence(spark):
+    # the same 5-gram repeated inside ONE doc is df=1 -> kept
+    docs = [
+        (1, "a b c d e a b c d e"),
+        (2, "totally different words here now"),
+    ]
+    out = {r["doc_id"]: r for r in rows(
+        span_dedupe_op(_docs(spark, docs), k=5, min_docs=2))}
+    assert out[1]["n_dropped"] == 0 and out[2]["n_dropped"] == 0
+
+
+def test_span_dedupe_short_null_and_whitespace_docs(spark):
+    docs = [
+        (1, "short doc"),          # < k tokens: no windows, survives
+        (2, None),                 # NULL -> empty document
+        (3, "   "),                # whitespace-only -> empty
+        (4, "short doc"),          # duplicate of 1 but too short
+    ]
+    out = {r["doc_id"]: r for r in rows(
+        span_dedupe_op(_docs(spark, docs), k=5, min_docs=2))}
+    assert out[1]["text"] == "short doc" and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "short doc"
+
+
+def test_span_dedupe_is_byte_exact_no_case_folding(spark):
+    # ExactSubstr is byte-exact: case-differing windows are distinct
+    docs = [
+        (1, "The Quick Brown Fox Jumps high"),
+        (2, "the quick brown fox jumps low"),
+        (3, "The Quick Brown Fox Jumps away"),
+    ]
+    out = {r["doc_id"]: r for r in rows(
+        span_dedupe_op(_docs(spark, docs), k=5, min_docs=2))}
+    assert out[1]["n_dropped"] == 5 and out[3]["n_dropped"] == 5
+    assert out[2]["n_dropped"] == 0
+
+
 def test_registry_names():
     from riko_spark.operators import get_operator
 
     assert get_operator("c4_line_filter") is c4_line_filter_op
     assert get_operator("c4_doc_filter") is c4_doc_filter_op
     assert get_operator("line_dedupe") is line_dedupe_op
+    assert get_operator("span_dedupe") is span_dedupe_op
 
 
 def test_ngram_contamination_hits_and_misses(spark):
