@@ -745,6 +745,41 @@ def main():
     except Exception as e:  # noqa: BLE001
         out["corpus_clean"] = f"ERROR: {type(e).__name__}"
 
+    # ExactSubstr duplicated-span removal (round-8 span_dedupe) over
+    # the same 100k-page replicated corpus — its own key, outside
+    # `value`: k-gram windows via the zip_with shingle chain, hash-
+    # keyed window document frequency, covered-position suppression,
+    # row-local interval-merge rebuild.  Aggregates over the rebuilt
+    # output for the same Catalyst-pruning reason corpus_clean
+    # documents.  The base table is repartitioned BEFORE the
+    # replicating crossJoin: the single-file documents parquet would
+    # otherwise pin the whole scan+shingle stage to one task (a real
+    # crawl reads thousands of files, so stage-1 parallelism is the
+    # realistic shape; measured 1.65x at 8 cores on sf0.01).
+    def span_dedupe():
+        import pyspark.sql.functions as F
+
+        import __spark_entry__ as em
+        from riko_spark.operators.cleaning import span_dedupe_op
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text").repartition(CPUS)
+        reps = spark.range(20).select(F.col("id").alias("__rep"))
+        paged = (
+            d.crossJoin(reps)
+            .select((F.col("doc_id") + F.col("__rep") * 1_000_000)
+                    .alias("doc_id"), "text")
+            .withColumn("text", F.expr(em._PAGED_SQL))
+        )
+        out_df = span_dedupe_op(paged, k=6, min_docs=3)
+        return out_df.agg(
+            F.sum("n_kept"), F.sum(F.length("text"))).collect()
+
+    try:
+        out["span_dedupe"] = round(best_of(span_dedupe), 3)
+    except Exception as e:  # noqa: BLE001
+        out["span_dedupe"] = f"ERROR: {type(e).__name__}"
+
     # DOM main-content extraction over the full pages fixture (real
     # seeded HTML with nav/anchors): readability-lite parse + score in
     # Arrow-batched mapInPandas — also its own key, outside `value`

@@ -325,10 +325,16 @@ def span_dedupe_op(
     3. Keep only the HITS (occurrences of frequent windows) —
        proportional to duplicated-span volume, not corpus volume —
        and ``collect_set`` the hit START positions per document.
-    4. Rebuild each document ROW-LOCALLY: token ``i`` survives iff no
-       drop-start ``p`` satisfies ``p <= i < p + k`` (a native
-       ``filter`` + ``exists`` projection; O(tokens x hits-per-doc)
-       per row, scan-parallel, no shuffle).
+    4. Rebuild each document ROW-LOCALLY: sort the drop starts, merge
+       the ``[p, p + k)`` cover intervals in ONE linear ``aggregate``
+       pass (boilerplate regions are contiguous, so the merged list is
+       short), then rebuild the survivors as a ``flatten`` of the
+       between-interval gap slices — O(drops + tokens) per row instead
+       of the naive O(tokens x drops) per-token ``exists`` (higher-
+       order fns are interpreted, so the quadratic form dominates the
+       whole job in high-duplication corpora: 6.5x slower end-to-end
+       on the 20x-replicated bench corpus).  Scan-parallel, no
+       shuffle.
 
     Tokens are whitespace-split and NOT case-folded (the pass is
     byte-exact, like the reference ExactSubstr).  Documents shorter
@@ -359,11 +365,38 @@ def span_dedupe_op(
         .hint("rebalance")
     )
     drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
-    kept = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            drop_arr, lambda p: (i >= p) & (i < p + F.lit(k))),
-    )
+
+    # -- row-local rebuild: merge sorted [p, p+k) intervals linearly,
+    #    then keep the gap slices between merged intervals --
+    def _close(acc):
+        # append the open interval (if any) to the finished list
+        return F.when(acc["s"] < F.lit(0), acc["res"]).otherwise(
+            F.concat(acc["res"], F.array(
+                F.struct(acc["s"].alias("s"), acc["e"].alias("e")))))
+
+    def _step(acc, p):
+        extend = F.struct(
+            acc["res"].alias("res"), acc["s"].alias("s"),
+            F.greatest(acc["e"], p + F.lit(k)).alias("e"))
+        open_new = F.struct(
+            _close(acc).alias("res"),
+            p.alias("s"), (p + F.lit(k)).alias("e"))
+        return F.when(
+            (acc["s"] >= F.lit(0)) & (p <= acc["e"]), extend
+        ).otherwise(open_new)
+
+    acc0 = F.struct(
+        F.array().cast("array<struct<s:int,e:int>>").alias("res"),
+        F.lit(-1).alias("s"), F.lit(-1).alias("e"))
+    merged = F.aggregate(F.array_sort(drop_arr), acc0, _step, _close)
+    n = F.size(toks)
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(merged, lambda iv: iv["e"]))
+    gap_ends = F.concat(
+        F.transform(merged, lambda iv: iv["s"]), F.array(n))
+    kept = F.flatten(F.zip_with(
+        gap_starts, gap_ends,
+        lambda s, e: F.slice(toks, s + 1, F.greatest(e - s, F.lit(0)))))
     return (
         df.join(drops, on=id_col, how="left")
         .select(F.col(id_col), F.size(toks).alias("__total"),

@@ -223,6 +223,24 @@ def test_span_dedupe_short_null_and_whitespace_docs(spark):
     assert out[4]["text"] == "short doc"
 
 
+def test_span_dedupe_plan_ships_hashes_not_window_text(spark):
+    # the 100 TB contract: window TEXT must never be an aggregation or
+    # exchange input — occurrences are projected to (doc, pos,
+    # xxhash64) before any shuffle, and the rebuild is a row-local
+    # interval merge over the per-doc INT drop-position set
+    plan = span_dedupe_op(
+        _docs(spark, [(1, "a b c d e f")]), k=5, min_docs=2
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
+    assert "collect_list" not in plan
+    assert "collect_set(__pos" in plan
+    # no Aggregate groups by the shingle-text column: __sh is consumed
+    # by xxhash64 in the scan-side projection; every aggregate keys on
+    # the 64-bit hash and/or the doc id only
+    for agg_frag in plan.split("Aggregate [")[1:]:
+        assert "__sh" not in agg_frag.split("]", 1)[0]
+
+
 def test_span_dedupe_is_byte_exact_no_case_folding(spark):
     # ExactSubstr is byte-exact: case-differing windows are distinct
     docs = [
