@@ -97,6 +97,10 @@ FLAC_N = int(os.environ.get("SCALE_FLAC_N", "3200"))
 FLAC_FRAMES = 16384
 #: 600x the 5k-doc table = 3M paged docs; 32-leg ~10 s
 CLEAN_MULT = int(os.environ.get("SCALE_CLEAN_MULT", "600"))
+#: span_dedupe leg: every k-gram window of every page is hashed and
+#: aggregated (≈70 windows/page vs ≈8 lines/page for clean), so the
+#: per-doc cost is ~10x the line-dedupe leg — smaller multiplier
+SPAN_MULT = int(os.environ.get("SCALE_SPAN_MULT", "60"))
 #: crawl capstone leg: pages re-packed as WARC archives; per-page cost
 #: is Python-side (gzip inflate + WARC parse + DOM extract + simhash)
 #: behind Arrow, so this is the compute-bound leg for the capstone
@@ -322,18 +326,20 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
 
         ids = spark.range(FLAC_N).select(F.col("id"))
         big = ids.repartition(64).mapInPandas(gen, "id bigint, blob binary")
-    elif workload in ("clean", "clean_sparse"):
+    elif workload in ("clean", "clean_sparse", "span"):
         import __spark_entry__ as em
 
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
             "doc_id", "text")
-        reps = spark.range(CLEAN_MULT).select(F.col("id").alias("__rep"))
+        mult = SPAN_MULT if workload == "span" else CLEAN_MULT
+        reps = spark.range(mult).select(F.col("id").alias("__rep"))
         big = (
             d.crossJoin(reps)
             .select((F.col("doc_id") + F.col("__rep") * 1_000_000)
                     .alias("doc_id"), "text")
             .withColumn("text", F.expr(
-                em._PAGED_SQL if workload == "clean" else _SPARSE_SQL))
+                _SPARSE_SQL if workload == "clean_sparse"
+                else em._PAGED_SQL))
             # the crossJoin inherits the single-file scan's one
             # partition; spread the (one-time) fixture write
             .repartition(64)
@@ -441,6 +447,15 @@ def _run_workload(spark, workload: str, path: str):
         # aggregate OVER the rebuilt text + kept counts: a bare count()
         # lets Catalyst collapse the unique-key left join and prune the
         # whole pipeline (measured 0.5 s for 3M docs — a non-result)
+        return out.agg(
+            F.sum("n_kept"), F.sum(F.length("text"))).collect()[0][0]
+    if workload == "span":
+        from riko_spark.operators.cleaning import span_dedupe_op
+
+        d = spark.read.parquet(path)
+        out = span_dedupe_op(d, k=6, min_docs=3)
+        # aggregate OVER the rebuilt text + kept counts (same
+        # Catalyst-pruning rationale as the clean leg)
         return out.agg(
             F.sum("n_kept"), F.sum(F.length("text"))).collect()[0][0]
     if workload == "flac":
@@ -570,8 +585,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
                     choices=["cep", "simhash", "pii", "jpeg", "flac",
-                             "clean", "clean_sparse", "cc", "crawl",
-                             "warc_stream"])
+                             "clean", "clean_sparse", "span", "cc",
+                             "crawl", "warc_stream"])
     ap.add_argument("--sets", type=int, default=3)
     ap.add_argument("--_leg", dest="leg_workload", default=None)
     ap.add_argument("--_ccleg", dest="cc_leg", default=None)
