@@ -26,6 +26,15 @@ if _HERE not in sys.path:
 SF001 = "/root/testdata/sf0.001"
 
 
+def _frac_hex(frac: float) -> str:
+    """The mixture fixture's md5-prefix threshold literal — imported
+    from the operator so the Spark plan and the DuckDB oracle embed
+    the identical constant."""
+    from riko_spark.operators.sampling import frac_threshold_hex
+
+    return frac_threshold_hex(frac)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from riko_spark.sources.tables import read_table
 
@@ -756,6 +765,56 @@ def q_span_dedupe(spark, sf):
     return out.select(
         "doc_id", F.md5("text").alias("clean_md5"), "n_kept", "n_dropped",
     )
+
+
+def q_lm_score(spark, sf):
+    """CCNet-style n-gram LM quality scoring: a stupid-backoff bigram
+    LM (milli-nat-quantized log-probs, min_count=2 pruning) is trained
+    on the doc_id % 7 == 1 reference slice of the planted paged
+    corpus, then every document is scored by its exact-integer total
+    log-probability with per-bigram hit/backoff/OOV accounting and
+    the head/middle keep gate (mean ≥ −2000 milli-nats ≈ ppl e^2).
+    The oracle retrains the identical LM and rescores every document
+    in one independent DuckDB plan — a drift in tokenization, counts,
+    pruning, quantization, backoff order, or the gate shows up as a
+    value mismatch."""
+    from riko_spark.operators.lm import ngram_lm_score_op
+
+    pages = _planted_paged(spark, sf)
+    ref = pages.where(F.col("doc_id") % 7 == 1)
+    return ngram_lm_score_op(
+        pages, ref_df=ref, min_count=2, keep_milli=-2000)
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified quota sampling: exactly min(5, |src|)
+    documents per source, chosen by the engine-independent
+    md5('s42:' || doc_id) rank — the reproducible per-group cap a
+    training mixture applies to hot hosts/sources.  The oracle
+    replays the identical rank with a window function."""
+    from riko_spark.operators.sampling import stratified_sample_op
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample_op(d, group_col="source", k=5, seed="s42")
+
+
+def q_mixture_resample(spark, sf):
+    """Deterministic weighted mixture materialization over the
+    documents table keyed by language: en×2.5, es×3.25, fr×1.0,
+    de×0.4, zh×0.0 — integer epochs replicate, fractional epochs are
+    decided per row by the md5 threshold, weight 0 drops.  Pure
+    projection + explode (zero exchanges).  The oracle recomputes
+    every copy with the same thresholds via CASE + range unnest."""
+    from riko_spark.operators.sampling import mixture_resample_op
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return mixture_resample_op(
+        d, weights=_MIX_WEIGHTS, source_col="lang", id_col="doc_id",
+        seed="mix")
+
+
+#: the mixture fixture's per-language weights (shared with the oracle)
+_MIX_WEIGHTS = {"en": 2.5, "es": 3.25, "fr": 1.0, "de": 0.4, "zh": 0.0}
 
 
 def q_corpus_pipeline(spark, sf):
@@ -2244,17 +2303,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate), plus the NEW-this-round
-    # span_dedupe (ExactSubstr duplicated-span removal) — then the 7
-    # entries whose last driver-green row is r05 (simplemath,
-    # dateformat, datebuilder, subelement, urlbuilder, urlparse,
-    # itembuilder), then 34 of the 44 r06-head entries so no driver
-    # row ages past 2 rounds.  Past position 50: the last ten
-    # r06-head entries (media_metadata, audio_features,
-    # audio_features_zcr/g711/float/adpcm, video_frames,
-    # video_frames_mjpeg, video_frames_gif, frame_sample — code
-    # unchanged, re-verified via this round's full
-    # tools/check_oracle.py runs; they lead the r9 rotation) and the
+    # are already under the gate), plus the FOUR NEW-this-round
+    # entries (span_dedupe, lm_score, stratified_sample,
+    # mixture_resample) — then the 7 entries whose last driver-green
+    # row is r05 (simplemath, dateformat, datebuilder, subelement,
+    # urlbuilder, urlparse, itembuilder), then 31 of the 44 r06-head
+    # entries so no driver row ages past 2 rounds.  Past position 50:
+    # the last thirteen r06-head entries (absence_match,
+    # image_features, image_features_gif, media_metadata,
+    # audio_features, audio_features_zcr/g711/float/adpcm,
+    # video_frames, video_frames_mjpeg, video_frames_gif,
+    # frame_sample — code unchanged, re-verified via this round's
+    # full tools/check_oracle.py runs; they lead the r9 rotation,
+    # and each displaced family keeps an in-gate representative) and
+    # the
     # remaining r07-head entries (driver-green one round ago, code
     # unchanged, same full re-run).
     return {
@@ -2273,6 +2335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pipeline": q_crawl_pipeline,
         # -- NEW round 8 --
         "span_dedupe": q_span_dedupe,
+        "lm_score": q_lm_score,
+        "stratified_sample": q_stratified_sample,
+        "mixture_resample": q_mixture_resample,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2313,11 +2378,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "audio_neardup": q_audio_neardup,
         "sequence_match": q_sequence_match,
+        # -- past the 50-entry gate: r06-green tail (unchanged,
+        #    check_oracle re-run this session; lead r9).  The first
+        #    three (absence_match, image_features, image_features_gif)
+        #    were displaced from the head by the three NEW-round-8
+        #    entries above; their CEP/image families keep in-gate
+        #    representatives (sequence_match, image_features_jpeg/
+        #    jpeg_prog/tiff) --
         "absence_match": q_absence_match,
         "image_features": q_image_features,
         "image_features_gif": q_image_features_gif,
-        # -- past the 50-entry gate: r06-green tail (unchanged,
-        #    check_oracle re-run this session; lead r9) --
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
         "audio_features_zcr": q_audio_features_zcr,
@@ -3622,6 +3692,128 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(tok.toks) - coalesce(reb.n_kept, 0)
                         AS BIGINT) AS n_dropped
             FROM tok LEFT JOIN reb ON tok.doc_id = reb.doc_id
+        """),
+        # lm_score: full independent retrain + rescore of the
+        # stupid-backoff bigram LM — reference-slice unigram/bigram
+        # counts, min_count=2 pruning, the identical
+        # floor(ln(p)*1000 + 0.5) milli-nat quantization (exact
+        # BIGINT sums on both sides), backoff precedence
+        # bigram → unigram → OOV floor, and the integer keep gate.
+        "lm_score": (
+            r"""
+            WITH pages AS (
+                SELECT doc_id, """ + _PAGED_SQL + r""" AS text
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '\s+'),
+                           t -> t <> '') AS toks
+                FROM pages
+            ),
+            refu AS (
+                SELECT unnest(toks) AS w FROM tok WHERE doc_id % 7 = 1
+            ),
+            unic AS (SELECT w, count(*) AS c1 FROM refu GROUP BY w),
+            tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM unic),
+            refb AS (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> {'bg': toks[i] || ' ' || toks[i+1],
+                          'w1': toks[i]})) AS b
+                FROM tok WHERE doc_id % 7 = 1
+            ),
+            bic AS (
+                SELECT b.bg AS bg, b.w1 AS w1, count(*) AS c2
+                FROM refb GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            bilm AS (
+                SELECT bg, CAST(floor(ln(CAST(c2 AS DOUBLE) / c1)
+                    * 1000.0 + 0.5) AS BIGINT) AS lp
+                FROM bic JOIN unic ON bic.w1 = unic.w
+            ),
+            unilm AS (
+                SELECT w, CAST(floor((ln(0.4) + ln(c1 / t))
+                    * 1000.0 + 0.5) AS BIGINT) AS bo
+                FROM unic, tot
+            ),
+            cb AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                    i -> {'bg': toks[i] || ' ' || toks[i+1],
+                          'w2': toks[i+1]})) AS b
+                FROM tok
+            ),
+            scored AS (
+                SELECT cb.doc_id,
+                       coalesce(lp, bo, CAST(floor((ln(0.4) + ln(1.0 / t))
+                           * 1000.0 + 0.5) AS BIGINT)) AS s,
+                       (lp IS NOT NULL) AS hit,
+                       (lp IS NULL AND bo IS NOT NULL) AS bko
+                FROM cb
+                LEFT JOIN bilm ON cb.b.bg = bilm.bg
+                LEFT JOIN unilm ON cb.b.w2 = unilm.w, tot
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_scored,
+                       sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hits,
+                       sum(CASE WHEN bko THEN 1 ELSE 0 END) AS n_backoff,
+                       sum(CASE WHEN hit OR bko THEN 0 ELSE 1 END) AS n_oov,
+                       sum(s) AS logprob_milli
+                FROM scored GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(n_backoff, 0) AS BIGINT) AS n_backoff,
+                   CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(coalesce(logprob_milli, 0) AS BIGINT)
+                       AS logprob_milli,
+                   (coalesce(n_scored, 0) > 0
+                    AND coalesce(logprob_milli, 0)
+                        >= -2000 * coalesce(n_scored, 0)) AS keep
+            FROM pages p LEFT JOIN agg USING (doc_id)
+        """),
+        # stratified_sample: replay of the engine-independent
+        # md5('s42:' || doc_id) per-group rank with a plain window.
+        "stratified_sample": (
+            r"""
+            SELECT doc_id, source, sample_rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR))
+                       ) AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 5
+        """),
+        # mixture_resample: per-language copy counts recomputed from
+        # the same integer-epoch + md5-threshold rule (thresholds are
+        # the shared frac_threshold_hex literals), copies materialized
+        # by range unnest (empty range drops the row, like posexplode).
+        "mixture_resample": (
+            r"""
+            WITH base AS (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'en' THEN 2 WHEN 'es' THEN 3
+                                 WHEN 'fr' THEN 1 ELSE 0 END
+                       + CASE
+                           WHEN lang = 'en' AND md5('mix:' ||
+                               CAST(doc_id AS VARCHAR)) < '"""
+            + _frac_hex(0.5) + r"""' THEN 1
+                           WHEN lang = 'es' AND md5('mix:' ||
+                               CAST(doc_id AS VARCHAR)) < '"""
+            + _frac_hex(0.25) + r"""' THEN 1
+                           WHEN lang = 'de' AND md5('mix:' ||
+                               CAST(doc_id AS VARCHAR)) < '"""
+            + _frac_hex(0.4) + r"""' THEN 1
+                           ELSE 0
+                         END AS n
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   unnest(range(1, n + 1)) AS copy_id
+            FROM base
         """),
         "corpus_pipeline": (
             r"""

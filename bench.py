@@ -780,6 +780,41 @@ def main():
     except Exception as e:  # noqa: BLE001
         out["span_dedupe"] = f"ERROR: {type(e).__name__}"
 
+    # CCNet-style bigram-LM quality scoring (round-8 lm_score) over
+    # the same 100k-page replicated corpus — its own key, outside
+    # `value`: train the milli-nat-quantized stupid-backoff LM on the
+    # ~14% reference slice (two partial-agg counts + one ref-side
+    # join), then score all 100k pages in ONE corpus stage (bigram
+    # zip_with explode -> two broadcast LM probes -> per-doc partial
+    # agg; the only corpus exchange ships one row per doc).
+    # Aggregates over the scored output to defeat Catalyst pruning.
+    def lm_score():
+        import pyspark.sql.functions as F
+
+        import __spark_entry__ as em
+        from riko_spark.operators.lm import ngram_lm_score_op, ngram_lm_train
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text").repartition(CPUS)
+        reps = spark.range(20).select(F.col("id").alias("__rep"))
+        paged = (
+            d.crossJoin(reps)
+            .select((F.col("doc_id") + F.col("__rep") * 1_000_000)
+                    .alias("doc_id"), "text")
+            .withColumn("text", F.expr(em._PAGED_SQL))
+        )
+        lm = ngram_lm_train(
+            paged.where(F.col("doc_id") % 7 == 1), min_count=2)
+        scored = ngram_lm_score_op(paged, lm=lm, keep_milli=-2000)
+        return scored.agg(
+            F.sum("logprob_milli"), F.sum("n_scored"),
+            F.sum(F.col("keep").cast("long"))).collect()
+
+    try:
+        out["lm_score"] = round(best_of(lm_score), 3)
+    except Exception as e:  # noqa: BLE001
+        out["lm_score"] = f"ERROR: {type(e).__name__}"
+
     # DOM main-content extraction over the full pages fixture (real
     # seeded HTML with nav/anchors): readability-lite parse + score in
     # Arrow-batched mapInPandas — also its own key, outside `value`

@@ -66,9 +66,11 @@ def _load_all() -> None:
         filters,
         graph,
         limits,
+        lm,
         misc,
         multimodal,
         packing,
+        sampling,
         setops,
         similarity,
         sorts,

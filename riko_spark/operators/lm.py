@@ -1,0 +1,234 @@
+"""N-gram language-model quality scoring (CCNet-style corpus filter).
+
+CCNet (Wenzek et al. 2019) ranks Common-Crawl documents by the
+perplexity of a small language model trained on a high-quality
+reference corpus (Wikipedia) and keeps the head/middle of the
+distribution.  This module reimplements that signal natively on
+DataFrames: :func:`ngram_lm_train` builds a bigram LM (MLE bigram
+probabilities with stupid backoff to unigrams, Brants et al. 2007)
+from a reference slice, and :func:`ngram_lm_score_op` scores every
+document by its total log-probability.
+
+Quantization contract: per-n-gram log-probabilities are quantized to
+integer **milli-nats** (``floor(ln(p) * 1000 + 0.5)``) at LM-build
+time, so document scores are exact BIGINT sums — reproducible
+bit-for-bit by an independent SQL engine, immune to float summation
+order, and 8 bytes per table row on the wire.
+
+100 TB shape
+------------
+* **Train** touches only the reference slice (for CCNet that is ~1%%
+  of the corpus): two partial-aggregated counts (unigrams, bigrams)
+  plus one join keyed on the bigram's first word — all shuffles are
+  proportional to the *reference*, not the corpus.
+* **Score** is a single stage over the corpus: scan → bigram explode
+  (``zip_with`` over two array slices, no per-gram array copies) →
+  two **broadcast** hash-probes against the quantized LM tables →
+  map-side partial aggregation per doc_id.  Exactly one exchange
+  (the per-doc groupBy) ships ONE row per document; no token or
+  n-gram text crosses any exchange.  A pruned bigram LM (min_count
+  ≥ 2, |V| capped) is a few hundred MB even for a Wikipedia-scale
+  reference, i.e. broadcastable; set ``broadcast=False`` to fall
+  back to shuffle joins (AQE re-plans them) when the LM genuinely
+  exceeds executor memory.
+
+Reference parity: riko has no LM operator — this extends the engine
+along SURVEY.md's training-data-pipeline axis (quality scoring,
+lang_id) with the published CCNet recipe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from riko_spark.operators import register
+from riko_spark.operators.textstats import words_col
+
+#: stupid-backoff discount (Brants et al. 2007 use 0.4)
+BACKOFF = 0.4
+
+
+def _milli(x: Column) -> Column:
+    """Quantize a log-probability to integer milli-nats.
+
+    ``floor(x * 1000 + 0.5)`` — written exactly this way (not
+    ``round``) so DuckDB/ANSI SQL recomputes the identical BIGINT
+    from the same double.
+    """
+    return F.floor(x * F.lit(1000.0) + F.lit(0.5)).cast("long")
+
+
+def bigram_structs(toks: Column) -> Column:
+    """Array of ``struct<bg, w1, w2>`` over a token array: the
+    space-joined bigram string (the single join key) plus its two
+    words.  Built as one ``zip_with`` over two offset slices — no
+    per-gram array materialization (see textstats.word_shingles for
+    the measured rationale)."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    a = F.slice(toks, 1, m)
+    b = F.slice(toks, 2, m)
+    return F.zip_with(
+        a, b,
+        lambda x, y: F.struct(
+            F.concat(x, F.lit(" "), y).alias("bg"),
+            x.alias("w1"),
+            y.alias("w2"),
+        ),
+    )
+
+
+class LmTables(NamedTuple):
+    """A trained, quantized bigram LM.
+
+    bigrams:  (bg string, lp_milli long)  — ln(c2/c1(w1)) milli-nats
+    unigrams: (w string, bo_milli long)   — ln(0.4) + ln(c1/T)
+    oov_milli: int                        — ln(0.4) + ln(1/T)
+    total_tokens: int                     — T (reference token count)
+    """
+
+    bigrams: DataFrame
+    unigrams: DataFrame
+    oov_milli: int
+    total_tokens: int
+
+
+def ngram_lm_train(
+    ref_df: DataFrame,
+    field: str = "text",
+    min_count: int = 1,
+) -> LmTables:
+    """Train the quantized bigram LM on a reference DataFrame.
+
+    ``min_count`` prunes bigrams below that count — the standard LM
+    size lever (CCNet prunes to keep the model broadcastable).
+    Unigrams are never pruned (they are the backoff floor and there
+    are only |V| of them).  The single ``.collect()`` here is the
+    1-row total-token aggregate — bounded by construction.
+    """
+    toks = words_col(F.coalesce(F.col(field), F.lit("")))
+    ref = ref_df.select(toks.alias("toks"))
+
+    uni = (
+        ref.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)
+    if total == 0:
+        raise ValueError("ngram_lm_train: reference corpus has no tokens")
+
+    log_backoff = F.log(F.lit(BACKOFF))
+    unigrams = uni.select(
+        "w",
+        _milli(log_backoff + F.log(F.col("c1").cast("double") / F.lit(float(total)))).alias("bo_milli"),
+    )
+
+    bi = (
+        ref.select(F.explode(bigram_structs(F.col("toks"))).alias("b"))
+        .groupBy(F.col("b.bg").alias("bg"), F.col("b.w1").alias("w1"))
+        .agg(F.count("*").alias("c2"))
+    )
+    if min_count > 1:
+        bi = bi.where(F.col("c2") >= min_count)
+    bigrams = (
+        bi.join(uni, bi["w1"] == uni["w"])
+        .select("bg", _milli(F.log(F.col("c2").cast("double") / F.col("c1"))).alias("lp_milli"))
+    )
+
+    oov_milli = math.floor(
+        (math.log(BACKOFF) + math.log(1.0 / total)) * 1000.0 + 0.5
+    )
+    return LmTables(bigrams, unigrams, int(oov_milli), total)
+
+
+@register("ngram_lm_score", kind="operator", sub_kind="aggregator")
+def ngram_lm_score_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    lm: LmTables | None = None,
+    ref_df: DataFrame | None = None,
+    field: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    keep_milli: int = -6500,
+    broadcast: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Score every document by its stupid-backoff bigram
+    log-probability under the reference LM; emit exact-integer
+    quality signals per document.
+
+    Per scored bigram (w1, w2):
+      * bigram hit:      ln(c2(w1,w2) / c1(w1))
+      * unigram backoff: ln(0.4) + ln(c1(w2) / T)
+      * OOV floor:       ln(0.4) + ln(1 / T)
+    each pre-quantized to milli-nats in the LM tables, so the per-doc
+    sum is an exact BIGINT.
+
+    Output: (id_col, n_scored, n_hits, n_backoff, n_oov,
+    logprob_milli, keep) — ``keep`` is the CCNet-style head/middle
+    gate: mean milli-nats per bigram ≥ ``keep_milli`` (default −6500
+    ≈ perplexity e^6.5), evaluated as the integer comparison
+    ``logprob_milli ≥ keep_milli · n_scored``.  Documents with fewer
+    than two tokens score 0 bigrams and are dropped (keep = false).
+
+    Plan: explode_outer keeps empty docs without a join-back; the two
+    LM probes broadcast by default; the only exchange is the per-doc
+    partial-aggregated groupBy.
+    """
+    conf = conf or {}
+    field = conf.get("field", field)
+    id_col = conf.get("id_col", id_col)
+    min_count = int(conf.get("min_count", min_count))
+    keep_milli = int(conf.get("keep_milli", keep_milli))
+    broadcast = bool(conf.get("broadcast", broadcast))
+
+    if lm is None:
+        if ref_df is None:
+            raise ValueError("ngram_lm_score_op needs lm= or ref_df=")
+        lm = ngram_lm_train(ref_df, field=field, min_count=min_count)
+
+    bi_lm = F.broadcast(lm.bigrams) if broadcast else lm.bigrams
+    uni_lm = (
+        F.broadcast(lm.unigrams) if broadcast else lm.unigrams
+    ).withColumnRenamed("w", "__bo_w")
+
+    toks = words_col(F.coalesce(F.col(field), F.lit("")))
+    bgs = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .select(id_col, F.explode_outer(bigram_structs(F.col("toks"))).alias("b"))
+        .select(id_col, F.col("b.bg").alias("bg"), F.col("b.w2").alias("w2"))
+    )
+    joined = (
+        bgs.join(bi_lm, "bg", "left")
+        .join(uni_lm, bgs["w2"] == F.col("__bo_w"), "left")
+    )
+    is_hit = F.col("lp_milli").isNotNull()
+    is_backoff = ~is_hit & F.col("bo_milli").isNotNull()
+    is_oov = F.col("bg").isNotNull() & ~is_hit & F.col("bo_milli").isNull()
+    score = F.when(F.col("bg").isNull(), F.lit(0)).otherwise(
+        F.coalesce(F.col("lp_milli"), F.col("bo_milli"), F.lit(lm.oov_milli))
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count("bg").alias("n_scored"),
+        F.sum(is_hit.cast("long")).alias("n_hits"),
+        F.sum(is_backoff.cast("long")).alias("n_backoff"),
+        F.sum(is_oov.cast("long")).alias("n_oov"),
+        F.sum(score).alias("logprob_milli"),
+    )
+    return agg.select(
+        id_col,
+        "n_scored",
+        "n_hits",
+        "n_backoff",
+        "n_oov",
+        "logprob_milli",
+        (
+            (F.col("n_scored") > 0)
+            & (F.col("logprob_milli") >= F.lit(keep_milli) * F.col("n_scored"))
+        ).alias("keep"),
+    )
