@@ -101,6 +101,12 @@ CLEAN_MULT = int(os.environ.get("SCALE_CLEAN_MULT", "600"))
 #: aggregated (≈70 windows/page vs ≈8 lines/page for clean), so the
 #: per-doc cost is ~10x the line-dedupe leg — smaller multiplier
 SPAN_MULT = int(os.environ.get("SCALE_SPAN_MULT", "60"))
+#: lm_score leg: ~70 bigrams/page through two broadcast probes + one
+#: partial agg; the LM is trained once on the FIXED base-replica %7
+#: slice (the CCNet shape), so scoring dominates — 120x the sf0.1
+#: table (600k pages, ~42M scored bigrams) keeps the 32-leg in the
+#: ~10 s regime with the fixed train cost amortized
+LM_MULT = int(os.environ.get("SCALE_LM_MULT", "120"))
 #: crawl capstone leg: pages re-packed as WARC archives; per-page cost
 #: is Python-side (gzip inflate + WARC parse + DOM extract + simhash)
 #: behind Arrow, so this is the compute-bound leg for the capstone
@@ -326,12 +332,15 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
 
         ids = spark.range(FLAC_N).select(F.col("id"))
         big = ids.repartition(64).mapInPandas(gen, "id bigint, blob binary")
-    elif workload in ("clean", "clean_sparse", "span"):
+    elif workload in ("clean", "clean_sparse", "span", "lm", "dsir"):
         import __spark_entry__ as em
 
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-            "doc_id", "text")
-        mult = SPAN_MULT if workload == "span" else CLEAN_MULT
+            "doc_id", "text").repartition(32)  # single-file scan is 1
+        # partition; spread it BEFORE the replicating crossJoin so the
+        # text-gen stage parallelizes (BENCH.md fixture-build note)
+        mult = {"span": SPAN_MULT, "lm": LM_MULT,
+                "dsir": LM_MULT}.get(workload, CLEAN_MULT)
         reps = spark.range(mult).select(F.col("id").alias("__rep"))
         big = (
             d.crossJoin(reps)
@@ -458,6 +467,40 @@ def _run_workload(spark, workload: str, path: str):
         # Catalyst-pruning rationale as the clean leg)
         return out.agg(
             F.sum("n_kept"), F.sum(F.length("text"))).collect()[0][0]
+    if workload == "lm":
+        from riko_spark.operators.lm import ngram_lm_score_op, ngram_lm_train
+
+        d = spark.read.parquet(path)
+        # train (FIXED reference: the base replica's %7 slice — CCNet
+        # trains once on ~1% reference regardless of corpus size, so
+        # the leg must not let train cost grow with LM_MULT) + score
+        # (one corpus stage) per run: the timed unit is the whole
+        # CCNet quality pass
+        lm = ngram_lm_train(
+            d.where((F.col("doc_id") % 7 == 1)
+                    & (F.col("doc_id") < 1_000_000)),
+            min_count=2)
+        out = ngram_lm_score_op(d, lm=lm, keep_milli=-2000)
+        # aggregate over the scored output (same pruning rationale)
+        return out.agg(
+            F.sum("logprob_milli"), F.sum("n_scored")).collect()[0][0]
+    if workload == "dsir":
+        from riko_spark.operators.dsir import dsir_fit, dsir_select_op
+
+        d = spark.read.parquet(path)
+        # fit against the FIXED base-replica %7 target (same rationale
+        # as the lm leg: the reference must not grow with the corpus),
+        # then score + Gumbel-top-k the whole corpus; the timed unit
+        # is the full DSIR selection pass
+        tables = dsir_fit(
+            d.where((F.col("doc_id") % 7 == 1)
+                    & (F.col("doc_id") < 1_000_000)),
+            d, buckets=10_000)
+        out = dsir_select_op(d, tables=tables, k=10_000, seed="scale")
+        # the top-k collapses to <=k rows; aggregate them so nothing
+        # prunes, and fold in the selected count
+        return out.agg(
+            F.sum("key_milli"), F.count("*")).collect()[0][0]
     if workload == "flac":
         from riko_spark.operators.multimodal import audio_features_op
 
@@ -585,8 +628,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
                     choices=["cep", "simhash", "pii", "jpeg", "flac",
-                             "clean", "clean_sparse", "span", "cc",
-                             "crawl", "warc_stream"])
+                             "clean", "clean_sparse", "span", "lm", "dsir",
+                             "cc", "crawl", "warc_stream"])
     ap.add_argument("--sets", type=int, default=3)
     ap.add_argument("--_leg", dest="leg_workload", default=None)
     ap.add_argument("--_ccleg", dest="cc_leg", default=None)
