@@ -817,6 +817,28 @@ def q_mixture_resample(spark, sf):
 _MIX_WEIGHTS = {"en": 2.5, "es": 3.25, "fr": 1.0, "de": 0.4, "zh": 0.0}
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+
+    bigram features (md5-prefix mod 512), Laplace-smoothed target/raw
+    bucket distributions (target = the lang='en' slice), milli-nat
+    quantized per-bucket log-ratios, exact-BIGINT per-doc importance
+    log-weights, deterministic md5-keyed Gumbel noise, and the global
+    top-150 by perturbed key (Gumbel top-k ≡ sampling without
+    replacement ∝ importance weight).  The oracle refits the entire
+    model and replays hashing, smoothing, quantization, noise, and
+    the top-k cut in one independent DuckDB plan — a drift anywhere
+    (tokenization, bucketing, operand order of the log-ratio, the
+    0.5-offset uniform, tie-breaking) shifts BIGINTs and mismatches."""
+    from riko_spark.operators.dsir import dsir_select_op
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    target = d.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select_op(
+        d.select("doc_id", "text"), target_df=target,
+        k=150, seed="dsir", buckets=512,
+    )
+
+
 def q_corpus_pipeline(spark, sf):
     """The composed corpus-cleaning pass a Common-Crawl pipeline runs
     end-to-end: C4 line gate -> corpus-level boilerplate line dedupe
@@ -2305,11 +2327,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # c4_line_filter itself and stream_corpus_batch also ride it and
     # are already under the gate), plus the FOUR NEW-this-round
     # entries (span_dedupe, lm_score, stratified_sample,
-    # mixture_resample) — then the 7 entries whose last driver-green
+    # mixture_resample, dsir_select) — then the 7 entries whose last
+    # driver-green
     # row is r05 (simplemath, dateformat, datebuilder, subelement,
-    # urlbuilder, urlparse, itembuilder), then 31 of the 44 r06-head
+    # urlbuilder, urlparse, itembuilder), then 30 of the 44 r06-head
     # entries so no driver row ages past 2 rounds.  Past position 50:
-    # the last thirteen r06-head entries (absence_match,
+    # regex_casematch (displaced for dsir_select; its sibling `regex`
+    # keeps the family in-gate, code unchanged, r06-green + this
+    # round's full check_oracle re-runs — leads r9) and the last
+    # thirteen r06-head entries (absence_match,
     # image_features, image_features_gif, media_metadata,
     # audio_features, audio_features_zcr/g711/float/adpcm,
     # video_frames, video_frames_mjpeg, video_frames_gif,
@@ -2338,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "stratified_sample": q_stratified_sample,
         "mixture_resample": q_mixture_resample,
+        "dsir_select": q_dsir_select,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2362,7 +2389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex": q_regex,
         "rename": q_rename,
         "union_ragged": q_union_ragged,
-        "regex_casematch": q_regex_casematch,
         "sliding_count": q_sliding_count,
         "first_k_per_key": q_first_k_per_key,
         "image_features_jpeg": q_image_features_jpeg,
@@ -2378,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "audio_neardup": q_audio_neardup,
         "sequence_match": q_sequence_match,
+        # ---- past the 50-entry gate from here ----
+        "regex_casematch": q_regex_casematch,
         # -- past the 50-entry gate: r06-green tail (unchanged,
         #    check_oracle re-run this session; lead r9).  The first
         #    three (absence_match, image_features, image_features_gif)
@@ -3773,6 +3801,80 @@ def oracle_sql() -> dict[str, str]:
                     AND coalesce(logprob_milli, 0)
                         >= -2000 * coalesce(n_scored, 0)) AS keep
             FROM pages p LEFT JOIN agg USING (doc_id)
+        """),
+        # dsir_select: full refit + replay — hashed n-gram buckets
+        # (packing.py's '0x'||md5-prefix bridge), Laplace log-ratios
+        # in the operator's exact operand order, 0.5-offset md5
+        # uniform -> Gumbel, top-150 with the doc_id tiebreak.
+        "dsir_select": (
+            r"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '\s+'),
+                           t -> t <> '') AS toks
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, unnest(list_concat(
+                    list_transform(toks, w ->
+                        CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT
+                             % 512 AS BIGINT)),
+                    list_transform(range(1, len(toks)), i ->
+                        CAST(('0x' || substr(md5(toks[i] || ' ' ||
+                             toks[i+1]), 1, 8))::UBIGINT
+                             % 512 AS BIGINT))
+                )) AS bucket
+                FROM tok
+            ),
+            tc AS (
+                SELECT bucket, count(*) AS c FROM feats
+                JOIN tok USING (doc_id) WHERE lang = 'en' GROUP BY 1
+            ),
+            rc AS (SELECT bucket, count(*) AS c FROM feats GROUP BY 1),
+            tot AS (
+                SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM tc) AS tt,
+                       (SELECT CAST(sum(c) AS DOUBLE) FROM rc) AS rt
+            ),
+            lr AS (
+                SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+                       CAST(floor((ln(coalesce(tc.c, 0) + 1.0)
+                           - ln(coalesce(rc.c, 0) + 1.0)
+                           + ln(rt + 512.0) - ln(tt + 512.0))
+                           * 1000.0 + 0.5) AS BIGINT) AS lrm
+                FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, tot
+            ),
+            dflt AS (
+                SELECT CAST(floor((ln(0 + 1.0) - ln(0 + 1.0)
+                    + ln(rt + 512.0) - ln(tt + 512.0))
+                    * 1000.0 + 0.5) AS BIGINT) AS v
+                FROM tot
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       CAST(count(f.bucket) AS BIGINT) AS n_feats,
+                       CAST(coalesce(sum(coalesce(lr.lrm,
+                           (SELECT v FROM dflt))), 0) AS BIGINT)
+                           AS logw_milli
+                FROM tok t
+                LEFT JOIN feats f USING (doc_id)
+                LEFT JOIN lr ON f.bucket = lr.bucket
+                GROUP BY t.doc_id
+            ),
+            noised AS (
+                SELECT doc_id, n_feats, logw_milli,
+                       CAST(floor(-ln(-ln(
+                           (('0x' || substr(md5('dsir:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 12))
+                               ::UBIGINT + 0.5) / 281474976710656.0))
+                           * 1000.0 + 0.5) AS BIGINT) AS gumbel_milli
+                FROM scored
+            )
+            SELECT doc_id, n_feats, logw_milli, gumbel_milli,
+                   logw_milli + gumbel_milli AS key_milli
+            FROM noised
+            ORDER BY key_milli DESC, doc_id
+            LIMIT 150
         """),
         # stratified_sample: replay of the engine-independent
         # md5('s42:' || doc_id) per-group rank with a plain window.

@@ -815,6 +815,40 @@ def main():
     except Exception as e:  # noqa: BLE001
         out["lm_score"] = f"ERROR: {type(e).__name__}"
 
+    # DSIR importance resampling (round-8 dsir_select) over the same
+    # 100k-page replicated corpus — its own key, outside `value`:
+    # fit hashed-ngram log-ratios against the FIXED base-replica
+    # reference (two bucket-bounded aggs), score all pages in one
+    # broadcast-probe corpus stage, Gumbel top-10k via
+    # TakeOrderedAndProject (per-task top-k, no global sort).
+    def dsir_select():
+        import pyspark.sql.functions as F
+
+        import __spark_entry__ as em
+        from riko_spark.operators.dsir import dsir_select_op
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text").repartition(CPUS)
+        reps = spark.range(20).select(F.col("id").alias("__rep"))
+        paged = (
+            d.crossJoin(reps)
+            .select((F.col("doc_id") + F.col("__rep") * 1_000_000)
+                    .alias("doc_id"), "text")
+            .withColumn("text", F.expr(em._PAGED_SQL))
+        )
+        target = paged.where(
+            (F.col("doc_id") % 7 == 1) & (F.col("doc_id") < 1_000_000))
+        sel = dsir_select_op(paged, target_df=target, k=10_000,
+                             buckets=10_000, seed="bench")
+        return sel.agg(
+            F.sum("logw_milli"), F.sum("key_milli"),
+            F.count("*")).collect()
+
+    try:
+        out["dsir_select"] = round(best_of(dsir_select), 3)
+    except Exception as e:  # noqa: BLE001
+        out["dsir_select"] = f"ERROR: {type(e).__name__}"
+
     # DOM main-content extraction over the full pages fixture (real
     # seeded HTML with nav/anchors): readability-lite parse + score in
     # Arrow-batched mapInPandas — also its own key, outside `value`

@@ -63,6 +63,7 @@ def _load_all() -> None:
         cepops,
         cleaning,
         dedupe,
+        dsir,
         filters,
         graph,
         limits,
