@@ -885,6 +885,30 @@ def q_ngram_contamination(spark, sf):
     return ngram_contamination_op(d, benchmark=bench)
 
 
+def q_ngram_contamination_bloom(spark, sf):
+    """The same decontamination pass through the Bloom plan lever
+    (functions/bloom.py): benchmark grams packed once into a 2^17-bit
+    native bitset, the corpus side pruned by the row-local probe
+    predicate (zero joins/exchanges — whole-stage codegen), survivors
+    verified by the exact join.  The ORACLE IS THE SAME SQL as
+    ngram_contamination — the operator contract is that bloom mode
+    changes the plan, never the answer (false positives die in the
+    verify join; false negatives are structurally impossible), so any
+    bitset/probe defect surfaces as a value mismatch against the full
+    independent recomputation."""
+    from riko_spark.operators.cleaning import ngram_contamination_op
+    from riko_spark.operators.textstats import words_col
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = words_col(F.col("text"))
+    bench = (
+        d.filter((F.col("doc_id") % 10 == 3) & (F.size(toks) >= 13))
+        .select(F.col("doc_id").alias("bench_id"),
+                F.array_join(F.slice(toks, 1, 13), " ").alias("text"))
+    )
+    return ngram_contamination_op(d, benchmark=bench, bloom_bits=1 << 17)
+
+
 # planted URL corpus for the RefinedWeb stage-one gate: tracker/spam
 # hosts on residue classes, session-id query strings on %11, clean
 # sites elsewhere — same expression in Spark and the oracle
@@ -2325,16 +2349,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate), plus the FOUR NEW-this-round
+    # are already under the gate), plus the SIX NEW-this-round
     # entries (span_dedupe, lm_score, stratified_sample,
-    # mixture_resample, dsir_select) — then the 7 entries whose last
-    # driver-green
+    # mixture_resample, dsir_select, ngram_contamination_bloom) —
+    # then the 7 entries whose last driver-green
     # row is r05 (simplemath, dateformat, datebuilder, subelement,
-    # urlbuilder, urlparse, itembuilder), then 30 of the 44 r06-head
+    # urlbuilder, urlparse, itembuilder), then 29 of the 44 r06-head
     # entries so no driver row ages past 2 rounds.  Past position 50:
-    # regex_casematch (displaced for dsir_select; its sibling `regex`
-    # keeps the family in-gate, code unchanged, r06-green + this
-    # round's full check_oracle re-runs — leads r9) and the last
+    # regex_casematch and union_ragged (displaced for dsir_select and
+    # ngram_contamination_bloom; siblings `regex`/`union` keep both
+    # families in-gate, code unchanged, r06-green + this round's full
+    # check_oracle re-runs — they lead r9) and the last
     # thirteen r06-head entries (absence_match,
     # image_features, image_features_gif, media_metadata,
     # audio_features, audio_features_zcr/g711/float/adpcm,
@@ -2365,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_resample": q_mixture_resample,
         "dsir_select": q_dsir_select,
+        "ngram_contamination_bloom": q_ngram_contamination_bloom,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2388,7 +2414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join": q_join,
         "regex": q_regex,
         "rename": q_rename,
-        "union_ragged": q_union_ragged,
         "sliding_count": q_sliding_count,
         "first_k_per_key": q_first_k_per_key,
         "image_features_jpeg": q_image_features_jpeg,
@@ -2406,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_match": q_sequence_match,
         # ---- past the 50-entry gate from here ----
         "regex_casematch": q_regex_casematch,
+        "union_ragged": q_union_ragged,
         # -- past the 50-entry gate: r06-green tail (unchanged,
         #    check_oracle re-run this session; lead r9).  The first
         #    three (absence_match, image_features, image_features_gif)
@@ -2522,7 +2548,7 @@ def _simhash_sql(src: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "filter": """
             SELECT * FROM orders
             WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
@@ -4518,3 +4544,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY count DESC, token ASC LIMIT 50
         """,
     }
+    # bloom mode is an internal plan lever (row-local bitset prune +
+    # exact verify join): the output is identical by construction, so
+    # the oracle is shared verbatim with the broadcast-join form
+    out["ngram_contamination_bloom"] = out["ngram_contamination"]
+    return out

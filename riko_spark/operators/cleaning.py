@@ -420,6 +420,8 @@ def ngram_contamination_op(
     id_col: str = "doc_id",
     bench_id_col: str = "bench_id",
     n: int = 13,
+    bloom_bits: int | None = None,
+    bloom_hashes: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3 appendix-C / PaLM
     convention, public): flag training documents sharing any
@@ -444,9 +446,27 @@ def ngram_contamination_op(
     Normalization: lowercase + whitespace tokenization on both sides
     (the published recipes normalize more aggressively; plug a custom
     ``field`` expression upstream for that).
+
+    ``bloom_bits`` (optional, with ``bloom_hashes`` defaulting to the
+    textbook optimum): the benchmark-too-big-to-broadcast lever.  A
+    HELM/BIG-bench-scale suite can carry 10^8+ distinct 13-grams —
+    hundreds of MB as a broadcast hash relation.  With bloom on, the
+    benchmark grams are packed ONCE into a ``bloom_bits``-bit Bloom
+    bitset (functions/bloom.py: bit_or aggregation, exchange ∝
+    bits/64 not grams), the corpus side is pruned by the ROW-LOCAL
+    probe predicate (zero joins, zero exchanges, whole-stage
+    codegen), and only the survivors — contamination volume plus the
+    (1−e^{−kn/m})^k false-positive trickle — reach the exact join,
+    which AQE is left to plan (no broadcast hint).  The final output
+    is IDENTICAL to the non-bloom path: the Bloom stage can admit
+    false positives but the exact join removes them, and false
+    negatives are structurally impossible (build and probe share the
+    position expression).
     """
     conf = conf or {}
     n = int(conf.get("n", n))
+    bloom_bits = conf.get("bloom_bits", bloom_bits)
+    bloom_hashes = conf.get("bloom_hashes", bloom_hashes)
     if benchmark is None:
         raise ValueError("ngram_contamination requires a benchmark frame")
 
@@ -469,8 +489,26 @@ def ngram_contamination_op(
         F.col(id_col),
         F.explode(ngram_hashes(F.col(field))).alias("__g"),
     )
+    if bloom_bits is not None:
+        from riko_spark.functions.bloom import (
+            bloom_build,
+            bloom_might_contain,
+            optimal_num_hashes,
+        )
+
+        gram_keys = bench_grams.select("__g").distinct()
+        if bloom_hashes is None:
+            bloom_hashes = optimal_num_hashes(
+                int(bloom_bits), gram_keys.count())
+        dense = bloom_build(gram_keys, "__g", int(bloom_bits),
+                            int(bloom_hashes))
+        doc_grams = doc_grams.where(
+            bloom_might_contain(dense, F.col("__g"), int(bloom_hashes)))
+        joined = doc_grams.join(bench_grams, on="__g")  # AQE plans it
+    else:
+        joined = doc_grams.join(F.broadcast(bench_grams), on="__g")
     return (
-        doc_grams.join(F.broadcast(bench_grams), on="__g")
+        joined
         .groupBy(id_col, bench_id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
     )
