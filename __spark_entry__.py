@@ -940,6 +940,42 @@ def q_url_filter(spark, sf):
     return out.select("doc_id", "url", "host", "keep")
 
 
+# planted messy-URL corpus for the frontier canonicalizer: mixed-case
+# schemes/hosts, default and non-default ports, empty paths, utm/UTM
+# tracking params, unsorted duplicate-key queries, fragments — same
+# expression in Spark and the oracle
+_NORM_URL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'WWW.Site' || CAST(doc_id % 7 AS STRING) || '.COM' "
+    "ELSE 'cdn.example' || CAST(doc_id % 5 AS STRING) || '.org' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN ':443' "
+    "WHEN doc_id % 4 = 1 THEN ':8080' "
+    "WHEN doc_id % 8 = 2 THEN ':80' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '' "
+    "ELSE '/Path/' || CAST(doc_id AS STRING) END || "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'?z=9&utm_source=feed&a=2&UTM_campaign=x' "
+    "WHEN doc_id % 5 = 1 THEN '?b=2&a=10&a=1' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#Section2' ELSE '' END"
+)
+
+
+def q_url_normalize(spark, sf):
+    """Crawl-frontier URL canonicalization: scheme/authority case
+    folding, http:80 / https:443 default-port strip (non-default and
+    cross-scheme ports kept), empty path -> '/', tracking-param
+    removal (lowercased utm_/click-id prefixes), bytewise query-param
+    sort, '?' dropped when nothing survives, fragment dropped.  The
+    oracle replays every rule from the shared planting expression
+    with an independent regexp/list pipeline."""
+    from riko_spark.operators.cleaning import url_normalize_op
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_NORM_URL_SQL).alias("url"))
+    return url_normalize_op(d).select("doc_id", "url", "norm_url")
+
+
 # planted crawl page: chrome nav/footer, a content div carrying the
 # document text, and a link-farm sidebar the extractor must reject on
 # link density — same expression in Spark and the oracle
@@ -2349,16 +2385,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate), plus the SIX NEW-this-round
+    # are already under the gate), plus the SEVEN NEW-this-round
     # entries (span_dedupe, lm_score, stratified_sample,
-    # mixture_resample, dsir_select, ngram_contamination_bloom) —
+    # mixture_resample, dsir_select, ngram_contamination_bloom,
+    # url_normalize) —
     # then the 7 entries whose last driver-green
     # row is r05 (simplemath, dateformat, datebuilder, subelement,
-    # urlbuilder, urlparse, itembuilder), then 29 of the 44 r06-head
+    # urlbuilder, urlparse, itembuilder), then 28 of the 44 r06-head
     # entries so no driver row ages past 2 rounds.  Past position 50:
-    # regex_casematch and union_ragged (displaced for dsir_select and
-    # ngram_contamination_bloom; siblings `regex`/`union` keep both
-    # families in-gate, code unchanged, r06-green + this round's full
+    # regex_casematch, union_ragged and filter_or_block (displaced
+    # for dsir_select, ngram_contamination_bloom and url_normalize;
+    # siblings `regex`/`union`/`filter` keep all three families
+    # in-gate, code unchanged, r06-green + this round's full
     # check_oracle re-runs — they lead r9) and the last
     # thirteen r06-head entries (absence_match,
     # image_features, image_features_gif, media_metadata,
@@ -2391,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "dsir_select": q_dsir_select,
         "ngram_contamination_bloom": q_ngram_contamination_bloom,
+        "url_normalize": q_url_normalize,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2403,7 +2442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniq_limited": q_uniq_limited,
         "salted_count": q_salted_count,
         "filter": q_filter,
-        "filter_or_block": q_filter_or_block,
         "sort_truncate": q_sort_truncate,
         "truncate": q_truncate,
         "count": q_count,
@@ -2432,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the 50-entry gate from here ----
         "regex_casematch": q_regex_casematch,
         "union_ragged": q_union_ragged,
+        "filter_or_block": q_filter_or_block,
         # -- past the 50-entry gate: r06-green tail (unchanged,
         #    check_oracle re-run this session; lead r9).  The first
         #    three (absence_match, image_features, image_features_gif)
@@ -4258,6 +4297,57 @@ def oracle_sql() -> dict[str, str]:
                              OR regexp_matches(url, '[?&]sessionid=')))
                        AS keep
             FROM h
+        """),
+        # url_normalize: independent regexp/list replay of every
+        # canonicalization rule over the shared planting expression
+        "url_normalize": (
+            r"""
+            WITH d AS (
+                SELECT doc_id, """ + _NORM_URL_SQL + r""" AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, url,
+                    lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)',
+                        1)) AS scheme,
+                    lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)',
+                        2)) AS auth,
+                    regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)',
+                        3) AS path,
+                    regexp_extract(url, '\?([^#]*)', 1) AS qs
+                FROM d
+            ),
+            fixed AS (
+                SELECT doc_id, url, scheme,
+                    CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                         THEN substr(auth, 1, length(auth) - 3)
+                         WHEN scheme = 'https' AND auth LIKE '%:443'
+                         THEN substr(auth, 1, length(auth) - 4)
+                         ELSE auth END AS auth,
+                    CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                    list_sort(list_filter(string_split(qs, '&'),
+                        p -> p <> ''
+                             AND NOT starts_with(lower(p), 'utm_')
+                             AND NOT starts_with(lower(p), 'fbclid')
+                             AND NOT starts_with(lower(p), 'gclid')
+                             AND NOT starts_with(lower(p), 'msclkid')
+                             AND NOT starts_with(lower(p), 'sessionid')
+                             AND NOT starts_with(lower(p), 'phpsessid')
+                    )) AS kept
+                FROM parts
+            )
+            SELECT doc_id, url,
+                   CASE WHEN scheme = '' THEN url
+                        ELSE scheme || '://' || auth || path ||
+                            CASE WHEN len(kept) > 0
+                                 THEN '?' || list_aggr(kept,
+                                     'string_agg', '&')
+                                 ELSE '' END
+                   END AS norm_url
+            FROM fixed
         """),
         "warc_ingest": """
             SELECT 'http://doc.example/' || CAST(doc_id AS STRING)

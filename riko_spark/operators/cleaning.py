@@ -567,6 +567,85 @@ def url_filter_op(
             .withColumn(assign, (F.col("host") != "") & ~blocked))
 
 
+#: the full-URL split used identically by url_normalize and its
+#: oracle: scheme :// authority path?query#fragment — groups 1-3;
+#: the query is re-extracted with _URL_QUERY_RE (everything between
+#: '?' and '#'/end) so both engines cut the same five pieces
+URL_SPLIT_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+#: default tracking-parameter prefixes (lowercased match) stripped by
+#: url_normalize — the public utm/click-id families every crawl
+#: frontier canonicalizes away
+TRACKING_PARAM_PREFIXES = (
+    "utm_", "fbclid", "gclid", "msclkid", "sessionid", "phpsessid")
+
+
+@register("url_normalize")
+def url_normalize_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    field: str = "url",
+    assign: str = "norm_url",
+    strip_params: tuple[str, ...] = TRACKING_PARAM_PREFIXES,
+) -> DataFrame:
+    """Crawl-frontier URL canonicalization (RFC 3986 §6 syntax-based
+    normalization plus the standard crawler conventions): two URLs
+    that normalize equal are one frontier entry / one document key.
+
+    * scheme and authority lowercased (RFC 3986 §6.2.2.1)
+    * default port stripped — ``:80`` for http, ``:443`` for https
+    * empty path → ``/``
+    * query parameters: tracking params dropped (any param whose
+      lowercased name starts with a ``strip_params`` prefix), the
+      rest SORTED bytewise — parameter order never carries meaning
+      for dedupe purposes — and '?' dropped when nothing survives
+    * fragment dropped (never sent to the server)
+
+    Percent-encoding and dot-segment normalization are NOT applied
+    (they need a full codec pass; document keys only require a
+    deterministic canonical form, not the minimal one).  URLs with no
+    ``scheme://`` prefix pass through unchanged — the op never
+    invents structure.  All native expressions (regexp splits + one
+    array filter/sort over the query) — row-local, shuffle-free.
+    """
+    conf = conf or {}
+    field = conf.get("field", field)
+    assign = conf.get("assign", assign)
+    strip_params = tuple(conf.get("strip_params", strip_params))
+
+    url = F.col(field)
+    scheme = F.lower(F.regexp_extract(url, URL_SPLIT_RE, 1))
+    auth = F.lower(F.regexp_extract(url, URL_SPLIT_RE, 2))
+    path = F.regexp_extract(url, URL_SPLIT_RE, 3)
+    qs = F.regexp_extract(url, _URL_QUERY_RE, 1)
+
+    auth = (
+        F.when((scheme == "http") & auth.endswith(":80"),
+               F.substring(auth, 1, F.length(auth) - 3))
+        .when((scheme == "https") & auth.endswith(":443"),
+              F.substring(auth, 1, F.length(auth) - 4))
+        .otherwise(auth)
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    def keep_param(p: Column) -> Column:
+        out = p != F.lit("")
+        for pre in strip_params:
+            out = out & ~F.lower(p).startswith(pre)
+        return out
+
+    kept = F.array_sort(F.filter(F.split(qs, "&"), keep_param))
+    query = F.when(F.size(kept) > 0,
+                   F.concat(F.lit("?"), F.array_join(kept, "&"))
+                   ).otherwise(F.lit(""))
+
+    norm = F.when(
+        scheme == "", url,  # no scheme://: pass through unchanged
+    ).otherwise(F.concat(scheme, F.lit("://"), auth, path, query))
+    return df.withColumn(assign, norm)
+
+
 #: output schema for the default ``id_col='doc_id'`` over a bigint id;
 #: :func:`main_content_op` derives the actual schema from its inputs
 MAIN_CONTENT_SCHEMA = (

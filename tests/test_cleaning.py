@@ -424,3 +424,48 @@ def test_host_stats_groups_and_keep_counts(spark):
     assert out["b.org"] == (1, 1, float(len(good)))
     assert out[""][0] == 1
     assert out["a.com"][2] == round((len(good) + len("tiny. two. three.")) / 2, 6)
+
+
+def test_url_normalize_goldens(spark):
+    from riko_spark.operators.cleaning import url_normalize_op
+
+    cases = [
+        # case folding + default port + fragment
+        ("HTTPS://WWW.Ex.COM:443/A/b#frag", "https://www.ex.com/A/b"),
+        ("http://Ex.Com:80/", "http://ex.com/"),
+        # cross-scheme / non-default ports kept
+        ("http://ex.com:443/x", "http://ex.com:443/x"),
+        ("https://ex.com:80/x", "https://ex.com:80/x"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+        # empty path -> '/'
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com?a=1", "http://ex.com/?a=1"),
+        # tracking params out, rest sorted, '?' dropped when empty
+        ("http://ex.com/p?utm_source=x&b=2&a=1", "http://ex.com/p?a=1&b=2"),
+        ("http://ex.com/p?UTM_Campaign=x&gclid=9", "http://ex.com/p"),
+        ("http://ex.com/p?b=2&a=10&a=1", "http://ex.com/p?a=1&a=10&b=2"),
+        # path case preserved; no scheme -> passthrough
+        ("http://EX.com/CaseSensitive", "http://ex.com/CaseSensitive"),
+        ("not a url", "not a url"),
+        ("/relative/path?b=1", "/relative/path?b=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["doc_id", "url"])
+    got = {r["url"]: r["norm_url"]
+           for r in url_normalize_op(df).collect()}
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
+
+
+def test_url_normalize_idempotent_and_configurable(spark):
+    from riko_spark.operators.cleaning import url_normalize_op
+
+    df = spark.createDataFrame(
+        [(0, "HTTP://A.B:80/p?utm_x=1&z=2&sid=3#f")], ["doc_id", "url"])
+    once = url_normalize_op(df).select(
+        "doc_id", F.col("norm_url").alias("url"))
+    twice = url_normalize_op(once).collect()[0]["norm_url"]
+    assert twice == "http://a.b/p?sid=3&z=2"  # fixed point
+    custom = url_normalize_op(
+        df, strip_params=("utm_", "sid")).collect()[0]["norm_url"]
+    assert custom == "http://a.b/p?z=2"
