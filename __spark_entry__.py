@@ -961,6 +961,21 @@ _NORM_URL_SQL = (
 )
 
 
+def q_tfidf_topk(spark, sf):
+    """Per-document top-5 tf-idf keywords over the doc_id % 7 == 2
+    corpus slice: smoothed idf quantized to integer milli-nats, exact
+    BIGINT scores, deterministic (score DESC, term ASC) ranking.  The
+    oracle recomputes the corpus size, every document frequency, the
+    quantized idf, and the windowed rank in one independent DuckDB
+    plan — a drift in tokenization, smoothing, quantization, or the
+    tie-break shifts a rank and mismatches."""
+    from riko_spark.operators.textstats import tfidf_topk_op
+
+    d = _t(spark, sf, "documents").select("doc_id", "text").where(
+        F.col("doc_id") % 7 == 2)
+    return tfidf_topk_op(d, k=5)
+
+
 def q_url_normalize(spark, sf):
     """Crawl-frontier URL canonicalization: scheme/authority case
     folding, http:80 / https:443 default-port strip (non-default and
@@ -2385,18 +2400,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate), plus the SEVEN NEW-this-round
+    # are already under the gate), plus the EIGHT NEW-this-round
     # entries (span_dedupe, lm_score, stratified_sample,
     # mixture_resample, dsir_select, ngram_contamination_bloom,
-    # url_normalize) —
+    # url_normalize, tfidf_topk) —
     # then the 7 entries whose last driver-green
     # row is r05 (simplemath, dateformat, datebuilder, subelement,
-    # urlbuilder, urlparse, itembuilder), then 28 of the 44 r06-head
+    # urlbuilder, urlparse, itembuilder), then 27 of the 44 r06-head
     # entries so no driver row ages past 2 rounds.  Past position 50:
-    # regex_casematch, union_ragged and filter_or_block (displaced
-    # for dsir_select, ngram_contamination_bloom and url_normalize;
-    # siblings `regex`/`union`/`filter` keep all three families
-    # in-gate, code unchanged, r06-green + this round's full
+    # regex_casematch, union_ragged, filter_or_block and uniq_limited
+    # (displaced for dsir_select, ngram_contamination_bloom,
+    # url_normalize and tfidf_topk; siblings `regex`/`union`/`filter`/
+    # `uniq` keep all four families in-gate, code unchanged,
+    # r06-green + this round's full
     # check_oracle re-runs — they lead r9) and the last
     # thirteen r06-head entries (absence_match,
     # image_features, image_features_gif, media_metadata,
@@ -2430,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "ngram_contamination_bloom": q_ngram_contamination_bloom,
         "url_normalize": q_url_normalize,
+        "tfidf_topk": q_tfidf_topk,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2439,7 +2456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlparse": q_urlparse,
         "itembuilder": q_itembuilder,
         # -- r06-head entries rotated back under the gate --
-        "uniq_limited": q_uniq_limited,
         "salted_count": q_salted_count,
         "filter": q_filter,
         "sort_truncate": q_sort_truncate,
@@ -2471,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_casematch": q_regex_casematch,
         "union_ragged": q_union_ragged,
         "filter_or_block": q_filter_or_block,
+        "uniq_limited": q_uniq_limited,
         # -- past the 50-entry gate: r06-green tail (unchanged,
         #    check_oracle re-run this session; lead r9).  The first
         #    three (absence_match, image_features, image_features_gif)
@@ -4297,6 +4314,47 @@ def oracle_sql() -> dict[str, str]:
                              OR regexp_matches(url, '[?&]sessionid=')))
                        AS keep
             FROM h
+        """),
+        # tfidf_topk: full replay — corpus size, per-term document
+        # frequency, quantized smoothed idf, exact-BIGINT scores,
+        # deterministic windowed rank
+        "tfidf_topk": (
+            r"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 7 = 2
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+            tok AS (
+                SELECT doc_id, unnest(list_filter(string_split_regex(
+                    lower(coalesce(text, '')), '\s+'),
+                    t -> t <> '')) AS term
+                FROM d
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            idf AS (
+                SELECT term,
+                       CAST(floor((ln((nd + 1.0) / (count(*) + 1.0))
+                           + 1.0) * 1000.0 + 0.5) AS BIGINT)
+                           AS idf_milli
+                FROM tf, n GROUP BY term, nd
+            ),
+            s AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       tf.tf * idf.idf_milli AS score_milli
+                FROM tf JOIN idf USING (term)
+            ),
+            r AS (
+                SELECT doc_id, term, tf, score_milli,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score_milli DESC, term ASC) AS rank
+                FROM s
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_milli,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """),
         # url_normalize: independent regexp/list replay of every
         # canonicalization rule over the shared planting expression

@@ -255,3 +255,74 @@ def fingerprint_op(df: DataFrame, conf: dict | None = None, field: str = "text",
         df.withColumn(assign, F.md5(norm))
         .withColumn("minshingle", F.array_min(shingles))
     )
+
+
+@register("tfidf_topk", kind="operator", sub_kind="aggregator")
+def tfidf_topk_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    field: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by tf-idf — the classic
+    relevance signal, quantized so an independent engine reproduces
+    it bit-for-bit.
+
+    ``idf_milli = floor((ln((N+1)/(df_t+1)) + 1) · 1000 + 0.5)`` (the
+    sklearn-style smoothed idf, integer milli-nats); ``score_milli =
+    tf · idf_milli`` is an exact BIGINT, so ranking — score DESC,
+    term ASC — is deterministic with no float-ordering hazards.  The
+    single ``.collect()`` is the 1-row corpus count.
+
+    Output: (id_col, term, tf, score_milli, rank), rank 1..k per
+    document; empty/sub-``k``-vocabulary documents emit what they
+    have (possibly nothing).
+
+    100 TB shape: tokens explode into ONE (doc, term) partial-
+    aggregated count; document frequency is a second aggregation over
+    those rows keyed by term (rows ∝ distinct doc-term pairs, never
+    raw tokens); the idf table (∝ vocabulary) joins back BROADCAST by
+    default — pass ``broadcast=False`` for web-scale vocabularies and
+    AQE plans the shuffle join; the per-doc top-k window is the only
+    doc-keyed exchange and ships ≤ distinct-terms-per-doc rows.
+    """
+    from pyspark.sql import Window
+
+    conf = conf or {}
+    field = conf.get("field", field)
+    id_col = conf.get("id_col", id_col)
+    k = int(conf.get("k", k))
+    broadcast = bool(conf.get("broadcast", broadcast))
+
+    n_docs = df.count()
+    toks = words_col(F.coalesce(F.col(field), F.lit("")))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "term",
+            F.floor(
+                (F.log(F.lit(float(n_docs + 1))
+                       / (F.col("df").cast("double") + F.lit(1.0)))
+                 + F.lit(1.0)) * F.lit(1000.0) + F.lit(0.5)
+            ).cast("long").alias("idf_milli"),
+        )
+    )
+    idf = F.broadcast(idf) if broadcast else idf
+    scored = tf.join(idf, "term").select(
+        id_col, "term", "tf",
+        (F.col("tf") * F.col("idf_milli")).alias("score_milli"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_milli").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
