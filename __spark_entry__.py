@@ -961,6 +961,59 @@ _NORM_URL_SQL = (
 )
 
 
+# planted robots corpus: 4 hosts — anchored allow inside a disallowed
+# tree, a multi-UA group with wildcard + non-rule directives, an
+# empty (allow-all) disallow, and a host with no robots body; URLs
+# exercise every rule — same expressions in Spark and the oracle
+_ROBOTS_TXT_SQL = (
+    "CASE WHEN hid = 0 THEN "
+    "'# site h0' || chr(10) || 'User-agent: *' || chr(10) || "
+    "'Disallow: /private/' || chr(10) || "
+    "'Allow: /private/public$' || chr(10) || "
+    "'User-agent: badbot' || chr(10) || 'Disallow: /' "
+    "WHEN hid = 1 THEN "
+    "'User-agent: mybot' || chr(10) || 'User-agent: otherbot' || "
+    "chr(10) || 'Disallow: /tmp/*' || chr(10) || "
+    "'Allow: /tmp/keep' || chr(10) || 'Crawl-delay: 10' "
+    "WHEN hid = 2 THEN "
+    "'User-agent: *' || chr(10) || 'Disallow:' "
+    "ELSE '' END"
+)
+
+_ROBOTS_URL_SQL = (
+    "'https://h' || CAST(doc_id % 4 AS STRING) || '.ex.com' || "
+    "CASE WHEN doc_id % 5 = 0 THEN '/private/' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 5 = 1 THEN '/private/public' || "
+    "CASE WHEN doc_id % 10 = 1 THEN '' ELSE '2' END "
+    "WHEN doc_id % 5 = 2 THEN '/tmp/' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 5 = 3 THEN '/tmp/keep' || CAST(doc_id % 3 AS STRING) "
+    "ELSE '/ok/' || CAST(doc_id AS STRING) END"
+)
+
+
+def q_robots_gate(spark, sf):
+    """RFC 9309 robots.txt compliance, end to end: parse planted
+    per-host robots bodies (group association across consecutive
+    User-agent lines, comment/blank/non-rule-directive handling,
+    empty-path allow-all drop) and gate a planted URL corpus for
+    agent 'mybot' (exact-group-beats-star selection, '*' wildcard +
+    '$' anchor patterns, longest-match precedence with allow winning
+    ties).  The oracle replays the ENTIRE parse + gate — line split,
+    directive regex, window grouping, LIKE-pattern compilation,
+    winner window — in one independent DuckDB plan."""
+    from riko_spark.operators.robots import robots_gate_op, robots_rules_op
+
+    hosts = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("hid")).distinct()
+    robots = hosts.select(
+        F.expr("'h' || CAST(hid AS STRING) || '.ex.com'").alias("host"),
+        F.expr(_ROBOTS_TXT_SQL).alias("content"))
+    rules = robots_rules_op(robots)
+    urls = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_ROBOTS_URL_SQL).alias("url"))
+    return robots_gate_op(urls, rules=rules, agent="mybot")
+
+
 def q_tfidf_topk(spark, sf):
     """Per-document top-5 tf-idf keywords over the doc_id % 7 == 2
     corpus slice: smoothed idf quantized to integer milli-nats, exact
@@ -2400,18 +2453,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate), plus the EIGHT NEW-this-round
+    # are already under the gate), plus the NINE NEW-this-round
     # entries (span_dedupe, lm_score, stratified_sample,
     # mixture_resample, dsir_select, ngram_contamination_bloom,
-    # url_normalize, tfidf_topk) —
+    # url_normalize, tfidf_topk, robots_gate) —
     # then the 7 entries whose last driver-green
     # row is r05 (simplemath, dateformat, datebuilder, subelement,
-    # urlbuilder, urlparse, itembuilder), then 27 of the 44 r06-head
+    # urlbuilder, urlparse, itembuilder), then 26 of the 44 r06-head
     # entries so no driver row ages past 2 rounds.  Past position 50:
-    # regex_casematch, union_ragged, filter_or_block and uniq_limited
-    # (displaced for dsir_select, ngram_contamination_bloom,
-    # url_normalize and tfidf_topk; siblings `regex`/`union`/`filter`/
-    # `uniq` keep all four families in-gate, code unchanged,
+    # regex_casematch, union_ragged, filter_or_block, uniq_limited
+    # and count_group (displaced for dsir_select,
+    # ngram_contamination_bloom, url_normalize, tfidf_topk and
+    # robots_gate; siblings `regex`/`union`/`filter`/`uniq`/`count`
+    # keep all five families in-gate, code unchanged,
     # r06-green + this round's full
     # check_oracle re-runs — they lead r9) and the last
     # thirteen r06-head entries (absence_match,
@@ -2447,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination_bloom": q_ngram_contamination_bloom,
         "url_normalize": q_url_normalize,
         "tfidf_topk": q_tfidf_topk,
+        "robots_gate": q_robots_gate,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2461,7 +2516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_truncate": q_sort_truncate,
         "truncate": q_truncate,
         "count": q_count,
-        "count_group": q_count_group,
         "sum_group": q_sum_group,
         "union": q_union,
         "uniq": q_uniq,
@@ -2488,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_ragged": q_union_ragged,
         "filter_or_block": q_filter_or_block,
         "uniq_limited": q_uniq_limited,
+        "count_group": q_count_group,
         # -- past the 50-entry gate: r06-green tail (unchanged,
         #    check_oracle re-run this session; lead r9).  The first
         #    three (absence_match, image_features, image_features_gif)
@@ -4314,6 +4369,129 @@ def oracle_sql() -> dict[str, str]:
                              OR regexp_matches(url, '[?&]sessionid=')))
                        AS keep
             FROM h
+        """),
+        # robots_gate: full independent parse + gate replay — line
+        # split, directive regex, lag/sum window grouping, agent
+        # selection, LIKE-pattern compilation with escapes, and the
+        # longest-match/allow-wins winner window
+        "robots_gate": (
+            r"""
+            WITH hosts AS (
+                SELECT DISTINCT CAST(doc_id % 4 AS INT) AS hid
+                FROM documents
+            ),
+            robots AS (
+                SELECT 'h' || CAST(hid AS STRING) || '.ex.com' AS host,
+                       """ + _ROBOTS_TXT_SQL + r""" AS content
+                FROM hosts
+            ),
+            lines AS (
+                SELECT host,
+                       unnest(generate_series(1, len(ls))) AS pos,
+                       unnest(ls) AS line
+                FROM (SELECT host, string_split(content, chr(10)) AS ls
+                      FROM robots)
+            ),
+            dirs AS (
+                SELECT host, pos,
+                    lower(regexp_extract(
+                        trim(regexp_replace(line, '#.*$', '')),
+                        '^([A-Za-z\-]+)\s*:', 1)) AS k,
+                    trim(regexp_extract(
+                        trim(regexp_replace(line, '#.*$', '')),
+                        '^[A-Za-z\-]+\s*:\s*(.*)$', 1)) AS v
+                FROM lines
+            ),
+            dd AS (
+                SELECT * FROM dirs
+                WHERE k IN ('user-agent', 'allow', 'disallow')
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN k = 'user-agent'
+                        AND coalesce(lag(k = 'user-agent') OVER (
+                            PARTITION BY host ORDER BY pos), false)
+                            = false
+                        THEN 1 ELSE 0 END AS strt
+                FROM dd
+            ),
+            grpd AS (
+                SELECT *, sum(strt) OVER (
+                        PARTITION BY host ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+                FROM flagged
+            ),
+            agents AS (
+                SELECT DISTINCT host, grp, lower(v) AS agent
+                FROM grpd WHERE k = 'user-agent'
+            ),
+            rls AS (
+                SELECT host, grp, k AS rule, v AS path, pos
+                FROM grpd WHERE k <> 'user-agent' AND v <> ''
+            ),
+            rules AS (
+                SELECT r.host, a.agent, r.rule, r.path, r.pos
+                FROM rls r JOIN agents a
+                ON r.host = a.host AND r.grp = a.grp
+            ),
+            hasex AS (
+                SELECT DISTINCT host FROM rules WHERE agent = 'mybot'
+            ),
+            app AS (
+                SELECT rules.* FROM rules
+                LEFT JOIN hasex ON rules.host = hasex.host
+                WHERE agent = 'mybot'
+                   OR (agent = '*' AND hasex.host IS NULL)
+            ),
+            pat AS (
+                SELECT host, rule, path, pos,
+                    CASE WHEN path LIKE '%$'
+                         THEN substr(path, 1, length(path) - 1)
+                         ELSE path END AS body,
+                    (path LIKE '%$') AS anch
+                FROM app
+            ),
+            pat2 AS (
+                SELECT host, rule, path, pos, length(body) AS spec,
+                    replace(replace(replace(replace(body,
+                        '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+                        || CASE WHEN anch THEN '' ELSE '%' END
+                        AS likepat
+                FROM pat
+            ),
+            u AS (
+                SELECT doc_id, """ + _ROBOTS_URL_SQL + r""" AS url
+                FROM documents
+            ),
+            u2 AS (
+                SELECT doc_id, url,
+                    lower(coalesce(regexp_extract(url,
+                        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), ''))
+                        AS host,
+                    CASE WHEN regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)',
+                        1) = '' THEN '/'
+                    ELSE regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)',
+                        1) END AS pq
+                FROM u
+            ),
+            m AS (
+                SELECT u2.doc_id, p.rule, p.path, p.spec, p.pos
+                FROM u2 JOIN pat2 p ON u2.host = p.host
+                    AND u2.pq LIKE p.likepat ESCAPE '\'
+            ),
+            win AS (
+                SELECT doc_id, rule, path,
+                    row_number() OVER (PARTITION BY doc_id
+                        ORDER BY spec DESC, (rule = 'allow') DESC,
+                                 path ASC, pos ASC) AS rn
+                FROM m
+            )
+            SELECT u2.doc_id, u2.url, u2.host,
+                   coalesce(w.rule = 'allow', true) AS allowed,
+                   w.rule, w.path
+            FROM u2 LEFT JOIN (SELECT * FROM win WHERE rn = 1) w
+            USING (doc_id)
         """),
         # tfidf_topk: full replay — corpus size, per-term document
         # frequency, quantized smoothed idf, exact-BIGINT scores,

@@ -71,6 +71,7 @@ def _load_all() -> None:
         misc,
         multimodal,
         packing,
+        robots,
         sampling,
         setops,
         similarity,

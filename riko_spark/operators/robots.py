@@ -1,0 +1,199 @@
+"""robots.txt parsing and crawl-permission gating (RFC 9309).
+
+A polite crawler fetches ``/robots.txt`` per host once and gates the
+whole frontier through it; at CC scale that is a tiny per-host rules
+table against billions of URLs, so the gate must be a broadcast-join
+projection, never a per-URL fetch or Python loop.
+
+:func:`robots_rules_op` parses raw robots bodies into flat
+``(host, agent, rule, path, pos)`` rows with the RFC's group
+semantics: a group is one or more consecutive ``User-agent`` lines
+followed by its ``Allow``/``Disallow`` records; a ``User-agent``
+line after rules starts a new group; comments (``#`` to EOL), blank
+lines and non-rule directives (``Sitemap``, ``Crawl-delay``, …) are
+ignored and do not break groups.  Empty-path rules (the traditional
+"``Disallow:``" = allow-all) carry no restriction and are dropped.
+
+:func:`robots_gate_op` applies parsed rules to a URL column:
+
+* group selection — the crawler's (lowercased) product token picks
+  its exact ``User-agent`` group when the host has one, else the
+  ``*`` group (RFC 9309 §2.2.1's most-specific-match, restricted to
+  the exact-vs-wildcard distinction; substring UA matching is a
+  crawler-side convention, not in the RFC).
+* rule matching — patterns match the URL's path+query as a prefix;
+  ``*`` matches any octet sequence and a trailing ``$`` anchors the
+  end (§2.2.3).  Matching compiles each pattern to a ``LIKE``
+  expression (``*`` → ``%``, literal ``%``/``_``/``\\`` escaped) —
+  pure JVM string matching, no per-row regex compilation.
+* precedence — the most specific (longest-pattern) matching rule
+  wins; on a tie ``Allow`` wins (§2.2.2).  No matching rule, no
+  rules for the host, or no robots body at all → allowed.
+
+100 TB shape: parsing touches only the per-host robots corpus (one
+small row per host).  The gate broadcasts the rules table (a few
+rules × hosts — MBs for the whole web), the per-URL match is
+row-local, and the winner-per-URL window partitions on the URL id —
+the only exchange, shipping ≤ matched-rule rows per URL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from riko_spark.operators import register
+from riko_spark.operators.cleaning import host_col
+
+#: directive split shared with the oracle: "Key : value" with the key
+#: letters/dash, value everything after the first ':'
+_KEY_RE = r"^([A-Za-z\-]+)\s*:"
+_VAL_RE = r"^[A-Za-z\-]+\s*:\s*(.*)$"
+
+
+@register("robots_rules")
+def robots_rules_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    host: str = "host",
+    field: str = "content",
+) -> DataFrame:
+    """Parse robots.txt bodies: ``(host, content)`` →
+    ``(host, agent, rule, path, pos)``; see the module docstring for
+    the grouping semantics.  ``pos`` is the rule's 1-based line
+    number (the deterministic tiebreak downstream)."""
+    conf = conf or {}
+    host = conf.get("host", host)
+    field = conf.get("field", field)
+
+    lines = df.select(
+        F.col(host),
+        F.posexplode(
+            F.split(F.coalesce(F.col(field), F.lit("")), "\n")
+        ).alias("__i", "__line"),
+    ).select(
+        host,
+        (F.col("__i") + 1).alias("pos"),
+        F.trim(F.regexp_replace("__line", "#.*$", "")).alias("__clean"),
+    )
+    key = F.lower(F.regexp_extract("__clean", _KEY_RE, 1))
+    val = F.trim(F.regexp_extract("__clean", _VAL_RE, 1))
+    directives = (
+        lines.select(host, "pos", key.alias("k"), val.alias("v"))
+        .where(F.col("k").isin("user-agent", "allow", "disallow"))
+    )
+    # group id: running count of user-agent lines not directly
+    # preceded (among directives) by another user-agent line
+    w = Window.partitionBy(host).orderBy("pos")
+    is_ua = F.col("k") == "user-agent"
+    starts = is_ua & ~F.coalesce(
+        F.lag(is_ua).over(w), F.lit(False))
+    grouped = directives.withColumn(
+        "grp", F.sum(starts.cast("int")).over(w))
+    agents = (
+        grouped.where(is_ua)
+        .select(host, "grp", F.lower("v").alias("agent"))
+        .distinct()
+    )
+    rules = grouped.where(~is_ua & (F.col("v") != "")).select(
+        host, "grp", F.col("k").alias("rule"),
+        F.col("v").alias("path"), "pos")
+    return rules.join(agents, [host, "grp"]).select(
+        host, "agent", "rule", "path", "pos")
+
+
+def _like_pattern(path: Column) -> tuple[Column, Column]:
+    """(LIKE pattern, specificity) for a robots path pattern: escape
+    ``\\``/``%``/``_`` with backslash, ``*`` → ``%``, and append a
+    trailing ``%`` unless the pattern ends with the ``$`` anchor.
+    Specificity is the RFC's pattern length (anchor excluded)."""
+    anchored = path.endswith("$")
+    body = F.when(
+        anchored, F.substring(path, 1, F.length(path) - 1)
+    ).otherwise(path)
+    esc = F.replace(
+        F.replace(
+            F.replace(body, F.lit("\\"), F.lit("\\\\")),
+            F.lit("%"), F.lit("\\%")),
+        F.lit("_"), F.lit("\\_"))
+    pattern = F.concat(
+        F.replace(esc, F.lit("*"), F.lit("%")),
+        F.when(anchored, F.lit("")).otherwise(F.lit("%")),
+    )
+    return pattern, F.length(body)
+
+
+@register("robots_gate")
+def robots_gate_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    rules: DataFrame | None = None,
+    agent: str = "*",
+    field: str = "url",
+    id_col: str = "doc_id",
+    assign: str = "allowed",
+) -> DataFrame:
+    """Gate a URL column through parsed robots rules.
+
+    Output: the input's ``id_col`` and ``field`` plus ``host``,
+    ``assign`` (boolean) and the winning ``rule``/``path`` (NULL when
+    nothing matched).  ``rules`` is :func:`robots_rules_op` output
+    (or any frame with host/agent/rule/path/pos).
+    """
+    conf = conf or {}
+    agent = str(conf.get("agent", agent)).lower()
+    field = conf.get("field", field)
+    id_col = conf.get("id_col", id_col)
+    assign = conf.get("assign", assign)
+    if rules is None:
+        raise ValueError("robots_gate_op needs rules= (robots_rules_op "
+                         "output)")
+
+    url = F.col(field)
+    # path+query (the RFC match target); '' -> '/'
+    pq = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)",
+                          1)
+    pq = F.when(pq == "", F.lit("/")).otherwise(pq)
+    urls = df.select(
+        F.col(id_col), url.alias("__url"), host_col(url).alias("host"),
+        pq.alias("__pq"))
+
+    # exact-agent group if the host has one, else the '*' group
+    has_exact = rules.where(F.col("agent") == agent).select(
+        "host").distinct().withColumn("__exact", F.lit(True))
+    applicable = (
+        rules.join(F.broadcast(has_exact), "host", "left")
+        .where(
+            (F.col("agent") == agent)
+            | ((F.col("agent") == "*") & F.col("__exact").isNull())
+        )
+    )
+    pattern, spec = _like_pattern(F.col("path"))
+    applicable = applicable.select(
+        "host", "rule", "path", "pos",
+        pattern.alias("__pat"), spec.alias("__spec"))
+
+    matched = (
+        urls.join(F.broadcast(applicable), "host")
+        # non-literal LIKE pattern (spark's default escape is '\');
+        # expr form because Column.like is typed for str patterns
+        .where(F.expr("__pq LIKE __pat"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__spec").desc(),
+        (F.col("rule") == "allow").desc(),
+        F.col("path").asc(), F.col("pos").asc())
+    winner = (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "rule", "path")
+    )
+    return (
+        urls.join(winner, id_col, "left")
+        .select(
+            id_col, F.col("__url").alias(field), "host",
+            F.coalesce(F.col("rule") == "allow", F.lit(True))
+            .alias(assign),
+            "rule", "path",
+        )
+    )
