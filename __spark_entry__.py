@@ -1014,6 +1014,60 @@ def q_robots_gate(spark, sf):
     return robots_gate_op(urls, rules=rules, agent="mybot")
 
 
+# the frontier capstone's messy URL planting: robots-relevant paths
+# on the 4 robots hosts, wrapped in case noise, a default port,
+# tracking params and fragments that normalization must strip before
+# the robots match — same expression in Spark and the oracle
+_FRONTIER_URL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END || "
+    "'H' || CAST(doc_id % 4 AS STRING) || '.EX.com' || "
+    "CASE WHEN doc_id % 12 = 0 THEN ':443' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '/private/' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 5 = 1 THEN '/private/public' || "
+    "CASE WHEN doc_id % 10 = 1 THEN '' ELSE '2' END "
+    "WHEN doc_id % 5 = 2 THEN '/tmp/' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 5 = 3 THEN '/tmp/keep' || CAST(doc_id % 3 AS STRING) "
+    "ELSE '/ok/' || CAST(doc_id AS STRING) END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '?b=2&utm_x=1&a=1' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#f' ELSE '' END"
+)
+
+
+def q_frontier_pipeline(spark, sf):
+    """The composed crawl-frontier stage one a polite crawler runs
+    end-to-end: URL canonicalization (case/port/tracking-param/
+    fragment normalization) -> robots.txt permission gate (parsed
+    from the planted per-host robots corpus, agent 'mybot') -> domain
+    blocklist.  The oracle recomputes the ENTIRE composition — every
+    normalization rule, the full robots parse + gate on the
+    NORMALIZED url, and the blocklist — in one independent DuckDB
+    plan, so a drift in any stage or in how the stages hand off
+    (e.g. matching robots against the raw instead of the normalized
+    path) shows up as a value mismatch."""
+    from riko_spark.operators.cleaning import url_filter_op, url_normalize_op
+    from riko_spark.operators.robots import robots_gate_op, robots_rules_op
+
+    urls = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_FRONTIER_URL_SQL).alias("url"))
+    normed = url_normalize_op(urls).select("doc_id", "norm_url")
+
+    hosts = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("hid")).distinct()
+    robots = hosts.select(
+        F.expr("'h' || CAST(hid AS STRING) || '.ex.com'").alias("host"),
+        F.expr(_ROBOTS_TXT_SQL).alias("content"))
+    rules = robots_rules_op(robots)
+    gated = robots_gate_op(
+        normed, rules=rules, agent="mybot", field="norm_url")
+
+    out = url_filter_op(
+        gated.select("doc_id", "norm_url", F.col("allowed")),
+        field="norm_url", blocked_domains=["h3.ex.com"], assign="unblocked")
+    return out.select(
+        "doc_id", "norm_url", "host", "allowed", "unblocked",
+        (F.col("allowed") & F.col("unblocked")).alias("crawl"))
+
+
 def q_tfidf_topk(spark, sf):
     """Per-document top-5 tf-idf keywords over the doc_id % 7 == 2
     corpus slice: smoothed idf quantized to integer milli-nats, exact
@@ -2453,19 +2507,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate), plus the NINE NEW-this-round
+    # are already under the gate), plus the TEN NEW-this-round
     # entries (span_dedupe, lm_score, stratified_sample,
     # mixture_resample, dsir_select, ngram_contamination_bloom,
-    # url_normalize, tfidf_topk, robots_gate) —
+    # url_normalize, tfidf_topk, robots_gate, frontier_pipeline) —
     # then the 7 entries whose last driver-green
     # row is r05 (simplemath, dateformat, datebuilder, subelement,
-    # urlbuilder, urlparse, itembuilder), then 26 of the 44 r06-head
+    # urlbuilder, urlparse, itembuilder), then 25 of the 44 r06-head
     # entries so no driver row ages past 2 rounds.  Past position 50:
-    # regex_casematch, union_ragged, filter_or_block, uniq_limited
-    # and count_group (displaced for dsir_select,
-    # ngram_contamination_bloom, url_normalize, tfidf_topk and
-    # robots_gate; siblings `regex`/`union`/`filter`/`uniq`/`count`
-    # keep all five families in-gate, code unchanged,
+    # regex_casematch, union_ragged, filter_or_block, uniq_limited,
+    # count_group and truncate (displaced for dsir_select,
+    # ngram_contamination_bloom, url_normalize, tfidf_topk,
+    # robots_gate and frontier_pipeline; siblings/compositions
+    # `regex`/`union`/`filter`/`uniq`/`count`/`sort_truncate`
+    # keep all six families in-gate, code unchanged,
     # r06-green + this round's full
     # check_oracle re-runs — they lead r9) and the last
     # thirteen r06-head entries (absence_match,
@@ -2502,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "tfidf_topk": q_tfidf_topk,
         "robots_gate": q_robots_gate,
+        "frontier_pipeline": q_frontier_pipeline,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2514,7 +2570,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "filter": q_filter,
         "sort_truncate": q_sort_truncate,
-        "truncate": q_truncate,
         "count": q_count,
         "sum_group": q_sum_group,
         "union": q_union,
@@ -2543,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_or_block": q_filter_or_block,
         "uniq_limited": q_uniq_limited,
         "count_group": q_count_group,
+        "truncate": q_truncate,
         # -- past the 50-entry gate: r06-green tail (unchanged,
         #    check_oracle re-run this session; lead r9).  The first
         #    three (absence_match, image_features, image_features_gif)
@@ -4369,6 +4425,176 @@ def oracle_sql() -> dict[str, str]:
                              OR regexp_matches(url, '[?&]sessionid=')))
                        AS keep
             FROM h
+        """),
+        # frontier_pipeline: the ENTIRE composed stage recomputed —
+        # normalization replay, full robots parse + gate on the
+        # NORMALIZED url, and the blocklist
+        "frontier_pipeline": (
+            r"""
+            WITH u AS (
+                SELECT doc_id, """ + _FRONTIER_URL_SQL + r""" AS url
+                FROM documents
+            ),
+            uparts AS (
+                SELECT doc_id, url,
+                    lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)',
+                        1)) AS scheme,
+                    lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)',
+                        2)) AS auth,
+                    regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)',
+                        3) AS path,
+                    regexp_extract(url, '\?([^#]*)', 1) AS qs
+                FROM u
+            ),
+            ufixed AS (
+                SELECT doc_id, url, scheme,
+                    CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                         THEN substr(auth, 1, length(auth) - 3)
+                         WHEN scheme = 'https' AND auth LIKE '%:443'
+                         THEN substr(auth, 1, length(auth) - 4)
+                         ELSE auth END AS auth,
+                    CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                    list_sort(list_filter(string_split(qs, '&'),
+                        p -> p <> ''
+                             AND NOT starts_with(lower(p), 'utm_')
+                             AND NOT starts_with(lower(p), 'fbclid')
+                             AND NOT starts_with(lower(p), 'gclid')
+                             AND NOT starts_with(lower(p), 'msclkid')
+                             AND NOT starts_with(lower(p), 'sessionid')
+                             AND NOT starts_with(lower(p), 'phpsessid')
+                    )) AS kept
+                FROM uparts
+            ),
+            normed AS (
+                SELECT doc_id,
+                   CASE WHEN scheme = '' THEN url
+                        ELSE scheme || '://' || auth || path ||
+                            CASE WHEN len(kept) > 0
+                                 THEN '?' || list_aggr(kept,
+                                     'string_agg', '&')
+                                 ELSE '' END
+                   END AS norm_url
+                FROM ufixed
+            ),
+            hosts AS (
+                SELECT DISTINCT CAST(doc_id % 4 AS INT) AS hid
+                FROM documents
+            ),
+            robots AS (
+                SELECT 'h' || CAST(hid AS STRING) || '.ex.com' AS host,
+                       """ + _ROBOTS_TXT_SQL + r""" AS content
+                FROM hosts
+            ),
+            lines AS (
+                SELECT host,
+                       unnest(generate_series(1, len(ls))) AS pos,
+                       unnest(ls) AS line
+                FROM (SELECT host, string_split(content, chr(10)) AS ls
+                      FROM robots)
+            ),
+            dirs AS (
+                SELECT host, pos,
+                    lower(regexp_extract(
+                        trim(regexp_replace(line, '#.*$', '')),
+                        '^([A-Za-z\-]+)\s*:', 1)) AS k,
+                    trim(regexp_extract(
+                        trim(regexp_replace(line, '#.*$', '')),
+                        '^[A-Za-z\-]+\s*:\s*(.*)$', 1)) AS v
+                FROM lines
+            ),
+            dd AS (
+                SELECT * FROM dirs
+                WHERE k IN ('user-agent', 'allow', 'disallow')
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN k = 'user-agent'
+                        AND coalesce(lag(k = 'user-agent') OVER (
+                            PARTITION BY host ORDER BY pos), false)
+                            = false
+                        THEN 1 ELSE 0 END AS strt
+                FROM dd
+            ),
+            grpd AS (
+                SELECT *, sum(strt) OVER (
+                        PARTITION BY host ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+                FROM flagged
+            ),
+            agents AS (
+                SELECT DISTINCT host, grp, lower(v) AS agent
+                FROM grpd WHERE k = 'user-agent'
+            ),
+            rls AS (
+                SELECT host, grp, k AS rule, v AS path, pos
+                FROM grpd WHERE k <> 'user-agent' AND v <> ''
+            ),
+            rules AS (
+                SELECT r.host, a.agent, r.rule, r.path, r.pos
+                FROM rls r JOIN agents a
+                ON r.host = a.host AND r.grp = a.grp
+            ),
+            hasex AS (
+                SELECT DISTINCT host FROM rules WHERE agent = 'mybot'
+            ),
+            app AS (
+                SELECT rules.* FROM rules
+                LEFT JOIN hasex ON rules.host = hasex.host
+                WHERE agent = 'mybot'
+                   OR (agent = '*' AND hasex.host IS NULL)
+            ),
+            pat AS (
+                SELECT host, rule, path, pos,
+                    CASE WHEN path LIKE '%$'
+                         THEN substr(path, 1, length(path) - 1)
+                         ELSE path END AS body,
+                    (path LIKE '%$') AS anch
+                FROM app
+            ),
+            pat2 AS (
+                SELECT host, rule, path, pos, length(body) AS spec,
+                    replace(replace(replace(replace(body,
+                        '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+                        || CASE WHEN anch THEN '' ELSE '%' END
+                        AS likepat
+                FROM pat
+            ),
+            u2 AS (
+                SELECT doc_id, norm_url,
+                    lower(coalesce(regexp_extract(norm_url,
+                        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), ''))
+                        AS host,
+                    CASE WHEN regexp_extract(norm_url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)',
+                        1) = '' THEN '/'
+                    ELSE regexp_extract(norm_url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)',
+                        1) END AS pq
+                FROM normed
+            ),
+            m AS (
+                SELECT u2.doc_id, p.rule, p.path, p.spec, p.pos
+                FROM u2 JOIN pat2 p ON u2.host = p.host
+                    AND u2.pq LIKE p.likepat ESCAPE '\'
+            ),
+            win AS (
+                SELECT doc_id, rule, path,
+                    row_number() OVER (PARTITION BY doc_id
+                        ORDER BY spec DESC, (rule = 'allow') DESC,
+                                 path ASC, pos ASC) AS rn
+                FROM m
+            )
+            SELECT u2.doc_id, u2.norm_url, u2.host,
+                   coalesce(w.rule = 'allow', true) AS allowed,
+                   (u2.host <> '' AND NOT (u2.host = 'h3.ex.com'
+                        OR u2.host LIKE '%.h3.ex.com')) AS unblocked,
+                   (coalesce(w.rule = 'allow', true)
+                    AND u2.host <> '' AND NOT (u2.host = 'h3.ex.com'
+                        OR u2.host LIKE '%.h3.ex.com')) AS crawl
+            FROM u2 LEFT JOIN (SELECT * FROM win WHERE rn = 1) w
+            USING (doc_id)
         """),
         # robots_gate: full independent parse + gate replay — line
         # split, directive regex, lag/sum window grouping, agent
