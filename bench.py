@@ -849,6 +849,49 @@ def main():
     except Exception as e:  # noqa: BLE001
         out["dsir_select"] = f"ERROR: {type(e).__name__}"
 
+    # composed crawl-frontier stage one (round-8 frontier) over 2M
+    # synthetic messy URLs — its own key, outside `value`: full URL
+    # canonicalization -> robots parse + gate (planted 4-host corpus,
+    # broadcast rules, per-URL winner window) -> blocklist; reports
+    # seconds for the 2M-URL pass (row-local except the winner
+    # window's one exchange)
+    def frontier():
+        import pyspark.sql.functions as F
+
+        import __spark_entry__ as em
+        from riko_spark.operators.cleaning import (
+            url_filter_op,
+            url_normalize_op,
+        )
+        from riko_spark.operators.robots import (
+            robots_gate_op,
+            robots_rules_op,
+        )
+
+        urls = spark.range(2_000_000).select(
+            F.col("id").alias("doc_id"),
+            F.expr(em._FRONTIER_URL_SQL).alias("url"))
+        normed = url_normalize_op(urls).select("doc_id", "norm_url")
+        hosts = spark.range(4).select(F.col("id").cast("int").alias("hid"))
+        robots = hosts.select(
+            F.expr("'h' || CAST(hid AS STRING) || '.ex.com'").alias("host"),
+            F.expr(em._ROBOTS_TXT_SQL).alias("content"))
+        rules = robots_rules_op(robots)
+        gated = robots_gate_op(
+            normed, rules=rules, agent="mybot", field="norm_url")
+        out_df = url_filter_op(
+            gated.select("doc_id", "norm_url", "allowed"),
+            field="norm_url", blocked_domains=["h3.ex.com"],
+            assign="unblocked")
+        return out_df.agg(
+            F.sum((F.col("allowed") & F.col("unblocked")).cast("long")),
+            F.sum(F.length("norm_url"))).collect()
+
+    try:
+        out["frontier"] = round(best_of(frontier), 3)
+    except Exception as e:  # noqa: BLE001
+        out["frontier"] = f"ERROR: {type(e).__name__}"
+
     # DOM main-content extraction over the full pages fixture (real
     # seeded HTML with nav/anchors): readability-lite parse + score in
     # Arrow-batched mapInPandas — also its own key, outside `value`

@@ -329,3 +329,83 @@ def test_word_shingles_parity_random(spark):
         rows = df.select("i", naive.alias("a"), fast.alias("b")).collect()
         for r in rows:
             assert r["a"] == r["b"], (k, texts[r["i"]], r["a"], r["b"])
+
+
+def test_url_normalize_random_urls(spark):
+    # random messy URLs: normalization is idempotent, never raises,
+    # and matches a straight-line Python transcription of the rules
+    rng = random.Random(77)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+    hosts = ["Ex.COM", "a.b.c", "X", ""]
+    ports = ["", ":80", ":443", ":8080", ":1443"]
+    paths = ["", "/", "/A/b", "/x%20y", "/_a/%b"]
+    queries = ["", "?b=2&a=1", "?utm_x=1", "?A=1&a=2&", "?z", "?utm_x=1&b=1"]
+    frags = ["", "#f", "#a#b"]
+    urls = []
+    for _ in range(300):
+        s = rng.choice(schemes)
+        u = (f"{s}://" if s else "") + rng.choice(hosts) + \
+            rng.choice(ports) + rng.choice(paths) + \
+            rng.choice(queries) + rng.choice(frags)
+        urls.append(u)
+
+    strip = ("utm_", "fbclid", "gclid", "msclkid", "sessionid",
+             "phpsessid")
+
+    def py_norm(url):
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)",
+                     url)
+        if not m:
+            return url
+        scheme, auth, path = (m.group(1).lower(), m.group(2).lower(),
+                              m.group(3))
+        qm = re.search(r"\?([^#]*)", url)
+        qs = qm.group(1) if qm else ""
+        if scheme == "http" and auth.endswith(":80"):
+            auth = auth[:-3]
+        elif scheme == "https" and auth.endswith(":443"):
+            auth = auth[:-4]
+        path = path or "/"
+        kept = sorted(
+            p for p in qs.split("&")
+            if p and not any(p.lower().startswith(x) for x in strip))
+        q = "?" + "&".join(kept) if kept else ""
+        return f"{scheme}://{auth}{path}{q}"
+
+    from riko_spark.operators.cleaning import url_normalize_op
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string")
+    got = [r["norm_url"] for r in
+           url_normalize_op(df).orderBy("i").collect()]
+    exp = [py_norm(u) for u in urls]
+    assert got == exp
+    # idempotence over the whole random population
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(got)], "i long, url string")
+    got2 = [r["norm_url"] for r in
+            url_normalize_op(df2).orderBy("i").collect()]
+    assert got2 == got
+
+
+def test_robots_gate_total_and_single_row(spark):
+    # totality: every input URL yields EXACTLY one output row, with a
+    # boolean verdict, across random paths — no dropped or duplicated
+    # frontier entries (the gate is a projection, not a filter)
+    from riko_spark.operators.robots import robots_gate_op, robots_rules_op
+
+    robots = spark.createDataFrame(
+        [("r.com",
+          "User-agent: *\nDisallow: /a\nAllow: /a/b$\nDisallow: /c*d")],
+        ["host", "content"])
+    rules = robots_rules_op(robots)
+    rng = random.Random(99)
+    parts = ["/a", "/a/b", "/c", "d", "/x", "", "/a/b/c", "%", "_"]
+    urls = [(i, "https://r.com" + "".join(
+        rng.choice(parts) for _ in range(rng.randrange(0, 3))))
+        for i in range(200)]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    out = robots_gate_op(df, rules=rules, agent="anybot").collect()
+    assert len(out) == 200
+    assert {r["doc_id"] for r in out} == set(range(200))
+    assert all(r["allowed"] in (True, False) for r in out)
