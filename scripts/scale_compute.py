@@ -107,6 +107,11 @@ SPAN_MULT = int(os.environ.get("SCALE_SPAN_MULT", "60"))
 #: table (600k pages, ~42M scored bigrams) keeps the 32-leg in the
 #: ~10 s regime with the fixed train cost amortized
 LM_MULT = int(os.environ.get("SCALE_LM_MULT", "120"))
+#: frontier leg: composed canonicalize -> robots gate -> blocklist
+#: over synthetic messy URLs; per-URL cost is JVM regexp/string work
+#: (row-local except the winner window), so this is a compute-bound
+#: leg; 4M URLs keeps the 32-leg in the ~10 s regime
+FRONTIER_N = int(os.environ.get("SCALE_FRONTIER_N", "4000000"))
 #: crawl capstone leg: pages re-packed as WARC archives; per-page cost
 #: is Python-side (gzip inflate + WARC parse + DOM extract + simhash)
 #: behind Arrow, so this is the compute-bound leg for the capstone
@@ -353,6 +358,13 @@ def build_input(workload: str, out_dir: str) -> tuple[str, int]:
             # partition; spread the (one-time) fixture write
             .repartition(64)
         )
+    elif workload == "frontier":
+        import __spark_entry__ as em
+
+        big = spark.range(FRONTIER_N).select(
+            F.col("id").alias("doc_id"),
+            F.expr(em._FRONTIER_URL_SQL).alias("url"),
+        ).repartition(64)
     elif workload == "crawl":
         # the capstone's input: CRAWL_N seeded pages (cached fixture)
         # re-packed ONCE as per-record-gzip WARC archives; both legs
@@ -484,6 +496,35 @@ def _run_workload(spark, workload: str, path: str):
         # aggregate over the scored output (same pruning rationale)
         return out.agg(
             F.sum("logprob_milli"), F.sum("n_scored")).collect()[0][0]
+    if workload == "frontier":
+        import __spark_entry__ as em
+
+        from riko_spark.operators.cleaning import (
+            url_filter_op,
+            url_normalize_op,
+        )
+        from riko_spark.operators.robots import (
+            robots_gate_op,
+            robots_rules_op,
+        )
+
+        urls = spark.read.parquet(path)
+        normed = url_normalize_op(urls).select("doc_id", "norm_url")
+        hosts = spark.range(4).select(F.col("id").cast("int").alias("hid"))
+        robots = hosts.select(
+            F.expr("'h' || CAST(hid AS STRING) || '.ex.com'").alias("host"),
+            F.expr(em._ROBOTS_TXT_SQL).alias("content"))
+        rules = robots_rules_op(robots)
+        gated = robots_gate_op(
+            normed, rules=rules, agent="mybot", field="norm_url")
+        out = url_filter_op(
+            gated.select("doc_id", "norm_url", "allowed"),
+            field="norm_url", blocked_domains=["h3.ex.com"],
+            assign="unblocked")
+        # aggregate over the gated output so nothing prunes away
+        return out.agg(
+            F.sum((F.col("allowed") & F.col("unblocked")).cast("long")),
+            F.sum(F.length("norm_url"))).collect()[0][0]
     if workload == "dsir":
         from riko_spark.operators.dsir import dsir_fit, dsir_select_op
 
@@ -629,7 +670,7 @@ def main() -> None:
     ap.add_argument("--workload",
                     choices=["cep", "simhash", "pii", "jpeg", "flac",
                              "clean", "clean_sparse", "span", "lm", "dsir",
-                             "cc", "crawl", "warc_stream"])
+                             "frontier", "cc", "crawl", "warc_stream"])
     ap.add_argument("--sets", type=int, default=3)
     ap.add_argument("--_leg", dest="leg_workload", default=None)
     ap.add_argument("--_ccleg", dest="cc_leg", default=None)
