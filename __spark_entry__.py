@@ -1068,6 +1068,75 @@ def q_frontier_pipeline(spark, sf):
         (F.col("allowed") & F.col("unblocked")).alias("crawl"))
 
 
+# planted link corpus: every page carries an absolute external link
+# with nested markup in the anchor; even pages add a root-relative
+# link with a newline inside the anchor; %3 adds a protocol-relative
+# link; %4 adds an unresolvable relative path; %7 adds an href-less
+# <a name=...> that must NOT match — same expressions in Spark and
+# the oracle
+_LINKS_URL_SQL = (
+    "'https://h' || CAST(doc_id % 4 AS STRING) || '.ex.com/page/' || "
+    "CAST(doc_id AS STRING)"
+)
+_LINKS_HTML_SQL = (
+    "'<html><body><p>Intro</p>' || "
+    "'<a href=\"https://ext' || CAST(doc_id % 5 AS STRING) || "
+    "'.com/p/' || CAST(doc_id AS STRING) || '\">Ext <b>Link</b> ' || "
+    "CAST(doc_id AS STRING) || '</a>' || "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<a class=\"x\" href=\"/local/' || CAST(doc_id AS STRING) || "
+    "'\">Local' || chr(10) || 'line</a>' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<a href=\"//cdn.shared.net/a.js\">proto rel</a>' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'<a href=\"relative/x\">rel</a>' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "'<a name=\"anchor\">no href</a>' ELSE '' END || "
+    "'</body></html>'"
+)
+
+
+def q_extract_links(spark, sf):
+    """Anchor/link extraction for the link graph: one row per
+    double-quoted href anchor with the tag-stripped whitespace-
+    collapsed anchor text and the href resolved against the source
+    URL (absolute kept, protocol-relative takes the scheme,
+    root-relative takes scheme://host, relative paths NULL).  The
+    oracle replays the shared anchor regex with parallel
+    regexp_extract_all passes, the tag/whitespace cleanup (with
+    DuckDB's explicit global flags), and every resolution case."""
+    from riko_spark.operators.webtext import extract_links_op
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(_LINKS_URL_SQL).alias("url"),
+        F.expr(_LINKS_HTML_SQL).alias("html"))
+    return extract_links_op(d)
+
+
+def q_link_hostgraph(spark, sf):
+    """The host-level link graph a crawl scheduler ranks with:
+    extract_links -> resolve -> (src_host, dst_host, n_links)
+    aggregation.  One partial-agg exchange over resolved edges; the
+    oracle recomputes extraction, resolution, host projection and
+    the edge counts independently."""
+    from riko_spark.operators.cleaning import host_col
+    from riko_spark.operators.webtext import extract_links_op
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(_LINKS_URL_SQL).alias("url"),
+        F.expr(_LINKS_HTML_SQL).alias("html"))
+    links = extract_links_op(d)
+    return (
+        links.where(F.col("resolved").isNotNull())
+        .select(host_col(F.col("url")).alias("src_host"),
+                host_col(F.col("resolved")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
 def q_tfidf_topk(spark, sf):
     """Per-document top-5 tf-idf keywords over the doc_id % 7 == 2
     corpus slice: smoothed idf quantized to integer milli-nats, exact
@@ -2507,21 +2576,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate), plus the TEN NEW-this-round
+    # are already under the gate), plus the TWELVE NEW-this-round
     # entries (span_dedupe, lm_score, stratified_sample,
     # mixture_resample, dsir_select, ngram_contamination_bloom,
-    # url_normalize, tfidf_topk, robots_gate, frontier_pipeline) —
+    # url_normalize, tfidf_topk, robots_gate, frontier_pipeline,
+    # extract_links, link_hostgraph) —
     # then the 7 entries whose last driver-green
     # row is r05 (simplemath, dateformat, datebuilder, subelement,
-    # urlbuilder, urlparse, itembuilder), then 25 of the 44 r06-head
+    # urlbuilder, urlparse, itembuilder), then 23 of the 44 r06-head
     # entries so no driver row ages past 2 rounds.  Past position 50:
     # regex_casematch, union_ragged, filter_or_block, uniq_limited,
-    # count_group and truncate (displaced for dsir_select,
-    # ngram_contamination_bloom, url_normalize, tfidf_topk,
-    # robots_gate and frontier_pipeline; siblings/compositions
-    # `regex`/`union`/`filter`/`uniq`/`count`/`sort_truncate`
-    # keep all six families in-gate, code unchanged,
-    # r06-green + this round's full
+    # count_group, truncate, image_features_tiff and c4_doc_filter
+    # (displaced for the twelve new entries; siblings/compositions
+    # `regex`/`union`/`filter`/`uniq`/`count`/`sort_truncate`/
+    # `image_features_jpeg`+`_jpeg_prog`/`corpus_pipeline` (which
+    # composes c4_doc_filter directly) keep every family in-gate,
+    # code unchanged, r06-green + this round's full
     # check_oracle re-runs — they lead r9) and the last
     # thirteen r06-head entries (absence_match,
     # image_features, image_features_gif, media_metadata,
@@ -2558,6 +2628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "robots_gate": q_robots_gate,
         "frontier_pipeline": q_frontier_pipeline,
+        "extract_links": q_extract_links,
+        "link_hostgraph": q_link_hostgraph,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2581,10 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_k_per_key": q_first_k_per_key,
         "image_features_jpeg": q_image_features_jpeg,
         "image_features_jpeg_prog": q_image_features_jpeg_prog,
-        "image_features_tiff": q_image_features_tiff,
         "image_neardup": q_image_neardup,
         "c4_line_filter": q_c4_line_filter,
-        "c4_doc_filter": q_c4_doc_filter,
         "ngram_contamination": q_ngram_contamination,
         "warc_ingest": q_warc_ingest,
         "url_filter": q_url_filter,
@@ -2599,6 +2669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniq_limited": q_uniq_limited,
         "count_group": q_count_group,
         "truncate": q_truncate,
+        "image_features_tiff": q_image_features_tiff,
+        "c4_doc_filter": q_c4_doc_filter,
         # -- past the 50-entry gate: r06-green tail (unchanged,
         #    check_oracle re-run this session; lead r9).  The first
         #    three (absence_match, image_features, image_features_gif)
@@ -4425,6 +4497,93 @@ def oracle_sql() -> dict[str, str]:
                              OR regexp_matches(url, '[?&]sessionid=')))
                        AS keep
             FROM h
+        """),
+        # extract_links / link_hostgraph: shared anchor regex through
+        # parallel regexp_extract_all passes (DuckDB needs explicit
+        # 'g' flags on the cleanup regexp_replace; Spark replaces
+        # globally by default), every resolution case, host edges
+        "extract_links": (
+            r"""
+            WITH d AS (
+                SELECT doc_id, """ + _LINKS_URL_SQL + r""" AS url,
+                       """ + _LINKS_HTML_SQL + r""" AS html
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id, url,
+                    regexp_extract_all(html,
+                        '<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([\s\S]*?)</a>',
+                        1) AS hrefs,
+                    regexp_extract_all(html,
+                        '<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([\s\S]*?)</a>',
+                        2) AS texts
+                FROM d
+            ),
+            z AS (
+                SELECT doc_id, url, unnest(hrefs) AS href,
+                       unnest(texts) AS t
+                FROM ex
+            )
+            SELECT doc_id, url, href,
+                trim(regexp_replace(regexp_replace(t,
+                    '<[^>]*>', '', 'g'), '\s+', ' ', 'g')) AS anchor,
+                CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                     THEN href
+                     WHEN starts_with(href, '//')
+                     THEN lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || ':' || href
+                     WHEN starts_with(href, '/')
+                     THEN lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+                        lower(coalesce(regexp_extract(url,
+                            '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), ''))
+                        || href
+                     ELSE NULL END AS resolved
+            FROM z
+        """),
+        "link_hostgraph": (
+            r"""
+            WITH d AS (
+                SELECT doc_id, """ + _LINKS_URL_SQL + r""" AS url,
+                       """ + _LINKS_HTML_SQL + r""" AS html
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id, url,
+                    regexp_extract_all(html,
+                        '<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([\s\S]*?)</a>',
+                        1) AS hrefs
+                FROM d
+            ),
+            z AS (
+                SELECT doc_id, url, unnest(hrefs) AS href FROM ex
+            ),
+            r AS (
+                SELECT url,
+                    CASE WHEN regexp_matches(href,
+                            '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+                         WHEN starts_with(href, '//')
+                         THEN lower(regexp_extract(url,
+                            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || ':'
+                            || href
+                         WHEN starts_with(href, '/')
+                         THEN lower(regexp_extract(url,
+                            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+                            || lower(coalesce(regexp_extract(url,
+                                '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+                                '')) || href
+                         ELSE NULL END AS resolved
+                FROM z
+            )
+            SELECT lower(coalesce(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), ''))
+                       AS src_host,
+                   lower(coalesce(regexp_extract(resolved,
+                       '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), ''))
+                       AS dst_host,
+                   count(*) AS n_links
+            FROM r WHERE resolved IS NOT NULL
+            GROUP BY 1, 2
         """),
         # frontier_pipeline: the ENTIRE composed stage recomputed —
         # normalization replay, full robots parse + gate on the

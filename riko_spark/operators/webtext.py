@@ -463,3 +463,71 @@ def fetch_join_op(df: DataFrame, conf: dict, spark: SparkSession | None = None) 
         df.join(F.broadcast(dim), F.col(url_field) == F.col("__fetch_url"), "left")
         .drop("__fetch_url")
     )
+
+
+#: anchor-tag regex shared verbatim with the extract_links oracle —
+#: double-quoted href only (the planted-corpus and dominant real-page
+#: form; single-quoted/bare hrefs are a documented v1 gap), non-greedy
+#: [\s\S] body so anchors spanning newlines match in both engines'
+#: regex dialects (Java and RE2 agree on this subset)
+LINK_RE = r'<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([\s\S]*?)</a>'
+
+
+@register("extract_links")
+def extract_links_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    field: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor extraction for the link graph / anchor-text corpus:
+    one output row per ``<a href="...">`` tag with the raw href, the
+    tag-stripped whitespace-collapsed anchor text, and the href
+    resolved against the source URL.
+
+    Resolution covers the deterministic cases: absolute
+    (``http(s)://…``) kept; protocol-relative (``//…``) takes the
+    source scheme; root-relative (``/…``) takes ``scheme://host``;
+    anything else (relative paths, ``mailto:``, fragments) resolves
+    to NULL — full RFC 3986 reference resolution needs dot-segment
+    handling this op intentionally omits.
+
+    Row-local (two aligned ``regexp_extract_all`` passes over the
+    same pattern zipped positionally — one regex scan per page at the
+    engine level), shuffle-free; compose with
+    :func:`riko_spark.operators.cleaning.url_normalize_op` and
+    ``host_stats``/``connected_components`` for the host graph.
+    """
+    from riko_spark.operators.cleaning import URL_SPLIT_RE, host_col
+
+    conf = conf or {}
+    field = conf.get("field", field)
+    url_col = conf.get("url_col", url_col)
+    id_col = conf.get("id_col", id_col)
+
+    html = F.coalesce(F.col(field), F.lit(""))
+    hrefs = F.regexp_extract_all(html, F.lit(LINK_RE), F.lit(1))
+    texts = F.regexp_extract_all(html, F.lit(LINK_RE), F.lit(2))
+    pairs = df.select(
+        F.col(id_col), F.col(url_col),
+        F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("t")))
+        .alias("__a"),
+    )
+    href = F.col("__a.href")
+    anchor = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("__a.t"), "<[^>]*>", ""), r"\s+", " "))
+    scheme = F.lower(F.regexp_extract(F.col(url_col), URL_SPLIT_RE, 1))
+    src_host = host_col(F.col(url_col))
+    resolved = (
+        F.when(href.rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(scheme, F.lit("://"), src_host, href))
+    )
+    return pairs.select(
+        id_col, url_col,
+        href.alias("href"),
+        anchor.alias("anchor"),
+        resolved.alias("resolved"),
+    )
