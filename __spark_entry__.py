@@ -1068,6 +1068,50 @@ def q_frontier_pipeline(spark, sf):
         (F.col("allowed") & F.col("unblocked")).alias("crawl"))
 
 
+# planted sitemap corpus: an urlset with entities/whitespace/full
+# fields, a sitemapindex, a malformed-priority + loc-less entry, and
+# an empty host — same expression in Spark and the oracle
+_SITEMAP_XML_SQL = (
+    "CASE WHEN hid = 0 THEN "
+    "'<?xml version=\"1.0\"?><urlset>' || "
+    "'<url><loc>https://h0.ex.com/a?x=1&amp;y=2</loc>"
+    "<lastmod>2025-01-02</lastmod><changefreq>daily</changefreq>"
+    "<priority>0.8</priority></url>' || "
+    "'<url>' || chr(10) || '  <loc>' || chr(10) || "
+    "'    https://h0.ex.com/b' || chr(10) || '  </loc></url>' || "
+    "'</urlset>' "
+    "WHEN hid = 1 THEN "
+    "'<sitemapindex><sitemap><loc>https://h1.ex.com/sm1.xml</loc>"
+    "<lastmod>2025-02-03</lastmod></sitemap>"
+    "<sitemap><loc>https://h1.ex.com/sm2.xml</loc></sitemap>"
+    "</sitemapindex>' "
+    "WHEN hid = 2 THEN "
+    "'<urlset><url><loc>https://h2.ex.com/only</loc>"
+    "<priority>high</priority></url>"
+    "<url><lastmod>2025-03-04</lastmod></url></urlset>' "
+    "ELSE '' END"
+)
+
+
+def q_sitemap_urls(spark, sf):
+    """Sitemap parsing (sitemaps.org protocol, the robots.txt
+    companion): urlset and sitemapindex entries over a planted
+    per-host corpus — entity-unescaped locs, whitespace-trimmed
+    multi-line locs, try_cast priorities (malformed -> NULL, never a
+    throw), loc-less entries dropped, nested index files surfaced as
+    kind='sitemap'.  The oracle replays the shared block/field
+    regexes, the entity replace chain (same order, &amp; last) and
+    the cast in one independent DuckDB plan."""
+    from riko_spark.operators.robots import sitemap_urls_op
+
+    hosts = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("hid")).distinct()
+    sm = hosts.select(
+        F.expr("'h' || CAST(hid AS STRING) || '.ex.com'").alias("host"),
+        F.expr(_SITEMAP_XML_SQL).alias("content"))
+    return sitemap_urls_op(sm)
+
+
 # planted link corpus: every page carries an absolute external link
 # with nested markup in the anchor; even pages add a root-relative
 # link with a newline inside the anchor; %3 adds a protocol-relative
@@ -2576,20 +2620,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the two pipelines composed over the natively-rewritten c4
     # line-gate predicate (corpus_pipeline, crawl_pipeline;
     # c4_line_filter itself and stream_corpus_batch also ride it and
-    # are already under the gate), plus the TWELVE NEW-this-round
+    # are already under the gate), plus the THIRTEEN NEW-this-round
     # entries (span_dedupe, lm_score, stratified_sample,
     # mixture_resample, dsir_select, ngram_contamination_bloom,
     # url_normalize, tfidf_topk, robots_gate, frontier_pipeline,
-    # extract_links, link_hostgraph) —
+    # extract_links, link_hostgraph, sitemap_urls) —
     # then the 7 entries whose last driver-green
     # row is r05 (simplemath, dateformat, datebuilder, subelement,
-    # urlbuilder, urlparse, itembuilder), then 23 of the 44 r06-head
+    # urlbuilder, urlparse, itembuilder), then 22 of the 44 r06-head
     # entries so no driver row ages past 2 rounds.  Past position 50:
     # regex_casematch, union_ragged, filter_or_block, uniq_limited,
-    # count_group, truncate, image_features_tiff and c4_doc_filter
-    # (displaced for the twelve new entries; siblings/compositions
+    # count_group, truncate, image_features_tiff,
+    # image_features_jpeg_prog and c4_doc_filter (displaced for the
+    # thirteen new entries; siblings/compositions
     # `regex`/`union`/`filter`/`uniq`/`count`/`sort_truncate`/
-    # `image_features_jpeg`+`_jpeg_prog`/`corpus_pipeline` (which
+    # `image_features_jpeg`/`corpus_pipeline` (which
     # composes c4_doc_filter directly) keep every family in-gate,
     # code unchanged, r06-green + this round's full
     # check_oracle re-runs — they lead r9) and the last
@@ -2630,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_pipeline": q_frontier_pipeline,
         "extract_links": q_extract_links,
         "link_hostgraph": q_link_hostgraph,
+        "sitemap_urls": q_sitemap_urls,
         # -- last driver-green r05: refresh first --
         "simplemath": q_simplemath,
         "dateformat": q_dateformat,
@@ -2652,7 +2698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_count": q_sliding_count,
         "first_k_per_key": q_first_k_per_key,
         "image_features_jpeg": q_image_features_jpeg,
-        "image_features_jpeg_prog": q_image_features_jpeg_prog,
         "image_neardup": q_image_neardup,
         "c4_line_filter": q_c4_line_filter,
         "ngram_contamination": q_ngram_contamination,
@@ -2670,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_group": q_count_group,
         "truncate": q_truncate,
         "image_features_tiff": q_image_features_tiff,
+        "image_features_jpeg_prog": q_image_features_jpeg_prog,
         "c4_doc_filter": q_c4_doc_filter,
         # -- past the 50-entry gate: r06-green tail (unchanged,
         #    check_oracle re-run this session; lead r9).  The first
@@ -4497,6 +4543,55 @@ def oracle_sql() -> dict[str, str]:
                              OR regexp_matches(url, '[?&]sessionid=')))
                        AS keep
             FROM h
+        """),
+        # sitemap_urls: shared block/field regex replay + the entity
+        # replace chain in the operator's exact order + TRY_CAST
+        "sitemap_urls": (
+            r"""
+            WITH hosts AS (
+                SELECT DISTINCT CAST(doc_id % 4 AS INT) AS hid
+                FROM documents
+            ),
+            sm AS (
+                SELECT 'h' || CAST(hid AS STRING) || '.ex.com' AS host,
+                       """ + _SITEMAP_XML_SQL + r""" AS content
+                FROM hosts
+            ),
+            ub AS (
+                SELECT host, unnest(regexp_extract_all(content,
+                    '<url>([\s\S]*?)</url>', 1)) AS b
+                FROM sm
+            ),
+            sb AS (
+                SELECT host, unnest(regexp_extract_all(content,
+                    '<sitemap>([\s\S]*?)</sitemap>', 1)) AS b
+                FROM sm
+            ),
+            allb AS (
+                SELECT host, 'url' AS kind, b FROM ub
+                UNION ALL
+                SELECT host, 'sitemap' AS kind, b FROM sb
+            ),
+            f AS (
+                SELECT host, kind,
+                    replace(replace(replace(replace(replace(
+                        regexp_extract(b,
+                            '<loc>\s*([\s\S]*?)\s*</loc>', 1),
+                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                        '&apos;', ''''), '&amp;', '&') AS loc,
+                    nullif(regexp_extract(b,
+                        '<lastmod>\s*([\s\S]*?)\s*</lastmod>', 1), '')
+                        AS lastmod,
+                    nullif(regexp_extract(b,
+                        '<changefreq>\s*([\s\S]*?)\s*</changefreq>',
+                        1), '') AS changefreq,
+                    TRY_CAST(nullif(regexp_extract(b,
+                        '<priority>\s*([\s\S]*?)\s*</priority>', 1),
+                        '') AS DOUBLE) AS priority
+                FROM allb
+            )
+            SELECT host, kind, loc, lastmod, changefreq, priority
+            FROM f WHERE loc <> ''
         """),
         # extract_links / link_hostgraph: shared anchor regex through
         # parallel regexp_extract_all passes (DuckDB needs explicit

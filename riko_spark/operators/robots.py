@@ -197,3 +197,76 @@ def robots_gate_op(
             "rule", "path",
         )
     )
+
+
+#: sitemap block/field regexes shared verbatim with the oracle; the
+#: [\s\S] bodies keep Java and RE2 dialects in agreement
+_SM_URL_BLOCK_RE = r"<url>([\s\S]*?)</url>"
+_SM_IDX_BLOCK_RE = r"<sitemap>([\s\S]*?)</sitemap>"
+_SM_FIELD_RES = {
+    "loc": r"<loc>\s*([\s\S]*?)\s*</loc>",
+    "lastmod": r"<lastmod>\s*([\s\S]*?)\s*</lastmod>",
+    "changefreq": r"<changefreq>\s*([\s\S]*?)\s*</changefreq>",
+    "priority": r"<priority>\s*([\s\S]*?)\s*</priority>",
+}
+
+
+def _xml_unescape(c: Column) -> Column:
+    """The five predefined XML entities, &amp; last so freshly
+    produced '&' can't re-combine — matches the oracle's replace
+    chain order exactly."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+@register("sitemap_urls")
+def sitemap_urls_op(
+    df: DataFrame,
+    conf: dict | None = None,
+    host: str = "host",
+    field: str = "content",
+) -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol — the robots.txt
+    companion every crawler's discovery stage reads): one output row
+    per ``<url>`` entry (kind='url') or ``<sitemap>`` index entry
+    (kind='sitemap'), with the entity-unescaped ``loc`` and the raw
+    ``lastmod``/``changefreq`` strings plus ``priority`` as a double
+    (NULL when absent or malformed — try_cast, never a throw under
+    ANSI mode).
+
+    Regexp block extraction (no XML parser: the protocol's canonical
+    shape is regular), row-local and shuffle-free; nested index files
+    surface as kind='sitemap' rows for the caller to fetch and feed
+    back through this op.
+    """
+    conf = conf or {}
+    host = conf.get("host", host)
+    field = conf.get("field", field)
+
+    content = F.coalesce(F.col(field), F.lit(""))
+
+    def entries(block_re: str, kind: str) -> DataFrame:
+        blocks = df.select(
+            F.col(host),
+            F.explode(
+                F.regexp_extract_all(content, F.lit(block_re), F.lit(1))
+            ).alias("__b"),
+        )
+        cols = {
+            name: F.regexp_extract(F.col("__b"), rex, 1)
+            for name, rex in _SM_FIELD_RES.items()
+        }
+        return blocks.select(
+            host,
+            F.lit(kind).alias("kind"),
+            _xml_unescape(cols["loc"]).alias("loc"),
+            F.nullif(cols["lastmod"], F.lit("")).alias("lastmod"),
+            F.nullif(cols["changefreq"], F.lit("")).alias("changefreq"),
+            F.nullif(cols["priority"], F.lit(""))
+            .try_cast("double").alias("priority"),
+        ).where(F.col("loc") != "")
+
+    return entries(_SM_URL_BLOCK_RE, "url").unionByName(
+        entries(_SM_IDX_BLOCK_RE, "sitemap"))

@@ -125,3 +125,35 @@ def test_gate_requires_rules(spark):
                                  ["doc_id", "url"])
     with pytest.raises(ValueError):
         robots_gate_op(urls)
+
+
+def test_sitemap_urls_goldens(spark):
+    from riko_spark.operators.robots import sitemap_urls_op
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        '<url><loc>https://s.com/a?x=1&amp;y=&lt;2&gt;</loc>'
+        '<lastmod>2025-01-02</lastmod><changefreq>daily</changefreq>'
+        '<priority>0.8</priority></url>'
+        '<url>\n  <loc>\n    https://s.com/b\n  </loc></url>'
+        '<url><priority>0.5</priority></url>'      # loc-less: dropped
+        '<url><loc>https://s.com/c</loc>'
+        '<priority>high</priority></url>'          # malformed priority
+        '</urlset>'
+    )
+    idx = ('<sitemapindex><sitemap><loc>https://s.com/sm1.xml</loc>'
+           '<lastmod>2025-02-03</lastmod></sitemap></sitemapindex>')
+    df = spark.createDataFrame(
+        [("s.com", xml), ("i.com", idx), ("e.com", None)],
+        ["host", "content"])
+    rows = {(r["host"], r["kind"], r["loc"]):
+            (r["lastmod"], r["changefreq"], r["priority"])
+            for r in sitemap_urls_op(df).collect()}
+    assert rows == {
+        ("s.com", "url", "https://s.com/a?x=1&y=<2>"):
+            ("2025-01-02", "daily", 0.8),
+        ("s.com", "url", "https://s.com/b"): (None, None, None),
+        ("s.com", "url", "https://s.com/c"): (None, None, None),
+        ("i.com", "sitemap", "https://s.com/sm1.xml"):
+            ("2025-02-03", None, None),
+    }
