@@ -98,7 +98,10 @@ def robots_rules_op(
     rules = grouped.where(~is_ua & (F.col("v") != "")).select(
         host, "grp", F.col("k").alias("rule"),
         F.col("v").alias("path"), "pos")
-    return rules.join(agents, [host, "grp"]).select(
+    # agents is a handful of rows per host — broadcast so the
+    # group-association join never shuffles the parse output (the
+    # plan otherwise runs this SMJ once per downstream consumer)
+    return rules.join(F.broadcast(agents), [host, "grp"]).select(
         host, "agent", "rule", "path", "pos")
 
 

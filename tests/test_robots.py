@@ -157,3 +157,20 @@ def test_sitemap_urls_goldens(spark):
         ("i.com", "sitemap", "https://s.com/sm1.xml"):
             ("2025-02-03", None, None),
     }
+
+
+def test_gate_plan_shape(parsed, spark):
+    # scale contract: both the agent-selection probe and the rules
+    # table reach the URLs as broadcasts; the only exchange partitions
+    # by the URL id for the winner window
+    urls = spark.createDataFrame(
+        [(i, f"https://a.com/p{i}") for i in range(10)],
+        ["doc_id", "url"])
+    plan = robots_gate_op(urls, rules=parsed, agent="mybot") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the rules x urls match itself must never be a shuffle join —
+    # the only non-broadcast join is the winner join-back on the id
+    # (whose exchange the window already created); so at most one
+    # sort-merge join in the whole plan
+    assert plan.count("SortMergeJoin") <= 1

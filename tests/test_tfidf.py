@@ -71,3 +71,13 @@ def test_broadcast_off_same_result(spark):
     b = sorted(map(tuple, tfidf_topk_op(
         df.repartition(4), k=3, broadcast=False).collect()))
     assert a == b
+
+
+def test_plan_shape(spark):
+    # scale contract: idf probes via broadcast join; top-k is a
+    # window (rank filter), not a global sort+limit
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    plan = tfidf_topk_op(df, k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
