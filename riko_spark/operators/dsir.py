@@ -139,13 +139,37 @@ def dsir_fit(
     raw_df: DataFrame,
     field: str = "text",
     buckets: int = 10_000,
+    raw_sample_frac: float | None = None,
+    id_col: str = "doc_id",
+    seed: str = "dsirq",
 ) -> DsirTables:
     """Fit the per-bucket quantized importance log-ratios.
 
     The two ``.collect()`` calls are 1-row totals (bounded); the
     ratio table is ≤ ``buckets`` rows (buckets observed on either
     side; unobserved buckets fold into ``default_milli``).
+
+    ``raw_sample_frac`` is the 100 TB lever: ``q`` only needs enough
+    mass per bucket, so fit it on a fixed-rate slice instead of
+    scanning the whole corpus (the paper fits its raw distribution
+    on a subsample too).  The slice is the DETERMINISTIC md5
+    threshold over ``id_col`` (the sampling.py convention) — task
+    retries, re-runs and independent auditors reproduce the same
+    fit, unlike ``DataFrame.sample``.  Laplace smoothing keeps the
+    ratios well-defined for buckets the slice misses.
     """
+    if raw_sample_frac is not None:
+        from riko_spark.operators.sampling import (
+            frac_threshold_hex,
+            rank_key,
+        )
+
+        if not 0.0 < raw_sample_frac <= 1.0:
+            raise ValueError("dsir_fit: raw_sample_frac must be in (0, 1]")
+        if raw_sample_frac < 1.0:  # 1.0 = whole corpus, no filter
+            raw_df = raw_df.where(
+                F.substring(rank_key(F.col(id_col), seed), 1, 12)
+                < F.lit(frac_threshold_hex(raw_sample_frac)))
     tc = _bucket_counts(target_df, field, buckets)
     rc = _bucket_counts(raw_df, field, buckets)
     t_total = int(tc.agg(F.sum("c")).collect()[0][0] or 0)

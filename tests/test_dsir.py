@@ -179,3 +179,31 @@ def test_requires_exactly_one_mode(fitted):
         dsir_select_op(raw, tables=tables)
     with pytest.raises(ValueError):
         dsir_select_op(raw, tables=tables, k=3, threshold_milli=0)
+
+
+def test_raw_sample_frac_fit(spark):
+    # deterministic md5-threshold slice of the raw side: matches a
+    # pure-Python refit on the same slice, and frac=1.0 == no filter
+    import hashlib
+
+    from riko_spark.operators.dsir import dsir_fit
+    from riko_spark.operators.sampling import frac_threshold_hex
+
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    thr = frac_threshold_hex(0.5)
+    keep = [d for d, _ in RAW if hashlib.md5(
+        f"dsirq:{d}".encode()).hexdigest()[:12] < thr]
+
+    t = dsir_fit(target, raw, buckets=B, raw_sample_frac=0.5)
+    # raw_total is the feature-occurrence count of the kept slice
+    exp_rt = sum(len(_feats(dict(RAW)[d])) for d in keep)
+    assert t.raw_total == exp_rt
+    assert 0 < len(keep) < len(RAW)  # the slice is a proper subset
+
+    full = dsir_fit(target, raw, buckets=B, raw_sample_frac=1.0)
+    ref = dsir_fit(target, raw, buckets=B)
+    assert full.raw_total == ref.raw_total
+
+    with pytest.raises(ValueError):
+        dsir_fit(target, raw, buckets=B, raw_sample_frac=0.0)
