@@ -39,6 +39,40 @@ def register(name: str, kind: str = "processor", sub_kind: str = "transformer"):
     return deco
 
 
+def fanout_small_scan(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    A single-row-group parquet file is unsplittable, so every
+    projection downstream of its scan runs in ONE task regardless of
+    split config — the sandbox sf tables are exactly this shape, and
+    a real crawl shard can be too.  When the input's planned
+    partition count is below ``min_fraction`` x the cluster's default
+    parallelism, round-robin repartition to default parallelism so
+    the expensive per-row work (tokenize/shingle/hash/normalize) that
+    CPU-heavy operators hang below the scan is spread across every
+    core.  On healthy multi-split inputs (the 100 TB case) this is a
+    no-op — no shuffle is added.  Round-robin repartition is
+    deterministic under retries (sort-before-repartition is on by
+    default, SPARK-23207) and none of the operators that call this
+    depend on row-to-partition placement for their results.
+
+    Streaming frames and frames whose partition count cannot be
+    planned pass through untouched.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — unplannable (e.g. no scan yet)
+        return df
+    if nparts < max(1.0, target * min_fraction):
+        return df.repartition(target)
+    return df
+
+
 def get_operator(name: str) -> OpFn:
     try:
         return _REGISTRY[name]["fn"]

@@ -28,8 +28,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from riko_spark.operators import register
-from riko_spark.operators.textstats import word_shingles, words_col
+from riko_spark.operators import fanout_small_scan, register
+from riko_spark.operators.textstats import (
+    word_shingle_hashes,
+    word_shingles,
+    words_col,
+)
 
 # line-level gates (C4): keep lines that end in terminal punctuation
 # and carry at least MIN_LINE_WORDS words.
@@ -84,6 +88,13 @@ def c4_line_filter_op(
     conf = conf or {}
     min_words = int(conf.get("min_words", min_words))
     require_terminal = bool(conf.get("require_terminal", require_terminal))
+    # the gate's per-line higher-order filters are the expensive part
+    # of every composition that embeds this op, and they evaluate in
+    # the stage that computes THIS projection — so the unsplittable-
+    # input fan-out must happen here, below the gate expressions, not
+    # in the downstream aggregator (a repartition above a projection
+    # does not push down past it)
+    df = fanout_small_scan(df)
     lines = lines_col(F.col(field))
 
     def keep(line: Column) -> Column:
@@ -132,6 +143,7 @@ def c4_doc_filter_op(
     cross-engine comparison.
     """
     conf = conf or {}
+    df = fanout_small_scan(df)  # same rationale as c4_line_filter_op
     text = F.col(field)
     low = F.lower(text)
     toks = words_col(text)
@@ -185,6 +197,50 @@ def c4_doc_filter_op(
             "max_ellipsis_line_frac", MAX_ELLIPSIS_LINE_FRAC))))
     )
     return out.withColumn(assign, keep)
+
+
+def _frequent_drops(occurrences: DataFrame, id_col: str,
+                    min_docs: int) -> tuple[DataFrame, DataFrame]:
+    """(frequent hash set, per-doc drop-position map) from an
+    ``(id, __pos, __h)`` occurrence frame — the shared two-consumer
+    core of :func:`line_dedupe_op` and :func:`span_dedupe_op`.
+
+    Two deliberate shape decisions, both measured this round:
+
+    * The two consumers RECOMPUTE the occurrence frame rather than
+      sharing one ``repartition(__h)`` exchange.  The shared-exchange
+      variant (guide §2.4) was tried and is SLOWER here (49.7 s vs
+      37.2 s on the sf1.0 span bench): every occurrence row then
+      crosses the wire once and is fetched TWICE (document-frequency
+      branch + hits branch read the same shuffle output), while in
+      this shape the hits branch stays inside the scan stage as a
+      broadcast probe and only the distinct (h, id) partial-aggregate
+      output is exchanged at all.
+    * The REBALANCE hint after the ``>= min_docs`` filter inserts an
+      AQE stage boundary whose measured output is the TRUE (post-
+      filter) frequent-set size, so AQE converts the hits join to a
+      broadcast from facts, not from the pre-filter estimate (a
+      same-key .repartition() would be removed by
+      CollapseRepartition).  Cost when the side really is big: one
+      extra hash-only pass, small next to the corpus exchange it
+      saves when broadcast applies; a pathologically huge frequent
+      set degrades to SMJ, as before.  The drops side ships
+      ``(id, int positions)`` pairs ∝ boilerplate hits only.
+    """
+    frequent = (
+        occurrences.select("__h", id_col).distinct()
+        .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= F.lit(min_docs))
+        .select("__h")
+        .hint("rebalance")
+    )
+    drops = (
+        occurrences.join(frequent, on="__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__drop"))
+        .hint("rebalance")
+    )
+    return frequent, drops
 
 
 @register("line_dedupe", kind="operator", sub_kind="aggregator")
@@ -243,35 +299,13 @@ def line_dedupe_op(
     """
     conf = conf or {}
     min_docs = int(conf.get("min_docs", min_docs))
+    df = fanout_small_scan(df)
     src = F.coalesce(F.col(field), F.lit(""))
     occurrences = df.select(
         F.col(id_col),
         F.posexplode(lines_col(src)).alias("__pos", "__line"),
     ).select(id_col, "__pos", F.xxhash64("__line").alias("__h"))
-    # The REBALANCE hint after each agg+filter inserts an AQE stage
-    # boundary whose measured output is the TRUE (post-filter) side
-    # size.  Without it AQE sizes the broadcast decision from the
-    # nearest exchange BELOW the aggregation — all distinct line
-    # hashes (respectively all partial position sets) — which blocks
-    # the SMJ->broadcast conversion even for a 2-row frequent set (a
-    # same-key .repartition() does not work: CollapseRepartition
-    # removes it as redundant).  Cost when the side really is big:
-    # one extra hash-only (respectively (id, int-positions)) pass,
-    # small next to the corpus exchange it saves when broadcast
-    # applies.
-    frequent = (
-        occurrences.select("__h", id_col).distinct()
-        .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= F.lit(min_docs))
-        .select("__h")
-        .hint("rebalance")
-    )
-    drops = (
-        occurrences.join(frequent, on="__h")
-        .groupBy(id_col)
-        .agg(F.collect_set("__pos").alias("__drop"))
-        .hint("rebalance")
-    )
+    frequent, drops = _frequent_drops(occurrences, id_col, min_docs)
     arr = lines_col(src)
     drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
     kept = F.filter(arr, lambda x, i: ~F.array_contains(drop_arr, i))
@@ -345,25 +379,22 @@ def span_dedupe_op(
     conf = conf or {}
     k = int(conf.get("k", k))
     min_docs = int(conf.get("min_docs", min_docs))
+    df = fanout_small_scan(df)
     src = F.coalesce(F.col(field), F.lit(""))
     toks = F.filter(F.split(src, r"\s+"), lambda x: x != F.lit(""))
+    # window keys are hashed DIRECTLY with the zip_with hash-combine
+    # chain (textstats.word_shingle_hashes): no k-gram string is ever
+    # materialized — equal windows still collide exactly like
+    # xxhash64(joined string), and the output (which depends only on
+    # window EQUALITY, recomputed from text by the oracle) is
+    # unchanged, but the per-window interpreted concat allocations
+    # disappear from both occurrence passes (guide §1.2 "per-task
+    # work"; measured 49.8 -> 37.2 s on the sf1.0 bench corpus)
     occurrences = df.select(
         F.col(id_col),
-        F.posexplode(word_shingles(toks, k)).alias("__pos", "__sh"),
-    ).select(id_col, "__pos", F.xxhash64("__sh").alias("__h"))
-    frequent = (
-        occurrences.select("__h", id_col).distinct()
-        .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= F.lit(min_docs))
-        .select("__h")
-        .hint("rebalance")
+        F.posexplode(word_shingle_hashes(toks, k)).alias("__pos", "__h"),
     )
-    drops = (
-        occurrences.join(frequent, on="__h")
-        .groupBy(id_col)
-        .agg(F.collect_set("__pos").alias("__drop"))
-        .hint("rebalance")
-    )
+    frequent, drops = _frequent_drops(occurrences, id_col, min_docs)
     drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
 
     # -- row-local rebuild: merge sorted [p, p+k) intervals linearly,

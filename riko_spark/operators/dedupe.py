@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.types import LongType
 
-from riko_spark.operators import register
+from riko_spark.operators import fanout_small_scan, register
 from riko_spark.operators.textstats import word_shingles, words_col
 
 
@@ -256,6 +256,7 @@ def exact_dedupe_op(
     Catalyst plans with map-side partial aggregation; no row_number
     window (whose per-key sort is wasted work when only min survives).
     """
+    df = fanout_small_scan(df)
     keyed = df.withColumn("__h", F.md5(_norm(F.col(field))))
     keepers = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return (
@@ -325,6 +326,10 @@ def minhash_lsh_op(
     shingle_size = int(conf.get("shingle_size", shingle_size))
     max_bucket_size = conf.get("max_bucket_size", max_bucket_size)
     rows = num_hashes // bands
+    # one fan-out for every consumer below (signatures AND the
+    # jaccard shingle sets): identical repartition subtrees share one
+    # exchange via ReusedExchange
+    df = fanout_small_scan(df)
     sigs = minhash_signatures(df, field, num_hashes, shingle_size, id_col)
     band_structs = F.array(*[
         F.struct(

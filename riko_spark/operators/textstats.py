@@ -48,6 +48,30 @@ def word_shingles(toks: Column, k: int) -> Column:
     return sh
 
 
+def word_shingle_hashes(toks: Column, k: int) -> Column:
+    """Array of 64-bit hashes of the word k-grams of a token-array
+    column (empty when there are fewer than k tokens) — the
+    hash-domain twin of :func:`word_shingles` for consumers that only
+    ever HASH the shingle text (span_dedupe's window keys).
+
+    Built as a chain of ``zip_with`` hash-combines over k offset
+    slices: ``h = xxhash64(tok_i, xxhash64(tok_{i+1}, ...))``.  Equal
+    windows hash equal and unequal windows collide with the usual
+    2^-64 probability, exactly like hashing the joined string — but
+    the chain allocates NO intermediate shingle strings (the string
+    form builds k-1 progressively longer concat results per window,
+    all interpreted inside the higher-order function; measured 1.9x
+    on the span_dedupe window stage).  NOT for consumers whose hash
+    VALUES are pinned by an oracle (minhash signatures) — those must
+    keep hashing the exact joined string."""
+    m = F.greatest(F.size(toks) - k + 1, F.lit(0))
+    slices = [F.slice(toks, j + 1, m) for j in range(k)]
+    sh = F.transform(slices[-1], lambda x: F.xxhash64(x))
+    for s in reversed(slices[:-1]):
+        sh = F.zip_with(s, sh, lambda x, y: F.xxhash64(x, y))
+    return sh
+
+
 def _marker_hits(tokens: Column, markers: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda x: x.isin(markers)))
 
