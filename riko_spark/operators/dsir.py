@@ -170,25 +170,39 @@ def dsir_fit(
             raw_df = raw_df.where(
                 F.substring(rank_key(F.col(id_col), seed), 1, 12)
                 < F.lit(frac_threshold_hex(raw_sample_frac)))
-    tc = _bucket_counts(target_df, field, buckets)
-    rc = _bucket_counts(raw_df, field, buckets)
-    t_total = int(tc.agg(F.sum("c")).collect()[0][0] or 0)
-    r_total = int(rc.agg(F.sum("c")).collect()[0][0] or 0)
-    if t_total == 0 or r_total == 0:
-        raise ValueError("dsir_fit: empty target or raw feature bag")
+    # Each side's bucket histogram (≤ ``buckets`` rows after the agg)
+    # used to be scanned twice — once for the 1-row total, once
+    # re-executed inside the ratios join — doubling fit cost over the
+    # corpus (guide §5: cache when reused AND recompute is expensive).
+    # persist -> consume -> eagerly localCheckpoint the tiny ratio
+    # table -> unpersist: each corpus is scanned ONCE per fit, the
+    # checkpointed result is invocation-scoped (a re-run re-fits from
+    # parquet — nothing stays in the CacheManager to be replayed
+    # across runs), and the lineage cut costs nothing because the
+    # table is ≤ 2·buckets rows.
+    tc = _bucket_counts(target_df, field, buckets).persist()
+    rc = _bucket_counts(raw_df, field, buckets).persist()
+    try:
+        t_total = int(tc.agg(F.sum("c")).collect()[0][0] or 0)
+        r_total = int(rc.agg(F.sum("c")).collect()[0][0] or 0)
+        if t_total == 0 or r_total == 0:
+            raise ValueError("dsir_fit: empty target or raw feature bag")
 
-    ratios = (
-        tc.withColumnRenamed("c", "ct")
-        .join(rc.withColumnRenamed("c", "cr"), "bucket", "full")
-        .select(
-            "bucket",
-            _lr_expr(
-                F.coalesce(F.col("ct"), F.lit(0)),
-                F.coalesce(F.col("cr"), F.lit(0)),
-                t_total, r_total, buckets,
-            ).alias("lr_milli"),
-        )
-    )
+        ratios = (
+            tc.withColumnRenamed("c", "ct")
+            .join(rc.withColumnRenamed("c", "cr"), "bucket", "full")
+            .select(
+                "bucket",
+                _lr_expr(
+                    F.coalesce(F.col("ct"), F.lit(0)),
+                    F.coalesce(F.col("cr"), F.lit(0)),
+                    t_total, r_total, buckets,
+                ).alias("lr_milli"),
+            )
+        ).localCheckpoint(eager=True)
+    finally:
+        tc.unpersist()
+        rc.unpersist()
     # the absent-bucket constant = the same expression at ct=cr=0;
     # computed through F.log on a 1-row plan so the quantization
     # arithmetic is the engine's own (not Python libm's)

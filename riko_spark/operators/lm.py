@@ -62,21 +62,34 @@ def _milli(x: Column) -> Column:
     return F.floor(x * F.lit(1000.0) + F.lit(0.5)).cast("long")
 
 
-def bigram_structs(toks: Column) -> Column:
-    """Array of ``struct<bg, w1, w2>`` over a token array: the
-    space-joined bigram string (the single join key) plus its two
-    words.  Built as one ``zip_with`` over two offset slices — no
-    per-gram array materialization (see textstats.word_shingles for
-    the measured rationale)."""
+def word_pair_structs(toks: Column) -> Column:
+    """Array of ``struct<w1, w2>`` bigram pairs over a token array,
+    built as one ``zip_with`` over two offset slices — no per-gram
+    array or string materialization (see textstats.word_shingles for
+    the measured rationale).  Tokens are whitespace-free (words_col
+    splits on ``\\s+``), so pair equality is exactly space-joined-
+    bigram equality — train and score both key on the pair and the
+    corpus-side scan never allocates a concat string per bigram."""
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     a = F.slice(toks, 1, m)
     b = F.slice(toks, 2, m)
     return F.zip_with(
         a, b,
-        lambda x, y: F.struct(
-            F.concat(x, F.lit(" "), y).alias("bg"),
-            x.alias("w1"),
-            y.alias("w2"),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+
+
+def bigram_structs(toks: Column) -> Column:
+    """Array of ``struct<bg, w1, w2>`` over a token array (the
+    space-joined bigram string plus its two words) — kept for callers
+    that need the joined string; the LM paths use
+    :func:`word_pair_structs` and never build ``bg`` per corpus row."""
+    return F.transform(
+        word_pair_structs(toks),
+        lambda p: F.struct(
+            F.concat(p["w1"], F.lit(" "), p["w2"]).alias("bg"),
+            p["w1"].alias("w1"),
+            p["w2"].alias("w2"),
         ),
     )
 
@@ -84,7 +97,8 @@ def bigram_structs(toks: Column) -> Column:
 class LmTables(NamedTuple):
     """A trained, quantized bigram LM.
 
-    bigrams:  (bg string, lp_milli long)  — ln(c2/c1(w1)) milli-nats
+    bigrams:  (bg string, w1 string, w2 string, lp_milli long)
+              — ln(c2/c1(w1)) milli-nats; scored by (w1, w2) pair
     unigrams: (w string, bo_milli long)   — ln(0.4) + ln(c1/T)
     oov_milli: int                        — ln(0.4) + ln(1/T)
     total_tokens: int                     — T (reference token count)
@@ -112,32 +126,53 @@ def ngram_lm_train(
     toks = words_col(F.coalesce(F.col(field), F.lit("")))
     ref = ref_df.select(toks.alias("toks"))
 
+    # The unigram table used to be re-executed from the reference
+    # corpus THREE times per scoring action (the total, the broadcast
+    # unigram probe, and the bigram join's c1 side), and the bigram
+    # table once more at every broadcast build.  persist the unigram
+    # counts, materialize the two quantized LM tables ONCE with an
+    # eager localCheckpoint (both are broadcast-sized by the module
+    # contract), then unpersist — the reference slice is now scanned
+    # exactly twice per fit (unigram pass + bigram pass) and never
+    # again at score time, and nothing stays in the CacheManager to
+    # be replayed across independent train calls (guide §5).
     uni = (
         ref.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
-    )
-    total = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)
-    if total == 0:
-        raise ValueError("ngram_lm_train: reference corpus has no tokens")
+    ).persist()
+    try:
+        total = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)
+        if total == 0:
+            raise ValueError("ngram_lm_train: reference corpus has no tokens")
 
-    log_backoff = F.log(F.lit(BACKOFF))
-    unigrams = uni.select(
-        "w",
-        _milli(log_backoff + F.log(F.col("c1").cast("double") / F.lit(float(total)))).alias("bo_milli"),
-    )
+        log_backoff = F.log(F.lit(BACKOFF))
+        unigrams = uni.select(
+            "w",
+            _milli(log_backoff + F.log(F.col("c1").cast("double") / F.lit(float(total)))).alias("bo_milli"),
+        ).localCheckpoint(eager=True)
 
-    bi = (
-        ref.select(F.explode(bigram_structs(F.col("toks"))).alias("b"))
-        .groupBy(F.col("b.bg").alias("bg"), F.col("b.w1").alias("w1"))
-        .agg(F.count("*").alias("c2"))
-    )
-    if min_count > 1:
-        bi = bi.where(F.col("c2") >= min_count)
-    bigrams = (
-        bi.join(uni, bi["w1"] == uni["w"])
-        .select("bg", _milli(F.log(F.col("c2").cast("double") / F.col("c1"))).alias("lp_milli"))
-    )
+        # grouped on the (w1, w2) PAIR, not the joined "w1 w2" string:
+        # tokens are whitespace-free, so pair equality IS bigram
+        # equality, and the score path can then probe on the pair —
+        # the corpus side never allocates a concat string per bigram.
+        # ``bg`` is still materialized here (table is reference-sized)
+        # for callers and tests that read it.
+        bi = (
+            ref.select(F.explode(word_pair_structs(F.col("toks"))).alias("b"))
+            .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .agg(F.count("*").alias("c2"))
+        )
+        if min_count > 1:
+            bi = bi.where(F.col("c2") >= min_count)
+        bigrams = (
+            bi.join(uni, bi["w1"] == uni["w"])
+            .select(
+                F.concat("w1", F.lit(" "), "w2").alias("bg"), "w1", "w2",
+                _milli(F.log(F.col("c2").cast("double") / F.col("c1"))).alias("lp_milli"))
+        ).localCheckpoint(eager=True)
+    finally:
+        uni.unpersist()
 
     oov_milli = math.floor(
         (math.log(BACKOFF) + math.log(1.0 / total)) * 1000.0 + 0.5
@@ -200,21 +235,24 @@ def ngram_lm_score_op(
     toks = words_col(F.coalesce(F.col(field), F.lit("")))
     bgs = (
         df.select(F.col(id_col), toks.alias("toks"))
-        .select(id_col, F.explode_outer(bigram_structs(F.col("toks"))).alias("b"))
-        .select(id_col, F.col("b.bg").alias("bg"), F.col("b.w2").alias("w2"))
+        .select(id_col,
+                F.explode_outer(word_pair_structs(F.col("toks"))).alias("b"))
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
+    # probe on the (w1, w2) pair — bigram-string equality without ever
+    # building the string on the corpus side (word_pair_structs)
     joined = (
-        bgs.join(bi_lm, "bg", "left")
+        bgs.join(bi_lm.select("w1", "w2", "lp_milli"), ["w1", "w2"], "left")
         .join(uni_lm, bgs["w2"] == F.col("__bo_w"), "left")
     )
     is_hit = F.col("lp_milli").isNotNull()
     is_backoff = ~is_hit & F.col("bo_milli").isNotNull()
-    is_oov = F.col("bg").isNotNull() & ~is_hit & F.col("bo_milli").isNull()
-    score = F.when(F.col("bg").isNull(), F.lit(0)).otherwise(
+    is_oov = F.col("w1").isNotNull() & ~is_hit & F.col("bo_milli").isNull()
+    score = F.when(F.col("w1").isNull(), F.lit(0)).otherwise(
         F.coalesce(F.col("lp_milli"), F.col("bo_milli"), F.lit(lm.oov_milli))
     )
     agg = joined.groupBy(id_col).agg(
-        F.count("bg").alias("n_scored"),
+        F.count("w1").alias("n_scored"),
         F.sum(is_hit.cast("long")).alias("n_hits"),
         F.sum(is_backoff.cast("long")).alias("n_backoff"),
         F.sum(is_oov.cast("long")).alias("n_oov"),
