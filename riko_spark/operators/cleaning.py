@@ -516,6 +516,14 @@ def ngram_contamination_op(
         F.col(bench_id_col),
         F.explode(ngram_hashes(F.col(field))).alias("__g"),
     ).distinct()
+    if bloom_bits is not None:
+        # bloom mode is already eager (the optimal-hash-count probe
+        # runs a count job at build time), so materialize the
+        # benchmark gram derivation ONCE: the count, the Bloom bitset
+        # aggregation and the exact verify join all read the
+        # checkpointed table instead of re-running the tokenize/
+        # explode/distinct lineage three times (ADVICE r8)
+        bench_grams = bench_grams.localCheckpoint(eager=True)
     doc_grams = df.select(
         F.col(id_col),
         F.explode(ngram_hashes(F.col(field))).alias("__g"),

@@ -255,13 +255,18 @@ def exact_dedupe_op(
     Implemented as groupBy(hash) → min(id) → semi-join back, which
     Catalyst plans with map-side partial aggregation; no row_number
     window (whose per-key sort is wasted work when only min survives).
+    The semi-join probes on ``id_col`` ALONE: a row's id can only be
+    the minimum of its own hash group, so the id set identifies the
+    keepers and the probe side never recomputes the normalize+md5
+    pass (ids are assumed unique row keys, which every caller in the
+    engine guarantees — "keep the lowest-ID row" is only well-defined
+    then anyway).  Only the (hash, id) partial-aggregate output
+    crosses the exchange; the full-row side is never shuffled.
     """
     df = fanout_small_scan(df)
     keyed = df.withColumn("__h", F.md5(_norm(F.col(field))))
     keepers = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
-    return (
-        keyed.join(keepers, [ "__h", id_col], "left_semi").drop("__h")
-    )
+    return df.join(keepers.select(id_col), [id_col], "left_semi")
 
 
 def _shingles_col(field: str, shingle_size: int) -> Column:
@@ -330,6 +335,14 @@ def minhash_lsh_op(
     # jaccard shingle sets): identical repartition subtrees share one
     # exchange via ReusedExchange
     df = fanout_small_scan(df)
+    # the signature table feeds four subtrees (both self-join sides
+    # and both of their bucket-histogram broadcasts); the subtrees are
+    # plan-identical, so AQE's exchange/stage reuse deduplicates the
+    # shingle explode + k-min aggregation at runtime.  (An explicit
+    # materialization point was evaluated and rejected: persist() is
+    # plan-keyed and would replay across independent runs, and even a
+    # lazy localCheckpoint executes AQE query stages at plan-build
+    # time — the operator must stay job-free until an action.)
     sigs = minhash_signatures(df, field, num_hashes, shingle_size, id_col)
     band_structs = F.array(*[
         F.struct(
@@ -361,7 +374,20 @@ def minhash_lsh_op(
     )
     thr = conf.get("jaccard_threshold", jaccard_threshold)
     if thr is not None:
-        verified = ngram_jaccard_pairs(df, pairs, field=field, id_col=id_col, n=shingle_size)
+        # verify against shingle sets built ONLY for documents that
+        # appear in some candidate pair: the corpus is semi-joined on
+        # the candidate ids BEFORE the shingle projection — the
+        # full-corpus shingle-set build that used to run twice (once
+        # per join side) now touches candidate docs only, ∝ near-
+        # duplicate volume rather than corpus volume (the candidate
+        # subtree appears three times, but its stages are plan-
+        # identical and AQE stage reuse computes them once)
+        ids = pairs.select(
+            F.explode(F.array("left_id", "right_id")).alias(id_col)
+        ).distinct()
+        cand_docs = df.join(ids, [id_col], "left_semi")
+        verified = ngram_jaccard_pairs(cand_docs, pairs, field=field,
+                                       id_col=id_col, n=shingle_size)
         return verified.filter(F.col("jaccard") >= float(thr))
     return pairs
 

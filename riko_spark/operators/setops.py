@@ -108,8 +108,27 @@ def uniq_op(
             raise ValueError("uniq(limit=N) requires order_by (event-order spine)")
         return _uniq_bounded(df, key, int(limit), order_by)
     if order_by:
-        from riko_spark.operators.ordering import asc_cols
+        from riko_spark.operators.ordering import asc_cols, parse_spec
 
+        specs = [parse_spec(c) for c in order_by]
+        if not any(desc for _, desc in specs):
+            # all-ascending spine (the common case): first-seen is a
+            # min_by over the spine tuple — a hash aggregation with
+            # map-side partial combine, so the exchange ships at most
+            # one row per key per input partition and nothing is
+            # sorted.  The row_number window below shuffles every row
+            # and sorts each key group (WindowGroupLimit prunes some,
+            # but both sorts remain).  Struct ordering compares fields
+            # left-to-right with null-first semantics — exactly the
+            # window's ASC NULLS FIRST — so the kept row is identical.
+            spine = F.struct(*[F.col(n) for n, _ in specs])
+            row = F.struct(*[F.col(c) for c in df.columns])
+            return (
+                df.groupBy(F.col(key).alias("__k"))
+                .agg(F.min_by(row, spine).alias("__r"))
+                .select(*[F.col("__r").getField(c).alias(c)
+                          for c in df.columns])
+            )
         w = Window.partitionBy(key).orderBy(*asc_cols(order_by))
         return (
             df.withColumn("__rn", F.row_number().over(w))

@@ -292,6 +292,59 @@ def _sequence_match_batch(
         .orderBy(F.col("__comp").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    if all(m == 1 for m in times[1:]):
+        # Unquantified chains resolve with STACKED WINDOW PASSES over
+        # the same (key, comp DESC) sort — zero self-joins.  The crux
+        # is monotonicity: "earliest X strictly after r" is
+        # nondecreasing in r, so the greedy chain value at the FIRST
+        # step-j row after r equals the min over ALL later step-j rows
+        # (nulls only appear at the tail, where min degrades to null —
+        # exactly a broken chain).  m[j][d] = the d-times-nested min
+        # (innermost over steps[j-1], outermost toward steps[1]);
+        # z_j = m[j][j-1] is the step-j composite of the chain anchored
+        # strictly after the row.  Each depth is one Window node over
+        # the already-established sort (consecutive same-spec Window
+        # operators add no exchange and no re-sort), replacing the
+        # previous (N-2) keyed self-joins — each of which re-shuffled
+        # and re-sorted the window output (2 exchanges + 3 sorts + an
+        # SMJ at N=3; measured 1.85 -> 1.2 s on the sf1.0 events
+        # bench, identical matches).
+        ev = ev.withColumns({
+            f"__m_{j}_0": F.min(
+                F.when(F.col(type_col).isin(steps[j]), F.col("__comp"))
+            ).over(w_later)
+            for j in range(1, n)
+        })
+        for d in range(1, n - 1):
+            ev = ev.withColumns({
+                f"__m_{j}_{d}": F.min(
+                    F.when(F.col(type_col).isin(steps[j - d]),
+                           F.col(f"__m_{j}_{d - 1}"))
+                ).over(w_later)
+                for j in range(d + 1, n)
+            })
+        z = [None] + [f"__m_{j}_{j - 1}" for j in range(1, n)]
+        cur = ev.filter(F.col(type_col).isin(steps[0])).filter(
+            F.col(z[n - 1]).isNotNull()
+        ).select(
+            F.col(key),
+            F.col(event_id_col).alias("step0_id"),
+            F.col(ts_col).cast("timestamp").alias("step0_ts"),
+            *[F.col(z[j]) for j in range(1, n)],
+        )
+        for i in range(1, n):
+            cur = cur.withColumns({
+                f"step{i}_ts": F.timestamp_micros(
+                    F.substring(z[i], 1, 20).cast("bigint")
+                ),
+                f"step{i}_id": F.substring(z[i], 21, 19).cast("bigint"),
+            })
+        cur = cur.drop(*[z[j] for j in range(1, n)])
+        last = f"step{n-1}_ts"
+        return cur.filter(
+            F.col(last) <= F.col("step0_ts")
+            + F.expr(f"INTERVAL {within_ms} MILLISECONDS")
+        )
     nxt_cols = {
         f"__nxt{i}": F.min(
             F.when(F.col(type_col).isin(steps[i]), F.col("__comp"))
