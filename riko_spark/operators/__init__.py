@@ -58,13 +58,25 @@ def fanout_small_scan(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     depend on row-to-partition placement for their results.
 
     Streaming frames and frames whose partition count cannot be
-    planned pass through untouched.
+    planned pass through untouched.  Inputs whose plan already
+    contains a SHUFFLE exchange are left alone without probing: their
+    downstream parallelism is the shuffle width, and (under AQE)
+    materializing such a plan's RDD to count partitions would execute
+    its query stages at plan-build time.  Shuffle-free plans probe
+    ``df.rdd`` — a single result stage, so no job runs (a broadcast
+    build on the small side of a broadcast join is the only possible
+    plan-time work, bounded by the broadcast size).
     """
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if any(tok in plan for tok in (
+                "Exchange hashpartitioning", "Exchange RoundRobinPartitioning",
+                "Exchange rangepartitioning", "Exchange SinglePartition")):
+            return df
         nparts = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — unplannable (e.g. no scan yet)
         return df

@@ -199,23 +199,28 @@ def c4_doc_filter_op(
     return out.withColumn(assign, keep)
 
 
-def _frequent_drops(occurrences: DataFrame, id_col: str,
+def _frequent_drops(df: DataFrame, id_col: str, hash_arr: Column,
                     min_docs: int) -> tuple[DataFrame, DataFrame]:
-    """(frequent hash set, per-doc drop-position map) from an
-    ``(id, __pos, __h)`` occurrence frame — the shared two-consumer
-    core of :func:`line_dedupe_op` and :func:`span_dedupe_op`.
+    """(frequent hash set, per-doc drop-position map) over a per-row
+    hash ARRAY — the shared two-consumer core of
+    :func:`line_dedupe_op` and :func:`span_dedupe_op`.
 
-    Two deliberate shape decisions, both measured this round:
+    Three deliberate shape decisions, all measured this round:
 
-    * The two consumers RECOMPUTE the occurrence frame rather than
+    * Document frequency dedupes WITHIN each row first
+      (``array_distinct``, row-local and linear) and explodes the
+      already-unique hashes, so ``groupBy(h).count`` with map-side
+      partial combine replaces the previous two-phase exact
+      count-distinct over every (hash, doc) occurrence — the 21M-row
+      distinct aggregation was the single biggest stage of the span
+      bench (10.2 s of 37) and is now a plain partial count.
+    * The two consumers RECOMPUTE the hash derivation rather than
       sharing one ``repartition(__h)`` exchange.  The shared-exchange
       variant (guide §2.4) was tried and is SLOWER here (49.7 s vs
       37.2 s on the sf1.0 span bench): every occurrence row then
-      crosses the wire once and is fetched TWICE (document-frequency
-      branch + hits branch read the same shuffle output), while in
-      this shape the hits branch stays inside the scan stage as a
-      broadcast probe and only the distinct (h, id) partial-aggregate
-      output is exchanged at all.
+      crosses the wire once and is fetched TWICE, while in this shape
+      the hits branch stays inside the scan stage as a broadcast
+      probe and only partial-aggregate outputs are exchanged.
     * The REBALANCE hint after the ``>= min_docs`` filter inserts an
       AQE stage boundary whose measured output is the TRUE (post-
       filter) frequent-set size, so AQE converts the hits join to a
@@ -228,12 +233,14 @@ def _frequent_drops(occurrences: DataFrame, id_col: str,
       ``(id, int positions)`` pairs ∝ boilerplate hits only.
     """
     frequent = (
-        occurrences.select("__h", id_col).distinct()
+        df.select(F.explode(F.array_distinct(hash_arr)).alias("__h"))
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= F.lit(min_docs))
         .select("__h")
         .hint("rebalance")
     )
+    occurrences = df.select(
+        F.col(id_col), F.posexplode(hash_arr).alias("__pos", "__h"))
     drops = (
         occurrences.join(frequent, on="__h")
         .groupBy(id_col)
@@ -301,17 +308,18 @@ def line_dedupe_op(
     min_docs = int(conf.get("min_docs", min_docs))
     df = fanout_small_scan(df)
     src = F.coalesce(F.col(field), F.lit(""))
-    occurrences = df.select(
-        F.col(id_col),
-        F.posexplode(lines_col(src)).alias("__pos", "__line"),
-    ).select(id_col, "__pos", F.xxhash64("__line").alias("__h"))
-    frequent, drops = _frequent_drops(occurrences, id_col, min_docs)
-    arr = lines_col(src)
+    line_hashes = F.transform(lines_col(src), lambda x: F.xxhash64(x))
+    frequent, drops = _frequent_drops(df, id_col, line_hashes, min_docs)
     drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
-    kept = F.filter(arr, lambda x, i: ~F.array_contains(drop_arr, i))
+    kept = F.filter(F.col("__lines"),
+                    lambda x, i: ~F.array_contains(drop_arr, i))
+    # the line array is staged ONCE (__lines): referenced both by the
+    # keep filter and the total count, and a non-cheap alias used
+    # twice is not inlined back by CollapseProject
     return (
         df.join(drops, on=id_col, how="left")
-        .select(F.col(id_col), F.size(arr).alias("__total"),
+        .select(F.col(id_col), lines_col(src).alias("__lines"), "__drop")
+        .select(F.col(id_col), F.size("__lines").alias("__total"),
                 kept.alias("__kept"))
         .select(
             F.col(id_col),
@@ -390,12 +398,15 @@ def span_dedupe_op(
     # unchanged, but the per-window interpreted concat allocations
     # disappear from both occurrence passes (guide §1.2 "per-task
     # work"; measured 49.8 -> 37.2 s on the sf1.0 bench corpus)
-    occurrences = df.select(
-        F.col(id_col),
-        F.posexplode(word_shingle_hashes(toks, k)).alias("__pos", "__h"),
-    )
-    frequent, drops = _frequent_drops(occurrences, id_col, min_docs)
+    frequent, drops = _frequent_drops(
+        df, id_col, word_shingle_hashes(toks, k), min_docs)
     drop_arr = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
+    # the token array is staged ONCE (__toks) for the rebuild: inside
+    # the gap-slice lambda the array argument would otherwise be
+    # re-evaluated per gap (tokenization per row x gaps), and a
+    # non-cheap alias used more than once is not inlined back by
+    # CollapseProject
+    toks = F.col("__toks")
 
     # -- row-local rebuild: merge sorted [p, p+k) intervals linearly,
     #    then keep the gap slices between merged intervals --
@@ -428,8 +439,10 @@ def span_dedupe_op(
     kept = F.flatten(F.zip_with(
         gap_starts, gap_ends,
         lambda s, e: F.slice(toks, s + 1, F.greatest(e - s, F.lit(0)))))
+    raw_toks = F.filter(F.split(src, r"\s+"), lambda x: x != F.lit(""))
     return (
         df.join(drops, on=id_col, how="left")
+        .select(F.col(id_col), raw_toks.alias("__toks"), "__drop")
         .select(F.col(id_col), F.size(toks).alias("__total"),
                 kept.alias("__kept"))
         .select(

@@ -484,6 +484,12 @@ def tokenizer_op(
         return apply_scalar(df, nested, assign=conf.get("assign", field),
                             emit=False, skip_if=skip_if)
     if not dedupe and not sort and skip_if is None and count == "all":
+        from riko_spark.operators import fanout_small_scan
+
+        # the explode multiplies rows ~100x and everything downstream
+        # (token aggregations) partial-aggregates in THIS stage — an
+        # unsplittable single-file input would pin it to one task
+        df = fanout_small_scan(df)
         quoted = "\\Q" + delimiter + "\\E"
         py_ws = " \t\n\r\x0b\x0c"
         raw = "__rawtok" if token_key != "__rawtok" else "__rawtok2"

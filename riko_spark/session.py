@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite a sort-merge join to a shuffled-hash join
+        # when every post-shuffle partition's build side fits locally
+        # (guide §3.1): skips both sort passes, and the 64m bound is
+        # per-PARTITION so memory stays bounded at any cluster scale
+        # (default 0 = never). Measured on the sf1.0 join bench:
+        # 0.88 -> 0.74 s, no plan regressions elsewhere.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("RIKO_SPARK_SHJ_THRESHOLD", "64m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("RIKO_SPARK_DRIVER_MEM", "8g"))
