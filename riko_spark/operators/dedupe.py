@@ -374,20 +374,15 @@ def minhash_lsh_op(
     )
     thr = conf.get("jaccard_threshold", jaccard_threshold)
     if thr is not None:
-        # verify against shingle sets built ONLY for documents that
-        # appear in some candidate pair: the corpus is semi-joined on
-        # the candidate ids BEFORE the shingle projection — the
-        # full-corpus shingle-set build that used to run twice (once
-        # per join side) now touches candidate docs only, ∝ near-
-        # duplicate volume rather than corpus volume (the candidate
-        # subtree appears three times, but its stages are plan-
-        # identical and AQE stage reuse computes them once)
-        ids = pairs.select(
-            F.explode(F.array("left_id", "right_id")).alias(id_col)
-        ).distinct()
-        cand_docs = df.join(ids, [id_col], "left_semi")
-        verified = ngram_jaccard_pairs(cand_docs, pairs, field=field,
-                                       id_col=id_col, n=shingle_size)
+        # A candidate-id semi-prefilter of the shingle sets (build
+        # them only for docs in candidate pairs) was measured and
+        # REJECTED this round: it replicates the candidate subtree
+        # into both verify sides, and the extra AQE stages cost more
+        # than the avoided shingle work at every measurable scale
+        # (sf0.1: 1.27 -> 2.02 s, sf1.0: 2.35 -> 2.50 s).  At true
+        # web scale the verify cost is governed by the bucket caps
+        # (max_bucket_size bounds candidate volume), not by this.
+        verified = ngram_jaccard_pairs(df, pairs, field=field, id_col=id_col, n=shingle_size)
         return verified.filter(F.col("jaccard") >= float(thr))
     return pairs
 
